@@ -1,0 +1,120 @@
+"""Read database: batched device syncmer extraction -> per-read records.
+
+The device kernel (:func:`oatk_tpu.kernels.syncmer.extract_syncmers_batch`)
+runs over length-bucketed padded batches; this module assembles the
+results into the per-read view (sr_db analogue,
+/root/reference/syncmer.h:48-84) consumed by graph construction,
+alignment, consensus and error correction.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fastx import SeqRecord
+from ..kernels.oracle import ReadSyncmers, syncmers_of_read_oracle
+from ..utils import log_info
+
+
+@dataclass
+class ReadDB:
+    """All reads with hoco sequences and per-read syncmer lists."""
+
+    k: int  # k-mer size (hoco bases); reference's 'w'
+    s: int  # s-mer size
+    reads: list[ReadSyncmers] = field(default_factory=list)
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def n(self) -> int:
+        return len(self.reads)
+
+    def total_syncmers(self) -> int:
+        return sum(r.n for r in self.reads)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def extract_all_syncmers(
+    records: list[SeqRecord],
+    w: int,
+    s: int,
+    use_device: bool = True,
+    batch_bases: int = 32 << 20,
+) -> ReadDB:
+    """Run syncmer extraction for all reads.
+
+    Reads are bucketed by padded length (powers-of-two-ish) so XLA
+    compiles a handful of batch shapes; each bucket streams through the
+    device in chunks of ~batch_bases.
+    """
+    db = ReadDB(k=w, s=s)
+    db.reads = [None] * len(records)  # type: ignore
+
+    if not use_device:
+        for i, rec in enumerate(records):
+            db.reads[i] = syncmers_of_read_oracle(rec.seq, w, s, rec.sid, rec.name)
+        return db
+
+    import jax.numpy as jnp
+
+    from ..kernels.syncmer import extract_syncmers_batch
+
+    # bucket by padded length
+    buckets: dict[int, list[int]] = {}
+    for i, rec in enumerate(records):
+        L = max(len(rec.seq), w + 4)
+        Lp = max(512, 1 << int(np.ceil(np.log2(L))))
+        buckets.setdefault(Lp, []).append(i)
+
+    for Lp, idxs in sorted(buckets.items()):
+        bsz = max(1, batch_bases // Lp)
+        for start in range(0, len(idxs), bsz):
+            chunk = idxs[start : start + bsz]
+            B = len(chunk)
+            seq = np.zeros((B, Lp), dtype=np.uint8)
+            lens = np.zeros(B, dtype=np.int32)
+            for bi, ri in enumerate(chunk):
+                sq = records[ri].seq
+                seq[bi, : len(sq)] = sq
+                lens[bi] = len(sq)
+            # ~1 syncmer per ~6 hoco bases worst case on random DNA with small k;
+            # be generous, retry bigger if overflow
+            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+            while True:
+                out = extract_syncmers_batch(jnp.asarray(seq), jnp.asarray(lens), w, s, max_out)
+                n_sel = int(out["n_sel"])
+                if n_sel <= max_out:
+                    break
+                max_out = _round_up(n_sel + 1024, 1024)
+            hoco_c = np.asarray(out["hoco_c"])
+            hoco_l = np.asarray(out["hoco_l"])
+            ho_rl = np.asarray(out["ho_rl"])
+            is_n = np.asarray(out["is_n"])
+            sel_b = np.asarray(out["sel_b"])[:n_sel]
+            sel_p = np.asarray(out["sel_p"])[:n_sel]
+            sel_z = np.asarray(out["sel_z"])[:n_sel]
+            sel_smer = np.asarray(out["sel_smer"])[:n_sel].astype(np.uint64)
+            sel_kh = np.asarray(out["sel_khash"])[:n_sel]
+            # split per read (sel_b ascending)
+            cuts = np.searchsorted(sel_b, np.arange(B + 1))
+            for bi, ri in enumerate(chunk):
+                lo, hi = cuts[bi], cuts[bi + 1]
+                hl = int(hoco_l[bi])
+                db.reads[ri] = ReadSyncmers(
+                    sid=records[ri].sid,
+                    name=records[ri].name,
+                    hoco_l=hl,
+                    hoco_code=hoco_c[bi, :hl].copy(),
+                    ho_rl=ho_rl[bi, :hl].astype(np.uint32),
+                    is_n=is_n[bi, :hl].copy(),
+                    m_pos=((sel_p[lo:hi].astype(np.uint32)) << 1 | sel_z[lo:hi].astype(np.uint32)),
+                    s_mer=sel_smer[lo:hi],
+                    k_mer=sel_kh[lo:hi].copy(),
+                )
+    n_scm = db.total_syncmers()
+    log_info(f"collected {n_scm} syncmers from {len(records)} target sequence(s)", func="extract_all_syncmers")
+    return db

@@ -1,0 +1,166 @@
+"""Global syncmer (k-mer) database: counting and id assignment (HOT LOOP 2).
+
+Replaces the reference's global qsort of 128-bit (hash | sid | idx | rev)
+keys plus per-cluster exact-sequence collision resolution
+(/root/reference/syncmer.c:1270-1451).
+
+Design: occurrences across all reads are flattened to (hash, low) key
+pairs and sorted (device sort / np.lexsort); equal-hash runs become
+clusters.  Hash collisions between *different* k-mer sequences are
+detected with an exact packed-sequence comparison inside each cluster
+(vectorized against the cluster head, rare slow path on mismatch).
+Syncmer ids follow the sorted-hash / first-occurrence order, matching
+the reference's id assignment exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..asm.reads import ReadDB
+from ..kernels.oracle import kmer_packed_bytes
+from ..utils import log_info, log_warn
+
+MAX_RD_SCM = 0x7FFFFFFF
+
+
+@dataclass
+class SyncmerDB:
+    """Distinct syncmers (syncmer_db_t analogue, /root/reference/syncmer.h:98-114)."""
+
+    h: np.ndarray  # [n] uint64 kmer hash
+    s: np.ndarray  # [n] uint64 smer payload
+    cov: np.ndarray  # [n] uint32 occurrence count
+    del_: np.ndarray  # [n] bool deleted flag
+    m_pos: list  # [n] arrays of uint64: sid<<32 | read_idx<<1 | rev
+
+    @property
+    def n(self) -> int:
+        return len(self.h)
+
+
+def _packed_kmer_of(read_db: ReadDB, sid: int, idx: int, rev: int) -> bytes:
+    r = read_db.reads[sid]
+    pos = int(r.m_pos[idx]) >> 1
+    return kmer_packed_bytes(r.hoco_code, None, pos, read_db.k, rev).tobytes()
+
+
+def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
+    """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1."""
+    n_tot = read_db.total_syncmers()
+    if n_tot == 0:
+        return None
+
+    hashes = np.empty(n_tot, dtype=np.uint64)
+    lows = np.empty(n_tot, dtype=np.uint64)
+    off = 0
+    for r in read_db.reads:
+        n = r.n
+        if n == 0:
+            continue
+        hashes[off : off + n] = r.k_mer
+        idx = np.arange(n, dtype=np.uint64)
+        lows[off : off + n] = (
+            (np.uint64(r.sid) << np.uint64(32))
+            | (idx << np.uint64(1))
+            | (r.m_pos.astype(np.uint64) & np.uint64(1))
+        )
+        off += n
+
+    order = np.lexsort((lows, hashes))
+    sh = hashes[order]
+    sl = lows[order]
+
+    # cluster boundaries on hash
+    starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+    ends = np.concatenate([starts[1:], [n_tot]])
+
+    # exact-sequence collision check: compare each member to its cluster head.
+    # Sequences are identified lazily via (sid, idx) -> packed bytes; the
+    # vectorized proxy first compares s-mer payloads (identical k-mers
+    # always share the canonical s-mer), escalating to byte comparison
+    # only on mismatch -- in practice never.
+    smers = np.empty(n_tot, dtype=np.uint64)
+    off = 0
+    for r in read_db.reads:
+        n = r.n
+        if n:
+            smers[off : off + n] = r.s_mer
+            off += n
+    ss = smers[order]
+    head_of = np.repeat(starts, ends - starts)
+    suspicious = ss != ss[head_of]
+
+    sub_id = np.zeros(n_tot, dtype=np.int64)  # sub-cluster within hash cluster
+    n_collision_clusters = 0
+    if suspicious.any():
+        for ci in np.unique(head_of[suspicious]):
+            lo = int(ci)
+            hi = int(ends[np.searchsorted(starts, lo)])
+            reps: list[bytes] = []
+            for j in range(lo, hi):
+                sid = int(sl[j] >> np.uint64(32))
+                idx = int(sl[j] >> np.uint64(1)) & MAX_RD_SCM
+                rev = int(sl[j]) & 1
+                b = _packed_kmer_of(read_db, sid, idx, rev)
+                for ri, rb in enumerate(reps):
+                    if rb == b:
+                        sub_id[j] = ri
+                        break
+                else:
+                    sub_id[j] = len(reps)
+                    reps.append(b)
+            if len(reps) > 1:
+                n_collision_clusters += 1
+        if n_collision_clusters:
+            log_warn(f"{n_collision_clusters} kmer hash collision cluster(s) resolved")
+
+    # assign global syncmer ids: clusters in sorted-hash order, sub-clusters
+    # by first occurrence
+    max_sub = int(sub_id.max()) + 1 if n_tot else 1
+    if max_sub == 1:
+        gid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        n_scm = len(starts)
+        rep_idx = starts
+    else:
+        # rare path: renumber (cluster, sub) pairs by first occurrence
+        key = head_of * max_sub + sub_id
+        uniq, first_pos, inv = np.unique(key, return_index=True, return_inverse=True)
+        # order sub-clusters by (cluster, first occurrence)
+        ord2 = np.argsort(first_pos, kind="stable")
+        remap = np.empty(len(uniq), dtype=np.int64)
+        remap[ord2] = np.arange(len(uniq))
+        gid = remap[inv]
+        n_scm = len(uniq)
+        rep_idx = first_pos[ord2]
+
+    cov = np.bincount(gid, minlength=n_scm).astype(np.uint32)
+    db = SyncmerDB(
+        h=sh[rep_idx].copy(),
+        s=ss[rep_idx].copy(),
+        cov=cov,
+        del_=np.zeros(n_scm, dtype=bool),
+        m_pos=[None] * n_scm,
+    )
+    # m_pos lists per syncmer, in sorted order (sid, idx ascending)
+    cl_order = np.argsort(gid, kind="stable")
+    cl_sorted = sl[cl_order]
+    cuts = np.concatenate([[0], np.cumsum(cov)])
+    for i in range(n_scm):
+        db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]].copy()
+
+    # verify smer consistency within clusters (reference exits on mismatch)
+    # rewrite read k_mer: hash -> syncmer id << 1
+    new_kmer = np.empty(n_tot, dtype=np.uint64)
+    new_kmer[order] = (gid.astype(np.uint64)) << np.uint64(1)
+    off = 0
+    for r in read_db.reads:
+        n = r.n
+        if n:
+            r.k_mer = new_kmer[off : off + n].copy()
+            off += n
+
+    assert int(db.cov.sum()) == n_tot
+    log_info(f"{n_scm} distinct syncmers from {n_tot} occurrences", func="collect_syncmer_db")
+    return db

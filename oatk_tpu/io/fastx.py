@@ -1,0 +1,122 @@
+"""Host-side FASTA/FASTQ(.gz) streaming into numpy byte arrays.
+
+Replaces the reference's kseq.h/sstream.c/kopen.c stack
+(/root/reference/sstream.c:39-102).  Reads are surfaced as raw uint8
+numpy arrays of ASCII bytes; downstream device kernels consume padded
+batches built by :mod:`oatk_tpu.kernels.syncmer`.
+
+Multi-file input is supported with globally increasing sequence ids,
+matching sstream semantics.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import sys
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+@dataclass
+class SeqRecord:
+    sid: int
+    name: str
+    seq: np.ndarray  # uint8 ASCII bytes
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+
+def _open_maybe_gz(path: str):
+    if path == "-":
+        return sys.stdin.buffer
+    fp = open(path, "rb")
+    magic = fp.read(2)
+    fp.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(fp, "rb")
+    return fp
+
+
+def _iter_fastx(fp, sid0: int) -> Iterator[SeqRecord]:
+    """Parse a FASTA or FASTQ stream (auto-detected per record)."""
+    sid = sid0
+    name = None
+    chunks: list[bytes] = []
+    line_iter = iter(fp)
+    for raw in line_iter:
+        line = raw.rstrip(b"\r\n")
+        if not line:
+            continue
+        c = line[:1]
+        if c == b">":
+            if name is not None:
+                yield SeqRecord(sid, name, np.frombuffer(b"".join(chunks), dtype=np.uint8))
+                sid += 1
+            name = line[1:].split()[0].decode() if len(line) > 1 else ""
+            chunks = []
+        elif c == b"@" and name is None:
+            # FASTQ record: header, seq, +, qual
+            fq_name = line[1:].split()[0].decode() if len(line) > 1 else ""
+            seq_line = next(line_iter).rstrip(b"\r\n")
+            next(line_iter)  # +
+            qual = next(line_iter).rstrip(b"\r\n")
+            while len(qual) < len(seq_line):  # multi-line qual (rare)
+                qual += next(line_iter).rstrip(b"\r\n")
+            yield SeqRecord(sid, fq_name, np.frombuffer(seq_line, dtype=np.uint8))
+            sid += 1
+        else:
+            if name is None:
+                raise ValueError("malformed FASTA/FASTQ input")
+            chunks.append(line)
+    if name is not None:
+        yield SeqRecord(sid, name, np.frombuffer(b"".join(chunks), dtype=np.uint8))
+
+
+class FastxReader:
+    """Stream records from multiple FASTA/FASTQ(.gz) files with global sids."""
+
+    def __init__(self, paths: Sequence[str]):
+        self.paths = list(paths)
+        self.n_seq = 0
+
+    def __iter__(self) -> Iterator[SeqRecord]:
+        sid = 0
+        for path in self.paths:
+            fp = _open_maybe_gz(path)
+            try:
+                for rec in _iter_fastx(fp, sid):
+                    sid = rec.sid + 1
+                    self.n_seq = sid
+                    yield rec
+            finally:
+                if fp is not sys.stdin.buffer:
+                    fp.close()
+
+
+def read_fastx(paths: Sequence[str], max_data: int = 0) -> list[SeqRecord]:
+    """Read all records; stop after ``max_data`` total bases if non-zero.
+
+    Mirrors the ``-D`` data limit of the reference
+    (/root/reference/syncmer.c:522-542).
+    """
+    out: list[SeqRecord] = []
+    total = 0
+    for rec in FastxReader(paths):
+        out.append(rec)
+        total += len(rec)
+        if max_data and total >= max_data:
+            break
+    return out
+
+
+def write_fasta(fp, name: str, seq: str, line_wd: int = 60, comment: str = "") -> None:
+    if comment:
+        fp.write(f">{name}\t{comment}\n")
+    else:
+        fp.write(f">{name}\n")
+    for i in range(0, len(seq), line_wd):
+        fp.write(seq[i : i + line_wd])
+        fp.write("\n")

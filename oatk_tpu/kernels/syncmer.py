@@ -1,0 +1,277 @@
+"""Vectorized closed-syncmer extraction over padded read batches (HOT LOOP 1).
+
+TPU-first reformulation of the reference's sequential per-base scan
+(/root/reference/syncmer.c:243-421).  Instead of a rolling minimizer
+buffer, selection is expressed with sliding-window minima (van Herk
+two-pass prefix/suffix cummin), which XLA vectorizes across a whole
+[B, L] read batch:
+
+  Let M[t] be the hash of the s-mer starting at hoco position t
+  (sentinel MAX where out of run / symmetric).  For a k-mer window
+  starting at p covering s-mers t in [p, p+q-1], q = w - s + 1:
+
+    open(p)  : M[p] attains the window minimum (oldest-attaining rule)
+    close(p) : the last s-mer is a new minimum versus the *previous*
+               window  [p-1, p+q-2]  (case 2), or the previous minimum
+               was uniquely expiring and the last s-mer wins the
+               recomputed window, including the documented tie rule
+               (case 3)
+    selected(p) = open(p) XOR close(p)   -- the XOR realizes the
+               same-position pair removal of the sequential code
+
+  The equivalence with the sequential buffer semantics is validated
+  against :mod:`oatk_tpu.kernels.oracle` (itself bit-checked against the
+  reference binary's DEBUG_SYNCMER_SEQ dump).
+
+Hash values fit in 2s <= 62 bits, so window minima run in int64 (native
+on TPU); only the Murmur k-mer identity hash uses emulated uint64.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .hashes import MURMUR_SEED
+
+I64MAX = np.int64(0x7FFFFFFFFFFFFFFF)
+_MURMUR_M = np.uint64(0xC6A4A7935BD1E995)
+
+# ASCII -> 2-bit code table (4 = ambiguous)
+from .oracle import SEQ_NT4  # noqa: E402
+
+
+def _hash64_i64(key: jnp.ndarray, mask: np.uint64) -> jnp.ndarray:
+    """Thomas Wang 64-bit mix under mask, on int64 lanes (values < 2^62)."""
+    k = key.astype(jnp.uint64)
+    m = jnp.uint64(mask)
+    k = (~k + (k << 21)) & m
+    k = k ^ (k >> 24)
+    k = (k + (k << 3) + (k << 8)) & m
+    k = k ^ (k >> 14)
+    k = (k + (k << 2) + (k << 4)) & m
+    k = k ^ (k >> 28)
+    k = (k + (k << 31)) & m
+    return k.astype(jnp.int64)
+
+
+def _winmin(M: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Sliding-window minimum over the last axis (van Herk / two cummins).
+
+    Returns W with W[..., p] = min(M[..., p : p+win]); windows that run
+    past the end use I64MAX padding.  win >= 1.
+    """
+    B, L = M.shape
+    if win == 1:
+        return M
+    nb = -(-L // win)
+    pad = nb * win - L
+    Mp = jnp.pad(M, ((0, 0), (0, pad + win)), constant_values=I64MAX)
+    blocks = Mp[:, : nb * win + win].reshape(B, nb + 1, win)
+    pref = lax.cummin(blocks, axis=2)
+    suff = lax.cummin(blocks, axis=2, reverse=True)
+    pref = pref.reshape(B, -1)
+    suff = suff.reshape(B, -1)
+    # winmin[p] = min(suffix-in-block(p), prefix-in-block(p+win-1))
+    return jnp.minimum(suff[:, :L], pref[:, win - 1 : win - 1 + L])
+
+
+def _pack_windows_u64(win_codes: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[N, w] 2-bit codes -> [N, nblk] uint64 little-endian Murmur blocks.
+
+    Byte j holds bases 4j..4j+3 with base 4j in bits 7-6; u64 block i is
+    the LE read of bytes 8i..8i+7 (matching the reference's in-memory
+    layout fed to MurmurHash64A, /root/reference/syncmer.c:173-226).
+    """
+    N = win_codes.shape[0]
+    n_bytes = (w - 1) // 4 + 1
+    nblk = -(-n_bytes // 8)
+    padded = jnp.pad(win_codes.astype(jnp.uint64), ((0, 0), (0, nblk * 32 - w)))
+    quads = padded.reshape(N, nblk * 8, 4)
+    bytes_ = (quads[..., 0] << 6) | (quads[..., 1] << 4) | (quads[..., 2] << 2) | quads[..., 3]
+    oct_ = bytes_.reshape(N, nblk, 8)
+    shifts = jnp.arange(8, dtype=jnp.uint64) * 8
+    return jnp.sum(oct_ << shifts[None, None, :], axis=2, dtype=jnp.uint64)
+
+
+def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
+    """Vectorized MurmurHash64A over rows of LE u64 blocks."""
+    m = jnp.uint64(_MURMUR_M)
+    n_full = n_bytes >> 3
+    n_tail = n_bytes & 7
+    h0 = jnp.uint64(MURMUR_SEED) ^ (jnp.uint64(n_bytes) * m)
+    h = jnp.full(blocks.shape[0], h0, dtype=jnp.uint64)
+
+    def body(i, h):
+        k = blocks[:, i] * m
+        k = k ^ (k >> 47)
+        k = k * m
+        h = h ^ k
+        return h * m
+
+    h = lax.fori_loop(0, n_full, body, h)
+    if n_tail:
+        h = h ^ blocks[:, n_full]
+        h = h * m
+    h = h ^ (h >> 47)
+    h = h * m
+    h = h ^ (h >> 47)
+    return h
+
+
+@partial(jax.jit, static_argnames=("w", "s", "max_out"))
+def extract_syncmers_batch(seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int):
+    """Extract closed syncmers from a padded ASCII read batch.
+
+    seq:  [B, L] uint8 ASCII; positions >= lens[b] are padding.
+    Returns hoco arrays plus flat selected-syncmer arrays of size max_out
+    (entries beyond n_sel are invalid; flat order = (read, position)
+    ascending which matches the reference's emission order).
+    """
+    B, L = seq.shape
+    q = w - s + 1
+    mask = np.uint64((1 << (2 * s)) - 1)
+
+    nt4 = jnp.asarray(SEQ_NT4)
+    c = nt4[seq]
+    pos_idx = jnp.arange(L, dtype=jnp.int32)
+    in_read = pos_idx[None, :] < lens[:, None]
+    c = jnp.where(in_read, c, 5)  # 5 = out-of-read sentinel
+
+    # ---- homopolymer compression ----
+    prev = jnp.pad(c[:, :-1], ((0, 0), (1, 0)), constant_values=255)
+    keep = ((c == 4) | (prev == 4) | (c != prev)) & (c != 5)
+    hpos = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1  # hoco index per raw pos
+    hoco_l = jnp.where(
+        lens > 0, hpos[jnp.arange(B), jnp.maximum(lens - 1, 0)] + 1, 0
+    ).astype(jnp.int32)
+
+    scat = jnp.where(keep, hpos, L)  # drop non-kept
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
+    hoco_c = jnp.zeros((B, L), jnp.uint8).at[b_idx, scat].set(
+        jnp.where(c == 4, 0, c).astype(jnp.uint8), mode="drop"
+    )
+    is_n = jnp.zeros((B, L), bool).at[b_idx, scat].set(c == 4, mode="drop")
+    raw_of = jnp.full((B, L), -1, jnp.int32).at[b_idx, scat].set(
+        jnp.broadcast_to(pos_idx[None, :], (B, L)), mode="drop"
+    )
+    nxt_raw = jnp.concatenate([raw_of[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+    h_in = pos_idx[None, :] < hoco_l[:, None]
+    ho_rl = jnp.where(
+        h_in,
+        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of,
+        0,
+    ).astype(jnp.int32)
+
+    # padding beyond hoco_l acts as ambiguous (kills runs / smers)
+    eff_n = is_n | ~h_in
+
+    # ---- run length l[h]: consecutive valid hoco positions ending at h ----
+    hp = jnp.arange(L, dtype=jnp.int32)
+    last_n = lax.cummax(jnp.where(eff_n, hp[None, :], -1), axis=1)
+    l_run = hp[None, :] - last_n  # 0 at N positions
+
+    # ---- rolling canonical s-mer per ending position ----
+    code64 = hoco_c.astype(jnp.int64)
+    # closed form: fwd[h] = sum_{j=0..s-1} code[h-s+1+j] << 2(s-1-j)
+    fwd = jnp.zeros((B, L), jnp.int64)
+    rev = jnp.zeros((B, L), jnp.int64)
+    for j in range(s):
+        shifted = jnp.pad(code64, ((0, 0), (s - 1 - j, 0)))[:, :L]  # code[h-(s-1-j)]
+        fwd = fwd | (shifted << (2 * (s - 1 - j)))
+        rev = rev | ((3 - shifted) << (2 * j))
+
+    smer_ok = (l_run >= s) & (fwd != rev)
+    z_s = (fwd > rev).astype(jnp.int32)  # canonical strand
+    canon = jnp.minimum(fwd, rev)
+    Mh = jnp.where(smer_ok, _hash64_i64(canon, mask), I64MAX)
+    Sh = jnp.where(smer_ok, (canon << 1) | z_s.astype(jnp.int64), I64MAX)
+
+    # re-index by s-mer start: M[t] = Mh[t+s-1]
+    M = jnp.pad(Mh[:, s - 1 :], ((0, 0), (0, s - 1)), constant_values=I64MAX)
+    S = jnp.pad(Sh[:, s - 1 :], ((0, 0), (0, s - 1)), constant_values=I64MAX)
+
+    # ---- window minima ----
+    Bq1 = _winmin(M, q - 1)  # min over [p, p+q-2]
+    Cq2 = _winmin(M, q - 2) if q > 2 else jnp.full_like(M, I64MAX)
+
+    def shift_l(x, k, fill=I64MAX):  # x[p+k]
+        if k == 0:
+            return x
+        return jnp.pad(x[:, k:], ((0, 0), (0, k)), constant_values=fill)
+
+    def shift_r(x, k, fill=I64MAX):  # x[p-k]
+        if k == 0:
+            return x
+        return jnp.pad(x[:, :-k], ((0, 0), (k, 0)), constant_values=fill)
+
+    last = shift_l(M, q - 1)
+    Mp = M
+    Mp_1 = shift_r(M, 1)  # M[p-1]
+    D = shift_l(Bq1, 1)  # min over [p+1, p+q-1]
+    C1 = shift_l(Cq2, 1)  # min over [p+1, p+q-2]
+
+    lw = jnp.pad(l_run, ((0, 0), (0, w)), constant_values=0)
+    l_at_pw = lw[:, w : w + L]  # l[p+w] (0 beyond read)
+    l_at_pw1 = lw[:, w - 1 : w - 1 + L]  # l[p+w-1]
+    p_end_eq = (hp[None, :] + w) == hoco_l[:, None]
+
+    open_ = (
+        (Mp != I64MAX)
+        & (Mp <= D)
+        & ((l_at_pw > w) | (p_end_eq & (l_at_pw1 >= w)))
+    )
+    case2 = (last <= Mp_1) & (last <= Bq1)
+    case3 = (
+        ~case2
+        & (Mp_1 <= Bq1)
+        & (Mp_1 != I64MAX)
+        & ((last < Bq1) | ((Mp == last) & (Mp <= C1)))
+    )
+    close_ = (last != I64MAX) & (l_at_pw1 >= w) & (case2 | case3)
+
+    selected = open_ ^ close_
+    z = jnp.where(open_, S & 1, shift_l(S, q - 1) & 1).astype(jnp.int32)
+    smer_payload = jnp.where(open_, S, shift_l(S, q - 1) ^ 1)
+
+    # ---- flatten selected ----
+    flat_sel = selected.reshape(-1)
+    n_sel = jnp.sum(flat_sel, dtype=jnp.int32)
+    (flat_idx,) = jnp.nonzero(flat_sel, size=max_out, fill_value=B * L)
+    valid = flat_idx < B * L
+    sel_b = (flat_idx // L).astype(jnp.int32)
+    sel_p = (flat_idx % L).astype(jnp.int32)
+    safe_b = jnp.where(valid, sel_b, 0)
+    safe_p = jnp.where(valid, sel_p, 0)
+    sel_z = z.reshape(-1)[jnp.where(valid, flat_idx, 0)]
+    sel_smer = smer_payload.reshape(-1)[jnp.where(valid, flat_idx, 0)]
+
+    # ---- Murmur k-mer hash per selected window ----
+    offs = jnp.arange(w, dtype=jnp.int32)
+    fwd_idx = safe_p[:, None] + offs[None, :]
+    rev_idx = safe_p[:, None] + (w - 1 - offs)[None, :]
+    gidx = jnp.where(sel_z[:, None] == 0, fwd_idx, rev_idx)
+    win = hoco_c[safe_b[:, None], jnp.clip(gidx, 0, L - 1)]
+    win = jnp.where(sel_z[:, None] == 0, win, 3 - win)
+    blocks = _pack_windows_u64(win, w)
+    khash = _murmur64_rows(blocks, (w - 1) // 4 + 1)
+
+    per_read = jnp.sum(selected, axis=1, dtype=jnp.int32)
+
+    return dict(
+        hoco_c=hoco_c,
+        hoco_l=hoco_l,
+        ho_rl=ho_rl,
+        is_n=is_n,
+        n_sel=n_sel,
+        sel_b=sel_b,
+        sel_p=sel_p,
+        sel_z=sel_z,
+        sel_smer=sel_smer,
+        sel_khash=khash,
+        valid=valid,
+        per_read=per_read,
+    )
