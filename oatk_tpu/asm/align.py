@@ -1,0 +1,268 @@
+"""Read -> syncmer-graph alignment (HOT LOOP 4).
+
+Anchor collection, per-unitig co-linear fragment construction, exact
+-overlap chaining across graph arcs and multi-optimal backtrace,
+following /root/reference/alignment.c:159-691.  Anchors for a whole
+read batch come from the inverted syncmer index; the per-read chaining
+is a host loop (fragment counts per read are tiny).
+
+Score = matches - gaps; a read alignment is kept when it covers >= 90%
+of the read's syncmers; the stored score encodes mapping uniqueness as
+1/n_alignments + max_score.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils import log_info
+from .reads import ReadDB
+from .scg import Scg
+
+MATCH_SCORE = 1
+GAP_PENALTY = 1
+MIN_A_FRAC = 0.9
+
+
+@dataclass
+class RaFrag:
+    uid: int  # utg id << 1 | strand
+    u_beg: int
+    u_end: int  # inclusive
+    s_beg: int
+    s_end: int  # inclusive
+
+
+@dataclass
+class ReadAln:
+    sid: int
+    frags: list[RaFrag]
+    s: float = 0.0
+
+    @property
+    def n(self) -> int:
+        return len(self.frags)
+
+
+def _align_one(read, scg: Scg, min_score_needed: int) -> tuple[list[list], int]:
+    """Returns (list of optimal fragment chains, max_score); each chain is
+    a list of fragment dicts."""
+    g = scg.utg
+    idx = scg.idx
+    n_scm = read.n
+    # ---- anchors ----
+    uids: list[int] = []
+    uposs: list[int] = []
+    sposs: list[int] = []
+    for j in range(n_scm):
+        s = int(read.k_mer[j]) >> 1
+        sl = idx.occ(s)
+        if sl.start == sl.stop:
+            continue
+        rj = int(read.m_pos[j]) & 1
+        for o in range(sl.start, sl.stop):
+            u = int(idx.uid[o])
+            p = int(idx.pos[o])
+            t = int(idx.rev[o]) ^ rj
+            uids.append(u << 1 | t)
+            uposs.append(len(g.vtx_a[u]) - p - 1 if t else p)
+            sposs.append(j)
+    if not uids:
+        return [], 0
+
+    order = np.lexsort((np.array(uposs), np.array(sposs), np.array(uids)))
+    uid_a = np.array(uids)[order]
+    upos_a = np.array(uposs)[order]
+    spos_a = np.array(sposs)[order]
+    m = len(uid_a)
+    nxt = np.full(m, -1, np.int64)
+    used = np.zeros(m, bool)
+
+    # ---- per-unitig next-pointer linking ----
+    frags: list[dict] = []
+    j = 0
+    while j < m:
+        u = uid_a[j]
+        p = j
+        while p < m and uid_a[p] == u:
+            p += 1
+        # group starts by distinct s_pos
+        pos_v = [j]
+        for t in range(j + 1, p):
+            if spos_a[t] != spos_a[pos_v[-1]]:
+                pos_v.append(t)
+        pos_v.append(p)
+        for k in range(len(pos_v) - 2):
+            s1, t1 = pos_v[k], pos_v[k + 1]
+            s2 = t1
+            while s1 < pos_v[k + 1]:
+                while s2 < pos_v[k + 2] and upos_a[s2] <= upos_a[s1]:
+                    s2 += 1
+                if s2 < pos_v[k + 2] and upos_a[s2] > upos_a[s1]:
+                    nxt[s1] = s2
+                    used[s2] = True
+                s1 += 1
+        # walk chains from unmarked starting points
+        for k in range(j, p):
+            if used[k]:
+                continue
+            s_cnt = 1
+            u_gap = s_gap = 0
+            t = k
+            while nxt[t] >= 0:
+                n2 = nxt[t]
+                u_gap += abs(int(upos_a[n2]) - int(upos_a[t])) - 1
+                s_gap += abs(int(spos_a[n2]) - int(spos_a[t])) - 1
+                s_cnt += 1
+                t = n2
+            if s_cnt == 1:
+                continue  # singleton; handled below
+            gap = max(u_gap, s_gap, 0)
+            score = s_cnt * MATCH_SCORE - gap * GAP_PENALTY
+            if score >= 0:
+                frags.append(
+                    dict(
+                        uid=int(u),
+                        u_beg=int(upos_a[k]),
+                        u_end=int(upos_a[t]),
+                        s_beg=int(spos_a[k]),
+                        s_end=int(spos_a[t]),
+                        s_cnt=s_cnt,
+                        score0=score,
+                        score=score,
+                        prev=[],
+                        chained=np.zeros(0, bool),
+                    )
+                )
+                used[k] = True
+                # mark chain members
+                t = k
+                while nxt[t] >= 0:
+                    t = nxt[t]
+                    used[t] = True
+        # singletons: anchors never linked nor consumed
+        for k in range(j, p):
+            if not used[k] and nxt[k] < 0:
+                frags.append(
+                    dict(
+                        uid=int(u),
+                        u_beg=int(upos_a[k]),
+                        u_end=int(upos_a[k]),
+                        s_beg=int(spos_a[k]),
+                        s_end=int(spos_a[k]),
+                        s_cnt=1,
+                        score0=1,
+                        score=1,
+                        prev=[],
+                    )
+                )
+        j = p
+
+    if not frags:
+        return [], 0
+
+    frags.sort(key=lambda f: (f["s_beg"], f["s_end"]))
+
+    # ---- chaining across graph arcs (exact overlap, no clipping) ----
+    mf = len(frags)
+    for a in range(mf):
+        f = frags[a]
+        p = f["s_end"]
+        if len(g.vtx_a[f["uid"] >> 1]) - f["u_end"] - 1 > 0:
+            continue  # source must reach unitig end
+        score = f["score"]
+        for b in range(a + 1, mf):
+            f1 = frags[b]
+            if f1["u_beg"] > 0:
+                continue  # target must start at unitig begin
+            ai = g.arc_idx(f["uid"], f1["uid"], live_only=True)
+            if ai is None:
+                continue
+            u_ovl = min(int(g.aln[ai]), p + 1)
+            p1 = f1["s_beg"]
+            if p1 > p + 1:
+                break
+            if p1 + u_ovl != p + 1:
+                continue
+            score1 = score + f1["score0"] - u_ovl * MATCH_SCORE
+            if score1 <= score or score1 < f1["score"] or (
+                score1 == f1["score"] and not f1["prev"]
+            ):
+                continue
+            if score1 > f1["score"]:
+                f1["score"] = score1
+                f1["prev"] = []
+            f1["prev"].append(a)
+
+    max_score = max(f["score"] for f in frags)
+    if max_score < min_score_needed:
+        return [], max_score
+
+    # ---- multi-optimal backtrace ----
+    chains: list[list[int]] = []
+
+    def backtrace(node: int, acc: list[int]):
+        acc.append(node)
+        if not frags[node]["prev"]:
+            chains.append(list(reversed(acc)))
+        else:
+            for pv in frags[node]["prev"]:
+                backtrace(pv, acc)
+                acc.pop()
+
+    for a in range(mf):
+        if frags[a]["score"] == max_score:
+            acc: list[int] = []
+            backtrace(a, acc)
+
+    out = []
+    for ch in chains:
+        cov = sum(frags[t]["s_cnt"] for t in ch)
+        if cov / n_scm < MIN_A_FRAC:
+            continue
+        out.append([frags[t] for t in ch])
+    return out, max_score
+
+
+def scg_read_alignment(
+    read_db: ReadDB, scg: Scg, for_unzip: bool = False, old_ra_db: list | None = None
+) -> list[ReadAln]:
+    """Align all (gated) reads; returns alignment records sorted by read."""
+    if scg.utg.vtx_n1() == 0:
+        return []
+    n_reads = read_db.n
+    old_ra = np.ones(n_reads, np.int64)  # score_threshold<<1 | do_align
+    if for_unzip and old_ra_db:
+        old_ra[:] = 0
+        for ra in old_ra_db:
+            if ra.n > 2 and (old_ra[ra.sid] & 1) == 0:
+                intpart = int(ra.s)
+                if ra.s - intpart < 1e-9:
+                    intpart -= 1
+                old_ra[ra.sid] = intpart << 1 | 1
+
+    ra_db: list[ReadAln] = []
+    n_mapped = n_unique = n_mappable = 0
+    for r in read_db.reads:
+        if r.n > 0:
+            n_mappable += 1
+        if (old_ra[r.sid] & 1) == 0 or r.n == 0:
+            continue
+        chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1)
+        n_a = len(chains)
+        if n_a == 0:
+            continue
+        n_mapped += 1
+        if n_a == 1:
+            n_unique += 1
+        for ch in chains:
+            frags = [
+                RaFrag(f["uid"], f["u_beg"], f["u_end"], f["s_beg"], f["s_end"]) for f in ch
+            ]
+            ra_db.append(ReadAln(r.sid, frags, 1.0 / n_a + max_score))
+    log_info(
+        f"{n_mappable} mappable reads, {n_mapped} mapped ({n_unique} unique mapping)",
+        func="scg_read_alignment",
+    )
+    return ra_db

@@ -1,0 +1,265 @@
+"""Consensus caller: syncmer/unitig sequences and GFA emission.
+
+scg_consensus / scg_syncmer_consensus / scg_unitig_consensus /
+calc_syncmer_overlap analogues (/root/reference/syncasm.c:465-1046).
+
+Per-syncmer bases come from any un-corrected supporting read; in DNA
+mode homopolymer run lengths are the rounded mean across supporting
+reads.  Adjacent-syncmer overlap distance is the mode of per-read
+distances.  Ties in the mode are broken deterministically (count desc,
+distance asc); the reference's tie order follows its hash-table layout
+and is unspecified.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.syncmer_db import MAX_RD_SCM, SyncmerDB
+from .reads import ReadDB
+from .scg import Scg
+
+_NT = np.frombuffer(b"ACGT", np.uint8)
+MAX_RD_LEN = 0x7FFFFFFF
+
+
+def calc_syncmer_overlap(read_db: ReadDB, scm_db: SyncmerDB, m1: int, rc1: int, m2: int, rc2: int) -> int:
+    """Mode of per-read adjacent distances between syncmers m1 -> m2."""
+    counts: dict[int, int] = {}
+    pos1 = scm_db.m_pos[m1]
+    pos2 = scm_db.m_pos[m2]
+    r2_all = (pos2 >> np.uint64(32)).astype(np.int64)
+    p2 = 0
+    n2 = len(pos2)
+    for e1 in pos1:
+        r1 = int(e1 >> np.uint64(32))
+        i1 = (int(e1) >> 1) & MAX_RD_SCM
+        rd1 = read_db.reads[r1]
+        if int(rd1.k_mer[i1]) & 1:
+            continue  # error-corrected
+        l1 = int(rd1.m_pos[i1]) >> 1
+        c1 = int(e1) & 1
+        while p2 < n2 and r2_all[p2] < r1:
+            p2 += 1
+        for j in range(p2, n2):
+            r2 = int(r2_all[j])
+            if r2 != r1:
+                break
+            e2 = pos2[j]
+            i2 = (int(e2) >> 1) & MAX_RD_SCM
+            rd2 = read_db.reads[r2]
+            if int(rd2.k_mer[i2]) & 1:
+                continue
+            l2 = int(rd2.m_pos[i2]) >> 1
+            c2 = int(e2) & 1
+            if i1 == i2 + 1 and c1 != rc1 and c2 != rc2:
+                d = l1 - l2
+                counts[d] = counts.get(d, 0) + 1
+            elif i1 + 1 == i2 and c1 == rc1 and c2 == rc2:
+                d = l2 - l1
+                counts[d] = counts.get(d, 0) + 1
+    if not counts:
+        return 0
+    return max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+
+def _lround(x: float) -> int:
+    return int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5))
+
+
+def syncmer_consensus(
+    read_db: ReadDB, scm_db: SyncmerDB, s: int, rev: int, beg: int, out: list, hoco_seq: bool
+) -> int:
+    """Append the consensus of syncmer ``s`` starting at offset ``beg``
+    (may be negative -> 'N' fill) to ``out``; returns emitted length."""
+    w = read_db.k
+    assert beg < w
+    bl = 0
+    if beg < 0:
+        out.append(b"N" * (-beg))
+        bl = -beg
+        beg = 0
+    l = w - beg
+    bl += l
+
+    m_pos = scm_db.m_pos[s]
+    base_seq = None
+    for e in m_pos:
+        sid = int(e >> np.uint64(32))
+        idx = (int(e) >> 1) & MAX_RD_SCM
+        rd = read_db.reads[sid]
+        if int(rd.k_mer[idx]) & 1:
+            continue
+        p = int(rd.m_pos[idx])
+        r = (p & 1) ^ rev
+        p >>= 1
+        if not r:
+            p += beg
+        win = rd.hoco_code[p : p + l].astype(np.int64)
+        if r:
+            win = (3 - win)[::-1]
+        base_seq = win
+        break
+    if base_seq is None:
+        out.append(b"N" * l)
+        return bl
+
+    if hoco_seq:
+        out.append(_NT[base_seq].tobytes())
+        return bl
+
+    tot_rl = np.zeros(l, np.int64)
+    m_seq = 0
+    for e in m_pos:
+        sid = int(e >> np.uint64(32))
+        idx = (int(e) >> 1) & MAX_RD_SCM
+        rd = read_db.reads[sid]
+        if int(rd.k_mer[idx]) & 1:
+            continue
+        p = int(rd.m_pos[idx])
+        r = (p & 1) ^ rev
+        p >>= 1
+        if not r:
+            p += beg
+        rl = rd.ho_rl[p : p + l].astype(np.int64) - 1  # stored run-1 in reference
+        if r:
+            rl = rl[::-1]
+        tot_rl += rl
+        m_seq += 1
+    chunks = []
+    bl_extra = 0
+    reps = np.array([1 + _lround(t / m_seq) for t in tot_rl], np.int64)
+    bl_extra = int(reps.sum()) - l
+    out.append(_NT[np.repeat(base_seq, reps)].tobytes())
+    return bl + bl_extra
+
+
+def unitig_consensus(
+    read_db: ReadDB, scm_db: SyncmerDB, v: np.ndarray, out: list, hoco_seq: bool
+) -> int:
+    """Stitch syncmer consensi along a unitig by overlap offsets."""
+    n = len(v)
+    if n == 0:
+        return 0
+    w = read_db.k
+    pos = np.zeros(n, np.int64)
+    for i in range(1, n):
+        pos[i] = pos[i - 1] + calc_syncmer_overlap(
+            read_db, scm_db, int(v[i - 1]) >> 1, int(v[i - 1]) & 1, int(v[i]) >> 1, int(v[i]) & 1
+        )
+    beg_pos = end_pos = 0
+    l = 0
+    i = 0
+    while i < n:
+        while i + 1 < n and pos[i + 1] <= end_pos:
+            i += 1
+        beg_pos = int(pos[i])
+        l += syncmer_consensus(
+            read_db, scm_db, int(v[i]) >> 1, int(v[i]) & 1, end_pos - beg_pos, out, hoco_seq
+        )
+        end_pos = beg_pos + w
+        i += 1
+    return l
+
+
+def _utg_avg_cov(scg: Scg, i: int) -> float:
+    """IQR-trimmed mean coverage over (preferably single-copy) syncmers."""
+    utg = scg.utg
+    if utg.vtx_del[i]:
+        return 0.0
+    a = utg.vtx_a[i]
+    covs = np.zeros(len(a), float)
+    for j, x in enumerate(a):
+        s = int(x) >> 1
+        if scg.idx.n_occ(s) == 1:
+            covs[j] = float(scg.scm_db.cov[s])
+    sel = covs[covs > 0]
+    if len(sel) == 0:
+        sel = np.array([float(scg.scm_db.cov[int(x) >> 1]) for x in a])
+    return average_iqr(sel)
+
+
+def average_iqr(vals: np.ndarray) -> float:
+    """Mean over [Q1-1.5*IQR, Q3+1.5*IQR] with C-quantile interpolation."""
+    n = len(vals)
+    if n == 0:
+        return 0.0
+    v = np.sort(vals.astype(float))
+    q1 = _quantile_sorted(v, 0.25)
+    q3 = _quantile_sorted(v, 0.75)
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    sel = v[(v >= lo) & (v <= hi)]
+    return float(sel.mean()) if len(sel) else 0.0
+
+
+def _quantile_sorted(a: np.ndarray, q: float) -> float:
+    n = len(a)
+    if n == 1:
+        return float(a[0])
+    x = q * (n - 1)
+    i = _lround(np.floor(x))
+    frac = x - np.floor(x)
+    if i == n - 1:
+        return float(a[i])
+    return float(a[i] + (a[i + 1] - a[i]) * frac)
+
+
+def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=None):
+    """Compute unitig consensus sequences, lengths, coverages and arc
+    overlap lengths; optionally emit GFA."""
+    utg = scg.utg
+    scm_db = scg.scm_db
+    w = read_db.k
+    utg.clean_consensus()
+    if fo:
+        fo.write("H\tVN:Z:1.0\n")
+    for i in range(utg.n_vtx):
+        if utg.vtx_del[i]:
+            continue
+        chunks: list[bytes] = []
+        l = unitig_consensus(read_db, scm_db, utg.vtx_a[i], chunks, hoco_seq)
+        seq = b"".join(chunks).decode()
+        assert len(seq) == l
+        cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
+        utg.vtx_cov[i] = int(cov)
+        utg.vtx_len[i] = l
+        if save_seq:
+            utg.vtx_seq[i] = seq
+        if fo:
+            fo.write(
+                f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
+            )
+
+    utg._flush_pending()
+    for ai in range(len(utg.av)):
+        if utg.adel[ai] or utg.acomp[ai]:
+            continue
+        v, t = int(utg.av[ai]), int(utg.aw[ai])
+        ln = int(utg.aln[ai])
+        if ln > 0:
+            a = utg.vtx_a[v >> 1]
+            sub = a[:ln] if (v & 1) else a[len(a) - ln :]
+            chunks = []
+            l = unitig_consensus(read_db, scm_db, sub, chunks, hoco_seq)
+        else:
+            a = utg.vtx_a[v >> 1]
+            z = v & 1
+            vv = int(a[0] if z else a[-1]) ^ z
+            a2 = utg.vtx_a[t >> 1]
+            z2 = t & 1
+            tt = int(a2[-1] if z2 else a2[0]) ^ z2
+            l = calc_syncmer_overlap(read_db, scm_db, vv >> 1, vv & 1, tt >> 1, tt & 1)
+            if l < w:
+                chunks = []
+                l = syncmer_consensus(read_db, scm_db, vv >> 1, vv & 1, l, chunks, hoco_seq)
+            else:
+                l = 0
+        l = min(l, utg.vtx_len[v >> 1], utg.vtx_len[t >> 1])
+        utg.als[ai] = l
+        ci = utg.comp_arc_idx(ai)
+        if ci is not None:
+            utg.als[ci] = l
+        if fo:
+            cov = int(utg.acov[ai])
+            fo.write(f"L\tu{v>>1}\t{'+-'[v&1]}\tu{t>>1}\t{'+-'[t&1]}\t{l}M\tEC:i:{cov}\n")
+            fo.write(f"L\tu{t>>1}\t{'-+'[t&1]}\tu{v>>1}\t{'-+'[v&1]}\t{l}M\tEC:i:{cov}\n")

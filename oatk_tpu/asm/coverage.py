@@ -1,0 +1,315 @@
+"""Unitig & arc coverage estimation from read alignments.
+
+scg_ra_utg_coverage / scg_ra_arc_coverage / scg_refine_arc_coverage /
+scg_update_utg_cov analogues (/root/reference/syncasm.c:630-692,
+1643-2261): three-round unitig coverage (unique-pileup IQR mean -> EM
+over multi-alignment LCS blocks -> syncmer-count redistribution) and
+arc coverage from uniquely-anchored consecutive fragment support with
+parallel-link refinement.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import log_info, log_warn
+from .align import ReadAln
+from .consensus import average_iqr, _lround
+from .reads import ReadDB
+from .scg import Scg
+
+EM_MAX_ITER = 1000
+DBL_EPSILON = 2.220446049250313e-16
+
+
+def scg_update_utg_cov(scg: Scg):
+    from .consensus import _utg_avg_cov
+
+    for i in range(scg.utg.n_vtx):
+        scg.utg.vtx_cov[i] = int(_utg_avg_cov(scg, i))
+
+
+# ---------------- LCS alignment blocks ----------------
+
+def _find_lcs(s_scm: np.ndarray, u_scm: np.ndarray, offset: int) -> list[tuple[int, int]]:
+    """Longest-common-subsequence match blocks between the read syncmer
+    ids and a unitig syncmer list; returns [(start_in_read, length)]."""
+    s_ids = s_scm
+    u_ids = u_scm
+    s_n, u_n = len(s_ids), len(u_ids)
+    blocks: list[tuple[int, int]] = []
+    start = 0
+    s_end, u_end = s_n - 1, u_n - 1
+    while start < s_n and start < u_n and s_ids[start] == u_ids[start]:
+        start += 1
+    while start <= s_end and start <= u_end and s_ids[s_end] == u_ids[u_end]:
+        s_end -= 1
+        u_end -= 1
+    if start > 0:
+        blocks.append((offset, start))
+    sa = s_ids[start : s_end + 1]
+    ua = u_ids[start : u_end + 1]
+    sn, un = len(sa), len(ua)
+    if sn and un:
+        L = np.zeros((sn + 1, un + 1), np.int32)
+        eq = sa[:, None] == ua[None, :]
+        for i in range(1, sn + 1):
+            for j in range(1, un + 1):
+                if eq[i - 1, j - 1]:
+                    L[i, j] = L[i - 1, j - 1] + 1
+                else:
+                    L[i, j] = max(L[i - 1, j], L[i, j - 1])
+        # backtrace
+        bt: list[tuple[int, int]] = []
+        i, j = sn, un
+        while i > 0 and j > 0:
+            if sa[i - 1] == ua[j - 1]:
+                bt.append((i - 1 + offset + start, 1))
+                i -= 1
+                j -= 1
+            elif L[i, j - 1] > L[i - 1, j]:
+                j -= 1
+            else:
+                i -= 1
+        blocks.extend(reversed(bt))
+    if start + (s_end - start + 1) < s_n:
+        blocks.append((offset + s_end + 1, s_n - s_end - 1))
+    # merge adjacent
+    merged: list[tuple[int, int]] = []
+    for b, n in blocks:
+        if merged and merged[-1][0] + merged[-1][1] == b:
+            merged[-1] = (merged[-1][0], merged[-1][1] + n)
+        else:
+            merged.append((b, n))
+    return merged
+
+
+def _make_ma_blocks(scg: Scg, read, alns: list[ReadAln]):
+    """Multi-alignment blocks for one read: (n_match[], uids[b][a])."""
+    g = scg.utg
+    scm = (read.k_mer >> np.uint64(1)).astype(np.int64)
+    n = len(alns)
+    lcs_blocks: list[list[tuple[int, int]]] = []
+    for ra in alns:
+        blk: list[tuple[int, int]] = []
+        for frg in ra.frags:
+            uid = frg.uid >> 1
+            ua = g.vtx_a[uid]
+            sub = ua[frg.u_beg : frg.u_end + 1]
+            u_scm = ((sub >> np.uint64(1)).astype(np.int64))[::-1] if frg.uid & 1 else (
+                sub >> np.uint64(1)
+            ).astype(np.int64)
+            blk.extend(_find_lcs(scm[frg.s_beg : frg.s_end + 1], np.asarray(u_scm), frg.s_beg))
+        lcs_blocks.append(blk)
+
+    n_match: list[int] = []
+    u_match: list[list[int]] = []
+    lcsb = [0] * n
+    frgs = [0] * n
+    begs = [0] * n
+    lens = [0] * n
+    uids = [0] * n
+
+    def shift(i) -> bool:
+        if lcsb[i] >= len(lcs_blocks[i]):
+            return False
+        begs[i], lens[i] = lcs_blocks[i][lcsb[i]]
+        while alns[i].frags[frgs[i]].s_end < begs[i]:
+            frgs[i] += 1
+        uids[i] = alns[i].frags[frgs[i]].uid >> 1
+        return True
+
+    for i in range(n):
+        if not lcs_blocks[i] or not shift(i):
+            return n_match, u_match
+    while True:
+        s_beg = max(begs)
+        m_ext = min(lens[i] - s_beg + begs[i] for i in range(n))
+        if m_ext > 0:
+            n_match.append(m_ext)
+            u_match.append(list(uids))
+            done = False
+            for i in range(n):
+                ext = lens[i] - s_beg + begs[i]
+                if ext == m_ext:
+                    lcsb[i] += 1
+                    if not shift(i):
+                        done = True
+                        break
+                else:
+                    begs[i] = s_beg + m_ext
+                    lens[i] = ext - m_ext
+            if done:
+                break
+        else:
+            i = int(np.argmin(begs))
+            lcsb[i] += 1
+            if not shift(i):
+                break
+    return n_match, u_match
+
+
+def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose: int = 0):
+    if not ra_db:
+        log_warn("no read alignment, unitig coverage estimation skipped")
+        return
+    g = scg.utg
+    n_vtx = g.n_vtx
+
+    # round 1: uniquely-mapped pileup, per-syncmer, IQR mean of covered
+    pile = [np.zeros(len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0) for i in range(n_vtx)]
+    for ra in ra_db:
+        if ra.s - int(ra.s) > DBL_EPSILON:
+            continue  # not uniquely mapped
+        for frg in ra.frags:
+            pile[frg.uid >> 1][frg.u_beg : frg.u_end + 1] += 1.0
+    avg = np.zeros(n_vtx)
+    for i in range(n_vtx):
+        sel = pile[i][pile[i] > 0]
+        avg[i] = max(1.0, average_iqr(sel))
+
+    # group alignments by read
+    by_read: dict[int, list[ReadAln]] = {}
+    for ra in ra_db:
+        by_read.setdefault(ra.sid, []).append(ra)
+
+    mas = []
+    for sid, alns in by_read.items():
+        mas.append(_make_ma_blocks(scg, read_db.reads[sid], alns))
+
+    # round 2: EM over multi-alignment blocks
+    for _ in range(EM_MAX_ITER):
+        covs = np.zeros(n_vtx)
+        for n_match, u_match in mas:
+            for nm, us in zip(n_match, u_match):
+                tot = sum(avg[u] for u in us)
+                if tot == 0.0:
+                    continue
+                for u in us:
+                    covs[u] += avg[u] / tot * nm
+        diff = 0.0
+        for i in range(n_vtx):
+            nlen = len(g.vtx_a[i]) if g.vtx_a[i] is not None else 1
+            c = covs[i] / max(1, nlen)
+            diff += abs(c - avg[i])
+            avg[i] = c
+        if diff < DBL_EPSILON:
+            break
+
+    # round 3: redistribute syncmer counts weighted by utg coverage
+    idx = scg.idx
+    C = [np.zeros(len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0) for i in range(n_vtx)]
+    for s in range(scg.scm_db.n):
+        sl = idx.occ(s)
+        if sl.start == sl.stop:
+            continue
+        occ_u = idx.uid[sl.start : sl.stop]
+        occ_p = idx.pos[sl.start : sl.stop]
+        tot = float(np.sum(avg[occ_u]))
+        if tot < DBL_EPSILON:
+            continue
+        for u, p in zip(occ_u, occ_p):
+            C[u][p] = avg[u] / tot * float(scg.scm_db.cov[s])
+    for i in range(n_vtx):
+        avg[i] = max(1.0, average_iqr(C[i]))
+        g.vtx_cov[i] = int(avg[i])
+
+
+def scg_ra_arc_coverage(
+    scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], refine: bool, verbose: int = 0
+):
+    g = scg.utg
+    g._flush_pending()
+    idx = scg.idx
+    dup_s: dict[int, float] = {}
+    for ra in ra_db:
+        if ra.n < 2:
+            continue
+        score = ra.s - int(ra.s)
+        if score < DBL_EPSILON:
+            score = 1.0
+        if score < 0.99:
+            uniq = []
+            for frg in ra.frags:
+                a = g.vtx_a[frg.uid >> 1]
+                u = False
+                for t in range(frg.u_beg, frg.u_end + 1):
+                    if idx.n_occ(int(a[t]) >> 1) == 1:
+                        u = True
+                        break
+                uniq.append(u)
+        else:
+            uniq = [True] * ra.n
+        for j in range(1, ra.n):
+            ai = g.arc_idx(ra.frags[j - 1].uid, ra.frags[j].uid)
+            if ai is None:
+                continue
+            l0 = g.arc_id(ai)
+            c0 = g.comp_arc_id(ai)
+            if uniq[j - 1] and uniq[j]:
+                dup_s[l0] = dup_s.get(l0, 0.0) + score
+                dup_s[c0] = dup_s.get(c0, 0.0) + score
+    for i in range(len(g.av)):
+        if g.adel[i]:
+            continue
+        g.acov[i] = int(dup_s.get(g.arc_id(i), 0.0))
+    if refine:
+        scg_refine_arc_coverage(scg, verbose)
+    else:
+        g.arc_fix_cov()
+
+
+def scg_refine_arc_coverage(scg: Scg, verbose: int = 0):
+    """Redistribute arc coverage over parallel links sharing the same
+    end-syncmer pair (including within-unitig occurrences)."""
+    g = scg.utg
+    g._flush_pending()
+    link_pairs: dict[int, list[tuple[int, int]]] = {}
+    h_arc: dict[tuple[int, int], int] = {}
+    for i in range(len(g.av)):
+        if g.adel[i] or g.acomp[i]:
+            continue
+        v = g.arc_head_e(i)
+        w = g.arc_tail_e(i)
+        if v > w:
+            v, w = w ^ 1, v ^ 1
+        ld = int(g.alink[i])
+        key = (v, w)
+        if key not in h_arc:
+            h_arc[key] = ld
+        ld0 = h_arc[key]
+        link_pairs.setdefault(ld0, []).append(
+            (int(g.alink[i]), (g.vtx_cov[int(g.av[i]) >> 1] + g.vtx_cov[int(g.aw[i]) >> 1]) // 2)
+        )
+    for i in range(g.n_vtx):
+        a = g.vtx_a[i]
+        if a is None:
+            continue
+        for j in range(1, len(a)):
+            v, w = int(a[j - 1]), int(a[j])
+            if v > w:
+                v, w = w ^ 1, v ^ 1
+            key = (v, w)
+            if key not in h_arc:
+                continue
+            link_pairs[h_arc[key]].append((-1, g.vtx_cov[i]))
+    for i in range(len(g.av)):
+        if g.adel[i] or g.acomp[i]:
+            continue
+        v = g.arc_head_e(i)
+        w = g.arc_tail_e(i)
+        if v > w:
+            v, w = w ^ 1, v ^ 1
+        ld = h_arc[(v, w)]
+        pair = link_pairs[ld]
+        if len(pair) == 1:
+            continue
+        c = sum(p[1] for p in pair)
+        mine = next((p[1] for p in pair if p[0] == int(g.alink[i])), None)
+        if c == 0 or mine is None:
+            continue
+        newc = _lround(float(g.acov[i]) / c * mine)
+        g.acov[i] = newc
+        ci = g.comp_arc_idx(i, live_only=True)
+        if ci is not None:
+            g.acov[ci] = newc
+    g.arc_fix_cov()

@@ -1,0 +1,322 @@
+"""Graph-path read error correction (syncerr.c analogue).
+
+Error syncmers are marked by coverage/arc rules
+(/root/reference/syncerr.c:679-757); per-read error blocks between good
+anchors are corrected by DFS over graph arcs extending an incremental
+wavefront edit distance (/root/reference/syncerr.c:144-668), with
+band bw = max(ceil(len*max_edist), 6), DFS capped at 10000 paths, and
+SUCCESS/AMBISNQ/AMBISEQ/FAILURE classification.  Winning syncmer paths
+are spliced into the read (corrected mers get the ec bit and sentinel
+positions), then the syncmer DB coverage is rebuilt.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..index.syncmer_db import SyncmerDB
+from ..kernels.wavefront import WfState, wf_ed_core
+from ..utils import log_info
+from .reads import ReadDB
+from .scg import Scg
+
+EC_FAILURE = 0
+EC_SUCCESS = 1
+EC_AMBISNQ = 2
+EC_AMBISEQ = 3
+
+MAX_DFS_PATH = 10000
+MIN_ERR_SEQ_LEN = 10
+MIN_ERR_BASE = 6
+U32_POS_MASK = 0x7FFFFFFF
+
+_COMP = bytes.maketrans(b"ACGT", b"TGCA")
+_NT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def find_error_syncmers(
+    scg: Scg, err_mer_c: int, max_err_c: int, err_arc_c: int, max_arc_f: float, del_err: bool
+) -> int:
+    """Mark candidate error syncmers in scm_db.del_ (and the graph)."""
+    g = scg.utg
+    scm = scg.scm_db
+    n_scm = scm.n
+    for i in range(n_scm):
+        if scm.del_[i] or scm.cov[i] >= max_err_c:
+            continue
+        if scm.cov[i] < err_mer_c:
+            scm.del_[i] = True
+            continue
+        nv = int(scm.cov[i])
+        b = [-1, -1]
+        for k in range(2):
+            rr = g.arc_range(i << 1 | k)
+            if any(not g.adel[j] for j in rr):
+                b[k] = 0
+            else:
+                continue
+            for j in rr:
+                if g.adel[j]:
+                    continue
+                nw = int(scm.cov[int(g.aw[j]) >> 1])
+                if g.acov[j] >= err_arc_c and g.acov[j] >= min(nv, nw) * max_arc_f:
+                    b[k] = 1
+                    break
+        if not b[0] or not b[1]:
+            scm.del_[i] = True
+    n_err = int(scm.del_.sum())
+    max_c = int(scm.cov[scm.del_].max()) if n_err else 0
+    if del_err:
+        for i in np.flatnonzero(scm.del_):
+            g.vtx_delete(int(i), True)
+    log_info(f"error syncmer candidates: num = {n_err}, max_c = {max_c}", func="find_error_syncmers")
+    return n_err
+
+
+class _DfsInfo:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.status = EC_FAILURE
+        self.n_path = 0
+        self.edist = 1 << 30
+        self.s_edist = 1 << 30
+        self.c_seq = bytearray()
+        self.opt_seq = b""
+        self.c_path: list[int] = []
+        self.opt_path: list[int] = []
+
+
+def _dfs_search(g, dfs: _DfsInfo, sink: int, conf: WfState):
+    if dfs.n_path >= MAX_DFS_PATH:
+        return
+    c_seq = dfs.c_seq
+    l0 = len(c_seq)
+    c_path = dfs.c_path
+    n0 = len(c_path)
+    source = c_path[-1]
+    snap = conf.snapshot()
+    t_end0 = conf.t_end
+
+    for ai in g.arc_range(source):
+        if g.adel[ai]:
+            continue
+        w = int(g.aw[ai])
+        ls = int(g.als[ai])
+        k_seq = g.vtx_seq[w >> 1]
+        l_seq = g.vtx_len[w >> 1]
+
+        c_path.append(w)
+        if w & 1:
+            c_seq.extend(k_seq[: l_seq - ls].encode().translate(_COMP)[::-1])
+        else:
+            c_seq.extend(k_seq[ls:].encode())
+
+        conf.qs = np.frombuffer(bytes(c_seq), np.uint8)
+        wf_ed_core(conf)
+
+        score = conf.score + len(conf.ts) - conf.t_end
+        if score <= conf.bw and (sink == -1 or sink == w):
+            dfs.status = EC_SUCCESS
+            if score <= dfs.edist:
+                if conf.t_end > t_end0:
+                    dfs.s_edist = dfs.edist
+                dfs.edist = score
+                if sink == -1 and conf.q_end < len(conf.qs):
+                    c_path.pop()
+                if dfs.edist == dfs.s_edist:
+                    if conf.q_end != len(dfs.opt_seq) or bytes(
+                        c_seq[: conf.q_end]
+                    ) != dfs.opt_seq[: conf.q_end]:
+                        dfs.status = EC_AMBISEQ
+                    if dfs.status == EC_SUCCESS and c_path != dfs.opt_path:
+                        dfs.status = EC_AMBISNQ
+                dfs.opt_seq = bytes(c_seq[: conf.q_end])
+                dfs.opt_path = list(c_path)
+            elif score < dfs.s_edist:
+                dfs.s_edist = score
+
+        if (
+            conf.score <= conf.bw
+            and len(conf.qs) - l_seq <= len(conf.ts) + conf.bw
+            and ((sink != -1 and sink != w) or conf.t_end < len(conf.ts))
+        ):
+            _dfs_search(g, dfs, sink, conf)
+        else:
+            dfs.n_path += 1
+
+        del c_path[n0:]
+        del c_seq[l0:]
+        conf.restore(snap)
+
+
+def _ec_path_search(g, source: int, sink: int, conf: WfState, dfs: _DfsInfo) -> int:
+    if len(conf.ts) < 0:
+        return 0
+    dfs.reset()
+    dfs.c_path.append(source)
+    _dfs_search(g, dfs, sink, conf)
+    return dfs.status
+
+
+def _hoco_dna(read, pos: int, l: int, rev: int) -> np.ndarray:
+    win = read.hoco_code[pos : pos + l].astype(np.int64)
+    if rev:
+        win = (3 - win)[::-1]
+    return _NT[win]
+
+
+def _correct_read(read, scg: Scg, max_edist: float, stats: np.ndarray, conf: WfState, dfs: _DfsInfo):
+    g = scg.utg
+    scm_del = scg.scm_db.del_
+    w = scg_kmer_size = _kmer_size(scg)
+    k_mer = read.k_mer
+    m_pos = read.m_pos
+    n_scm = read.n
+
+    c_kmer: list[int] = []
+    c_mpos: list[int] = []
+    updated = True
+    beg = -1
+    while True:
+        beg_pos = 0 if beg < 1 else (int(m_pos[beg - 1]) >> 1) + w
+        beg_pos += MIN_ERR_SEQ_LEN
+        end = beg + 1
+        while end < n_scm:
+            km = int(k_mer[end])
+            if not scm_del[km >> 1] and not (km & 1) and (int(m_pos[end]) >> 1) >= beg_pos:
+                break
+            end += 1
+
+        if beg >= 0 or end < n_scm:
+            if beg < 0:
+                beg = end  # good syncmer
+                beg_utg = (int(k_mer[beg]) & ~1) | (0 if (int(m_pos[beg]) & 1) else 1)
+                beg_pos = 0
+                end_utg = -1
+                l = int(m_pos[beg]) >> 1
+                r = 1
+            else:
+                beg -= 1  # good syncmer
+                beg_utg = (int(k_mer[beg]) & ~1) | (int(m_pos[beg]) & 1)
+                beg_pos = (int(m_pos[beg]) >> 1) + w
+                if end >= n_scm:
+                    end_utg = -1
+                    l = read.hoco_l - beg_pos
+                else:
+                    end_utg = (int(k_mer[end]) & ~1) | (int(m_pos[end]) & 1)
+                    l = (int(m_pos[end]) >> 1) - beg_pos
+                r = 0
+
+            assert l >= 0
+            if l >= MIN_ERR_SEQ_LEN:
+                conf.reset(_hoco_dna(read, beg_pos, l, r))
+                conf.is_ext = True
+                conf.bw = max(int(np.ceil(l * max_edist)), MIN_ERR_BASE)
+                err_c1 = _ec_path_search(g, beg_utg, end_utg, conf, dfs)
+                if end_utg == -1:
+                    stats[0] += 1
+                    stats[1 + err_c1] += 1
+                else:
+                    stats[5] += 1
+                    stats[6 + err_c1] += 1
+            else:
+                err_c1 = EC_FAILURE
+                stats[10] += 1
+
+            if err_c1 == EC_SUCCESS:
+                n = len(dfs.opt_path)
+                if r:
+                    for j in range(n - 1, 0, -1):
+                        c_kmer.append((dfs.opt_path[j] & ~1) | 1)
+                        c_mpos.append(0xFFFFFFFF ^ (dfs.opt_path[j] & 1))
+                else:
+                    for j in range(1, n - 1):
+                        c_kmer.append((dfs.opt_path[j] & ~1) | 1)
+                        c_mpos.append(0xFFFFFFFE | (dfs.opt_path[j] & 1))
+                    if end_utg == -1 and n > 1:
+                        c_kmer.append((dfs.opt_path[n - 1] & ~1) | 1)
+                        c_mpos.append(0xFFFFFFFE | (dfs.opt_path[n - 1] & 1))
+            else:
+                if r:
+                    c_kmer.extend(int(x) for x in k_mer[:beg])
+                    c_mpos.extend(int(x) for x in m_pos[:beg])
+                elif beg + 1 < n_scm:
+                    c_kmer.extend(int(x) for x in k_mer[beg + 1 : end])
+                    c_mpos.extend(int(x) for x in m_pos[beg + 1 : end])
+        else:
+            updated = False
+
+        # next bad syncmer (faithful to reference's k_mer[end] check)
+        beg = end + 1
+        while beg < n_scm:
+            if scm_del[int(k_mer[beg]) >> 1] or (int(k_mer[end]) & 1):
+                break
+            beg += 1
+        if beg > n_scm:
+            break
+        c_kmer.extend(int(x) for x in k_mer[end:beg])
+        c_mpos.extend(int(x) for x in m_pos[end:beg])
+
+    if updated:
+        read.k_mer = np.array(c_kmer, np.uint64)
+        read.m_pos = np.array(c_mpos, np.uint32)
+        read.s_mer = np.array(
+            [scg.scm_db.s[x >> 1] for x in c_kmer], np.uint64
+        ) if c_kmer else np.zeros(0, np.uint64)
+
+
+def _kmer_size(scg) -> int:
+    return scg._kmer_size
+
+
+def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
+    """Rebuild coverage and position lists after correction; syncmers
+    left with no forward-strand occurrence are deleted."""
+    n = scm_db.n
+    cov = np.zeros(n, np.int64)
+    c_cov = np.zeros(n, np.int64)
+    pos_lists: list[list[int]] = [[] for _ in range(n)]
+    for r in read_db.reads:
+        for j in range(r.n):
+            k = int(r.k_mer[j]) >> 1
+            mp = int(r.m_pos[j])
+            pos_lists[k].append((r.sid << 32) | (j << 1) | (mp & 1))
+            cov[k] += 1
+            if not (mp & 1):
+                c_cov[k] += 1
+    scm_db.cov = cov.astype(np.uint32)
+    scm_db.m_pos = [np.array(p, np.uint64) for p in pos_lists]
+    scm_db.del_ = c_cov == 0
+
+
+def read_error_correction(
+    read_db: ReadDB,
+    scg: Scg,
+    max_edist: float,
+    err_mer_c: int,
+    max_err_c: int,
+    err_arc_c: int,
+    max_arc_f: float,
+    verbose: int = 0,
+):
+    sys.setrecursionlimit(1_000_000)
+    scg._kmer_size = read_db.k
+    find_error_syncmers(scg, err_mer_c, max_err_c, err_arc_c, max_arc_f, True)
+
+    stats = np.zeros(11, np.int64)
+    conf = WfState()
+    dfs = _DfsInfo()
+    for r in read_db.reads:
+        _correct_read(r, scg, max_edist, stats, conf, dfs)
+
+    update_syncmer_db(read_db, scg.scm_db)
+
+    log_info("Error Correction Summary Results", func="read_error_correction")
+    log_info(f"total number of error blocks : {stats[0] + stats[5] + stats[10]}", func="read_error_correction")
+    log_info(f"               - uncorrected : {stats[1] + stats[6]}", func="read_error_correction")
+    log_info(f"                 - corrected : {stats[2] + stats[7]}", func="read_error_correction")
+    log_info(f"            - ambiguous seqs : {stats[4] + stats[9]}", func="read_error_correction")
+    log_info(f"            - ambiguous path : {stats[3] + stats[8]}", func="read_error_correction")

@@ -1,0 +1,147 @@
+"""syncasm pipeline driver (run_syncasm.c:56-322 analogue).
+
+Stage order matches the reference: read+extract -> stats (auto -c) ->
+count -> [EC on unfiltered graph] -> filtered graph -> unitig ->
+pre-unzip clean (tips only when unzipping) -> unzip rounds ->
+demultiplex -> coverage estimation -> final clean -> consensus GFA.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.histogram import read_db_stat
+from ..index.syncmer_db import collect_syncmer_db
+from ..io.fastx import read_fastx
+from ..graph.clean import drop_tip, pop_bubble, remove_weak_crosslink
+from ..utils import log_error, log_info
+from .consensus import scg_consensus
+from .reads import ReadDB, extract_all_syncmers
+from .scg import Scg, make_syncmer_graph, process_mergeable_unitigs, scg_stat
+
+
+@dataclass
+class SyncasmResult:
+    read_db: ReadDB
+    scm_db: object
+    scg: Scg | None
+    ra_db: list | None = None
+
+
+def syncasm(
+    files: list[str],
+    k: int = 1001,
+    s: int = 31,
+    min_k_cov: int = 3,
+    min_a_cov_f: float = 0.35,
+    bubble_size: int = 100000,
+    tip_size: int = 10000,
+    weak_cross: float = 0.3,
+    do_ec: bool = True,
+    do_unzip: int = 3,
+    max_data: int = 0,
+    out: str = "syncasm.asm",
+    use_device: bool = True,
+    verbose: int = 0,
+) -> SyncasmResult:
+    records = read_fastx(files, max_data)
+    read_db = extract_all_syncmers(records, k, s, use_device=use_device)
+    read_db_stat(read_db, sys.stderr, verbose)
+
+    if min_k_cov == 0:
+        st = read_db.stats
+        het, hom = st.get("kmer_peak_het", -1), st.get("kmer_peak_hom", -1)
+        min_k_cov = het * 10 if het > 0 else hom * 10
+        log_info(f"set minimum kmer coverage as {min_k_cov}", func="syncasm")
+
+    scm_db = collect_syncmer_db(read_db)
+    if scm_db is None:
+        log_error("no syncmers collected", func="syncasm")
+        return SyncasmResult(read_db, None, None)
+
+    if do_ec:
+        from .ec import read_error_correction
+
+        scg0 = make_syncmer_graph(read_db, scm_db, 0, 0.0)
+        scg_consensus(read_db, scg0, hoco_seq=True, save_seq=True, fo=None)
+        read_error_correction(
+            read_db, scg0, 0.02, min_k_cov, min_k_cov * 10, min_k_cov, min_a_cov_f, verbose
+        )
+        read_db_stat(read_db, sys.stderr, verbose)
+
+    log_info("make syncmer graph", func="syncasm")
+    scg = make_syncmer_graph(read_db, scm_db, min_k_cov, min_a_cov_f)
+    if scg.is_empty():
+        log_error("empty syncmer graph", func="syncasm")
+        return SyncasmResult(read_db, scm_db, None)
+    scg_stat(scg, sys.stderr)
+
+    log_info("syncmer graph unitigging", func="syncasm")
+    process_mergeable_unitigs(scg)
+    scg_stat(scg, sys.stderr)
+    with open(out + ".utg.gfa", "w") as fo:
+        scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
+
+    # basic cleanup (no bubble popping before unzip: protects haplotypes)
+    log_info("syncmer graph cleanup", func="syncasm")
+    cleaned = 1
+    while cleaned:
+        cleaned = 0
+        if do_unzip <= 0:
+            cleaned += pop_bubble(scg.utg, bubble_size, 0, False, True, False, verbose)
+            cleaned += remove_weak_crosslink(scg.utg, weak_cross, 10, False, verbose)
+        cleaned += drop_tip(scg.utg, 0x7FFFFFFF, tip_size, True, False, verbose)
+    process_mergeable_unitigs(scg)
+
+    ra_db: list = []
+    if do_unzip > 0:
+        from .align import scg_read_alignment
+        from .coverage import scg_ra_arc_coverage, scg_ra_utg_coverage, scg_update_utg_cov
+        from .unzip import scg_demultiplex, scg_multiplex
+
+        log_info("assembly graph unzipping", func="syncasm")
+        max_n_scm = int(np.ceil(30000.0 / k))
+        rounds = 0
+        updated = 1
+        while updated and rounds < do_unzip:
+            rounds += 1
+            ra_db = scg_read_alignment(read_db, scg, for_unzip=True, old_ra_db=ra_db)
+            scg_update_utg_cov(scg)
+            updated = scg_multiplex(scg, ra_db, max_n_scm, 10, 0.3)
+            if verbose:
+                scg_stat(scg, sys.stderr)
+
+        ra_db = scg_read_alignment(read_db, scg, for_unzip=True, old_ra_db=ra_db)
+        scg_ra_arc_coverage(scg, read_db, ra_db, refine=False, verbose=verbose)
+        remove_weak_crosslink(scg.utg, weak_cross, 10, False, verbose)
+
+        scg_demultiplex(scg)
+        ra_db = scg_read_alignment(read_db, scg, for_unzip=False)
+        scg_ra_utg_coverage(scg, read_db, ra_db, verbose)
+        scg_ra_arc_coverage(scg, read_db, ra_db, refine=True, verbose=verbose)
+        scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=None)
+
+        cleaned = 1
+        while cleaned:
+            cleaned = 0
+            cleaned += pop_bubble(scg.utg, bubble_size, 0, False, True, False, verbose)
+            cleaned += remove_weak_crosslink(scg.utg, weak_cross, 10, False, verbose)
+            cleaned += drop_tip(scg.utg, 0x7FFFFFFF, tip_size, True, False, verbose)
+        process_mergeable_unitigs(scg)
+
+    # final coverage estimation + output
+    from .align import scg_read_alignment
+    from .coverage import scg_ra_arc_coverage, scg_ra_utg_coverage
+
+    ra_db = scg_read_alignment(read_db, scg, for_unzip=False)
+    scg_ra_utg_coverage(scg, read_db, ra_db, verbose)
+    scg_ra_arc_coverage(scg, read_db, ra_db, refine=True, verbose=verbose)
+
+    log_info("syncmer graph stats after final processing", func="syncasm")
+    scg_stat(scg, sys.stderr)
+    with open(out + ".utg.final.gfa", "w") as fo:
+        scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
+
+    return SyncasmResult(read_db, scm_db, scg, ra_db)

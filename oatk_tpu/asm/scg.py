@@ -1,0 +1,153 @@
+"""Syncmer graph: one vertex per syncmer, arcs from read adjacency.
+
+make_syncmer_graph / scg_scm_utg_index / scg_arc_coverage analogues
+(/root/reference/syncasm.c:116-368).  Arc counting is a vectorized
+sort-reduce over all consecutive syncmer pairs across reads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.asmg import Asmg
+from ..graph.unitig import unitigging
+from ..index.syncmer_db import SyncmerDB
+from ..utils import log_info
+from .reads import ReadDB
+
+
+@dataclass
+class ScgIndex:
+    """Inverted index syncmer -> (unitig, pos, rev) occurrences, sorted by
+    (scm, rev, uid, pos) like the reference 128-bit keys."""
+
+    scm: np.ndarray
+    rev: np.ndarray
+    uid: np.ndarray
+    pos: np.ndarray
+    start: np.ndarray  # [n_scm+1] offsets
+
+    def occ(self, s: int):
+        lo, hi = self.start[s], self.start[s + 1]
+        return slice(lo, hi)
+
+    def n_occ(self, s: int) -> int:
+        return int(self.start[s + 1] - self.start[s])
+
+
+@dataclass
+class Scg:
+    scm_db: SyncmerDB
+    utg: Asmg
+    idx: ScgIndex | None = None
+
+    def rebuild_index(self):
+        self.idx = build_scm_utg_index(self.utg, self.scm_db.n)
+
+    def is_empty(self) -> bool:
+        return not np.any(~self.scm_db.del_)
+
+
+def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
+    scms, revs, uids, poss = [], [], [], []
+    for i in range(utg.n_vtx):
+        if utg.vtx_del[i]:
+            continue
+        a = utg.vtx_a[i]
+        scms.append((a >> np.uint64(1)).astype(np.int64))
+        revs.append((a & np.uint64(1)).astype(np.int64))
+        uids.append(np.full(len(a), i, np.int64))
+        poss.append(np.arange(len(a), dtype=np.int64))
+    if scms:
+        scm = np.concatenate(scms)
+        rev = np.concatenate(revs)
+        uid = np.concatenate(uids)
+        pos = np.concatenate(poss)
+        order = np.lexsort((pos, uid, rev, scm))
+        scm, rev, uid, pos = scm[order], rev[order], uid[order], pos[order]
+    else:
+        scm = rev = uid = pos = np.zeros(0, np.int64)
+    start = np.searchsorted(scm, np.arange(n_scm + 1))
+    return ScgIndex(scm, rev, uid, pos, start)
+
+
+def _read_adjacent_pairs(read_db: ReadDB):
+    """All canonical consecutive-syncmer pairs (v0,v1) across reads."""
+    v0s, v1s = [], []
+    for r in read_db.reads:
+        if r.n < 2:
+            continue
+        v = (r.k_mer >> np.uint64(1)) << np.uint64(1) | (r.m_pos.astype(np.uint64) & np.uint64(1))
+        v0s.append(v[:-1])
+        v1s.append(v[1:])
+    if not v0s:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    v0 = np.concatenate(v0s)
+    v1 = np.concatenate(v1s)
+    flip = v0 > v1
+    cv0 = np.where(flip, v1 ^ np.uint64(1), v0)
+    cv1 = np.where(flip, v0 ^ np.uint64(1), v1)
+    return cv0, cv1
+
+
+def make_syncmer_graph(
+    read_db: ReadDB, scm_db: SyncmerDB, min_k_cov: int, min_a_cov_f: float
+) -> Scg:
+    g = Asmg()
+    # filter by kmer coverage (persistently marks scm_db.del_)
+    scm_db.del_ |= scm_db.cov < np.uint32(min_k_cov)
+    for i in range(scm_db.n):
+        g.add_vtx(
+            a=np.array([i << 1], np.uint64),
+            cov=int(scm_db.cov[i]),
+            deleted=bool(scm_db.del_[i]),
+        )
+
+    cv0, cv1 = _read_adjacent_pairs(read_db)
+    if len(cv0):
+        key = np.stack([cv0, cv1])
+        order = np.lexsort((cv1, cv0))
+        k0, k1 = cv0[order], cv1[order]
+        new = np.concatenate([[True], (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(k0)]]))
+        uv0 = k0[starts].astype(np.int64)
+        uv1 = k1[starts].astype(np.int64)
+        covs = scm_db.cov.astype(np.int64)
+        mincov = np.minimum(covs[uv0 >> 1], covs[uv1 >> 1])
+        dels = np.asarray(scm_db.del_)
+        ok = (
+            (counts >= min_a_cov_f * mincov)
+            & ~dels[uv0 >> 1]
+            & ~dels[uv1 >> 1]
+        )
+        for v0, v1, c in zip(uv0[ok], uv1[ok], counts[ok]):
+            g.add_arc(int(v0), int(v1), 0, 0, cov=int(c))
+            if (int(v1) ^ 1) != int(v0) or (int(v0) ^ 1) != int(v1):
+                g.add_arc(int(v1) ^ 1, int(v0) ^ 1, 0, 0, cov=int(c), comp=1)
+    g.finalize(True)
+    scg = Scg(scm_db=scm_db, utg=g)
+    scg.rebuild_index()
+    return scg
+
+
+def process_mergeable_unitigs(scg: Scg):
+    scg.utg = unitigging(scg.utg)
+    scg.rebuild_index()
+
+
+def scg_stat(scg: Scg, fo=None):
+    utg = scg.utg
+    n_utg = utg.vtx_n1()
+    n_scm = sum(len(utg.vtx_a[i]) for i in range(utg.n_vtx) if not utg.vtx_del[i])
+    utg._flush_pending()
+    n_arc = int(np.count_nonzero(~utg.adel))
+    if fo is not None:
+        import sys
+
+        p = fo if fo is not None else sys.stderr
+        print(f"[M::scg_stat] number unitigs  : {n_utg}", file=p)
+        print(f"[M::scg_stat] number syncmers : {n_scm}", file=p)
+        print(f"[M::scg_stat] number arcs     : {n_arc}", file=p)
+    return n_scm, n_utg, n_arc

@@ -1,0 +1,281 @@
+"""Bidirected assembly graph kernel (asmg_t analogue).
+
+Semantics follow /root/reference/graph.c + graph.h: vertices carry a
+syncmer list, consensus sequence, length and coverage; arcs are
+directed (v = id<<1|orient) with a symmetric complement arc sharing a
+link id; deletion is soft until :meth:`Asmg.finalize` compacts.
+
+Representation is struct-of-arrays NumPy so whole-graph passes
+(coverage filters, symmetric fixes) vectorize; the data-dependent
+cleaning algorithms (tips/bubbles/crosslinks/unitigging) are host loops
+-- post-filter organelle graphs are tiny, so this is never hot.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+UINT64_MAX = 0xFFFFFFFFFFFFFFFF
+
+
+class Asmg:
+    def __init__(self):
+        self.vtx_a: list[np.ndarray | None] = []  # syncmer lists (id<<1|rev)
+        self.vtx_seq: list[str | None] = []
+        self.vtx_len: list[int] = []
+        self.vtx_cov: list[int] = []
+        self.vtx_del: list[bool] = []
+        self.vtx_circ: list[bool] = []
+        # arcs: python lists during construction; finalized into numpy
+        self.av: np.ndarray = np.zeros(0, np.uint64)
+        self.aw: np.ndarray = np.zeros(0, np.uint64)
+        self.aln: np.ndarray = np.zeros(0, np.int64)
+        self.als: np.ndarray = np.zeros(0, np.int64)
+        self.acov: np.ndarray = np.zeros(0, np.int64)
+        self.adel: np.ndarray = np.zeros(0, bool)
+        self.acomp: np.ndarray = np.zeros(0, bool)
+        self.alink: np.ndarray = np.zeros(0, np.uint64)
+        self.idx_p: np.ndarray = np.zeros(0, np.int64)
+        self.idx_n: np.ndarray = np.zeros(0, np.int64)
+        self._pending: list[tuple] = []  # arcs appended since last index
+
+    # ---------- construction ----------
+    @property
+    def n_vtx(self) -> int:
+        return len(self.vtx_len)
+
+    @property
+    def n_arc(self) -> int:
+        return len(self.av) + len(self._pending)
+
+    def add_vtx(self, a=None, seq=None, length=0, cov=0, circ=False, deleted=False) -> int:
+        self.vtx_a.append(a)
+        self.vtx_seq.append(seq)
+        self.vtx_len.append(int(length))
+        self.vtx_cov.append(int(cov))
+        self.vtx_del.append(bool(deleted))
+        self.vtx_circ.append(bool(circ))
+        return len(self.vtx_len) - 1
+
+    def add_arc(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
+        self._pending.append((v, w, ln, ls, cov, False, bool(comp), link_id))
+
+    def add_arc2(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
+        """Add an arc and its complement (skips the palindromic duplicate)."""
+        self.add_arc(v, w, ln, ls, link_id, cov, comp)
+        if v != (w ^ 1) or w != (v ^ 1):
+            self.add_arc(w ^ 1, v ^ 1, ln, ls, link_id, cov, comp ^ 1)
+
+    def _flush_pending(self):
+        if not self._pending:
+            return
+        p = self._pending
+        self.av = np.concatenate([self.av, np.array([x[0] for x in p], np.uint64)])
+        self.aw = np.concatenate([self.aw, np.array([x[1] for x in p], np.uint64)])
+        self.aln = np.concatenate([self.aln, np.array([x[2] for x in p], np.int64)])
+        self.als = np.concatenate([self.als, np.array([x[3] for x in p], np.int64)])
+        self.acov = np.concatenate([self.acov, np.array([x[4] for x in p], np.int64)])
+        self.adel = np.concatenate([self.adel, np.array([x[5] for x in p], bool)])
+        self.acomp = np.concatenate([self.acomp, np.array([x[6] for x in p], bool)])
+        self.alink = np.concatenate([self.alink, np.array([x[7] for x in p], np.uint64)])
+        self._pending = []
+
+    # ---------- finalize: cleanup + sort + index + symm + link ids ----------
+    def arc_sort(self):
+        self._flush_pending()
+        order = np.lexsort((self.aw, self.av))
+        for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
+            setattr(self, name, getattr(self, name)[order])
+
+    def arc_index(self):
+        self._flush_pending()
+        n_dir = 2 * self.n_vtx
+        self.idx_p = np.zeros(n_dir, np.int64)
+        self.idx_n = np.zeros(n_dir, np.int64)
+        if len(self.av) == 0:
+            return
+        v = self.av.astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(v)]]))
+        self.idx_p[v[starts]] = starts
+        self.idx_n[v[starts]] = counts
+
+    def _cleanup(self):
+        """Compact deleted vertices/arcs and renumber (asmg_cleanup)."""
+        self._flush_pending()
+        vdel = np.array(self.vtx_del, bool)
+        keep_v = ~vdel
+        new_id = np.cumsum(keep_v) - 1
+        self.vtx_a = [a for a, k in zip(self.vtx_a, keep_v) if k]
+        self.vtx_seq = [a for a, k in zip(self.vtx_seq, keep_v) if k]
+        self.vtx_len = [a for a, k in zip(self.vtx_len, keep_v) if k]
+        self.vtx_cov = [a for a, k in zip(self.vtx_cov, keep_v) if k]
+        self.vtx_circ = [a for a, k in zip(self.vtx_circ, keep_v) if k]
+        self.vtx_del = [False] * int(keep_v.sum())
+        vsrc = (self.av >> np.uint64(1)).astype(np.int64)
+        vdst = (self.aw >> np.uint64(1)).astype(np.int64)
+        keep_a = ~self.adel & keep_v[vsrc] & keep_v[vdst]
+        for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
+            setattr(self, name, getattr(self, name)[keep_a])
+        self.av = (new_id[(self.av >> np.uint64(1)).astype(np.int64)].astype(np.uint64) << np.uint64(1)) | (
+            self.av & np.uint64(1)
+        )
+        self.aw = (new_id[(self.aw >> np.uint64(1)).astype(np.int64)].astype(np.uint64) << np.uint64(1)) | (
+            self.aw & np.uint64(1)
+        )
+
+    def _arc_fix_symm(self) -> int:
+        """Ensure every live arc has its complement; fix comp flags and
+        reconcile overlap lengths (asmg_arc_fix_symm)."""
+        added = 0
+        live = np.flatnonzero(~self.adel)
+        # map (v,w) -> arc index for live arcs
+        amap = {}
+        for i in live:
+            amap.setdefault((int(self.av[i]), int(self.aw[i])), int(i))
+        for i in live:
+            v, w = int(self.av[i]), int(self.aw[i])
+            j = amap.get((w ^ 1, v ^ 1))
+            if j is None or self.adel[j]:
+                self.add_arc(w ^ 1, v ^ 1, int(self.aln[i]), int(self.als[i]),
+                             int(self.alink[i]), int(self.acov[i]), not self.acomp[i])
+                added += 1
+            else:
+                self.acomp[j] = not self.acomp[i]
+                if self.aln[i] != self.aln[j]:
+                    m = min(self.aln[i], self.aln[j])
+                    self.aln[i] = self.aln[j] = m
+                if self.als[i] != self.als[j]:
+                    m = min(self.als[i], self.als[j])
+                    self.als[i] = self.als[j] = m
+        self._flush_pending()
+        return added
+
+    def shrink_link_id(self):
+        """Renumber link ids so each arc/complement pair shares one id."""
+        n = len(self.av)
+        self.alink = np.full(n, UINT64_MAX, np.uint64)
+        amap = {}
+        for i in range(n):
+            amap.setdefault((int(self.av[i]), int(self.aw[i])), i)
+        link = 0
+        for i in range(n):
+            if self.alink[i] == np.uint64(UINT64_MAX):
+                self.alink[i] = link
+                j = amap.get((int(self.aw[i]) ^ 1, int(self.av[i]) ^ 1))
+                if j is not None:
+                    self.alink[j] = link
+                link += 1
+
+    def finalize(self, do_cleanup: bool):
+        if do_cleanup:
+            self._cleanup()
+        self.arc_sort()
+        self.arc_index()
+        if self._arc_fix_symm():
+            self.arc_sort()
+            self.arc_index()
+        self.shrink_link_id()
+
+    # ---------- accessors ----------
+    def arc_range(self, v: int) -> range:
+        if v >= len(self.idx_n):
+            return range(0)
+        p = int(self.idx_p[v])
+        return range(p, p + int(self.idx_n[v]))
+
+    def arc_n1(self, v: int) -> int:
+        r = self.arc_range(v)
+        return int((~self.adel[r.start : r.stop]).sum()) if len(r) else 0
+
+    def arc_a1(self, v: int) -> int | None:
+        for i in self.arc_range(v):
+            if not self.adel[i]:
+                return i
+        return None
+
+    def arc_idx(self, v: int, w: int, live_only=False) -> int | None:
+        for i in self.arc_range(v):
+            if int(self.aw[i]) == w and (not live_only or not self.adel[i]):
+                return i
+        return None
+
+    def arc_exists1(self, v: int, w: int) -> bool:
+        return self.arc_idx(v, w, live_only=True) is not None
+
+    def comp_arc_idx(self, i: int, live_only=False) -> int | None:
+        return self.arc_idx(int(self.aw[i]) ^ 1, int(self.av[i]) ^ 1, live_only)
+
+    def arc_id(self, i: int) -> int:
+        return int(self.alink[i]) << 1 | int(self.acomp[i])
+
+    def comp_arc_id(self, i: int) -> int:
+        v, w = int(self.av[i]), int(self.aw[i])
+        if (v ^ 1) != w or (w ^ 1) != v:
+            return self.arc_id(i) ^ 1
+        return self.arc_id(i)
+
+    # ---------- deletion ----------
+    def arc_del(self, v: int, w: int, d: bool = True):
+        for i in self.arc_range(v):
+            if int(self.aw[i]) == w:
+                self.adel[i] = d
+
+    def arc_del_v(self, v: int, d: bool = True):
+        for i in self.arc_range(v):
+            self.adel[i] = d
+            self.arc_del(int(self.aw[i]) ^ 1, v ^ 1, d)
+
+    def vtx_delete(self, s: int, d: bool = True):
+        self.vtx_del[s] = d
+        self.arc_del_v(s << 1, d)
+        self.arc_del_v(s << 1 | 1, d)
+
+    def vtx_n1(self) -> int:
+        return int(np.count_nonzero(~np.array(self.vtx_del, bool))) if self.n_vtx else 0
+
+    def max_link_id(self) -> int:
+        live = self.alink[self.alink != np.uint64(UINT64_MAX)]
+        return int(live.max()) if len(live) else 0
+
+    def arc_fix_cov(self):
+        """Clamp live arc coverage by min endpoint vertex coverage."""
+        cov = np.array(self.vtx_cov, np.int64)
+        if len(self.av) == 0:
+            return
+        vs = (self.av >> np.uint64(1)).astype(np.int64)
+        ws = (self.aw >> np.uint64(1)).astype(np.int64)
+        lim = np.minimum(cov[vs], cov[ws])
+        live = ~self.adel
+        self.acov[live] = np.minimum(self.acov[live], lim[live])
+
+    # ---------- arc head/tail syncmers (for end-syncmer keys) ----------
+    def arc_head_e(self, i: int) -> int:
+        v = int(self.av[i])
+        a = self.vtx_a[v >> 1]
+        return int(a[0]) ^ 1 if v & 1 else int(a[-1])
+
+    def arc_tail_e(self, i: int) -> int:
+        w = int(self.aw[i])
+        a = self.vtx_a[w >> 1]
+        return int(a[-1]) ^ 1 if w & 1 else int(a[0])
+
+    def copy(self) -> "Asmg":
+        g = Asmg()
+        g.vtx_a = [None if a is None else a.copy() for a in self.vtx_a]
+        g.vtx_seq = list(self.vtx_seq)
+        g.vtx_len = list(self.vtx_len)
+        g.vtx_cov = list(self.vtx_cov)
+        g.vtx_del = list(self.vtx_del)
+        g.vtx_circ = list(self.vtx_circ)
+        self._flush_pending()
+        for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink", "idx_p", "idx_n"):
+            setattr(g, name, getattr(self, name).copy())
+        return g
+
+    def clean_consensus(self):
+        self.als[:] = 0
+        for i in range(self.n_vtx):
+            self.vtx_seq[i] = None
+            self.vtx_len[i] = 0

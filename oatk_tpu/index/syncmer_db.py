@@ -146,7 +146,7 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
     # m_pos lists per syncmer, in sorted order (sid, idx ascending)
     cl_order = np.argsort(gid, kind="stable")
     cl_sorted = sl[cl_order]
-    cuts = np.concatenate([[0], np.cumsum(cov)])
+    cuts = np.concatenate([[0], np.cumsum(cov.astype(np.int64))]).astype(np.int64)
     for i in range(n_scm):
         db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]].copy()
 

@@ -1,0 +1,154 @@
+"""Landau-Vishkin / Myers O(nd) wavefront edit distance with stepwise
+restart (levdist.c analogue).
+
+The diagonal wavefront state (d = query_pos - target_pos, k = target
+pos) can be snapshotted and restored so the query may *grow* between
+calls -- the property the error-correction DFS relies on
+(/root/reference/levdist.c:48-440, stepwise API validated by the
+reference's LEVDIST_TEST_STEP).
+
+Host NumPy implementation; sequences per EC block are short (~100s bp)
+and the DFS is control-flow heavy, so the wavefront core stays on host
+while upstream batching keeps the device busy elsewhere.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class WfState:
+    """Mutable wavefront config/state (wf_config_t analogue)."""
+
+    ts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))  # target
+    qs: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))  # query
+    is_ext: bool = True
+    bw: int = -1
+    score: int = 0
+    t_end: int = 0
+    q_end: int = 0
+    # wavefront: parallel arrays of diagonals
+    wd: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    wk: np.ndarray = field(default_factory=lambda: np.full(1, -1, np.int64))
+
+    def reset(self, ts: np.ndarray):
+        self.ts = ts
+        self.qs = np.zeros(0, np.uint8)
+        self.score = 0
+        self.t_end = 0
+        self.q_end = 0
+        self.wd = np.zeros(1, np.int64)
+        self.wk = np.full(1, -1, np.int64)
+
+    def snapshot(self):
+        return (self.score, self.t_end, self.q_end, self.wd.copy(), self.wk.copy())
+
+    def restore(self, snap):
+        self.score, self.t_end, self.q_end, wd, wk = snap
+        self.wd = wd.copy()
+        self.wk = wk.copy()
+
+
+def _extend_one(ts: np.ndarray, qs: np.ndarray, dd: int, kk: int) -> int:
+    """Extend one diagonal along exact matches (uses vectorized compare)."""
+    tl, ql = len(ts), len(qs)
+    max_k = min(ql - dd, tl) - 1
+    span = max_k - kk
+    if span <= 0:
+        return kk
+    neq = ts[kk + 1 : max_k + 1] != qs[dd + kk + 1 : dd + max_k + 1]
+    first = int(np.argmax(neq)) if neq.any() else span
+    return kk + first
+
+
+def wf_step(st: WfState) -> int:
+    """One wavefront step; returns -1 when an end is reached (fills
+    t_end/q_end as raw -1-based), else the new wavefront size.
+
+    Diagonals extend in order; on the first end hit the step aborts with
+    earlier diagonals updated and the hitting one left unextended,
+    matching the reference's resumable state exactly."""
+    ts, qs = st.ts, st.qs
+    tl, ql = len(ts), len(qs)
+    d, k = st.wd, st.wk
+    n = len(d)
+
+    for j in range(n):
+        kj, dj = int(k[j]), int(d[j])
+        if kj >= tl or kj + dj >= ql:
+            continue
+        kk = _extend_one(ts, qs, dj, kj)
+        if kk + dj == ql - 1 or kk == tl - 1:
+            if st.is_ext or (kk + dj == ql - 1 and kk == tl - 1):
+                st.t_end = kk
+                st.q_end = kk + dj
+                return -1
+        k[j] = kk
+
+    # next wave
+    nd = np.empty(n + 2, np.int64)
+    nk = np.empty(n + 2, np.int64)
+    nd[0] = d[0] - 1
+    nk[0] = k[0] + 1
+    nd[1] = d[0]
+    nk[1] = (k[0] if (n == 1 or k[0] > k[1]) else k[1]) + 1
+    if n >= 3:
+        mid = np.maximum(k[:-2], np.maximum(k[1:-1] + 1, k[2:] + 1))
+        nd[2:n] = d[1 : n - 1]
+        nk[2:n] = mid
+    if n >= 2:
+        nd[n] = d[n - 1]
+        nk[n] = max(k[n - 2], k[n - 1] + 1)
+    nd[n + 1] = d[n - 1] + 1
+    nk[n + 1] = k[n - 1]
+
+    stt, en = 0, n + 2
+    if st.bw < 0 or n < 2 * st.bw + 1:
+        if nd[0] < -tl:
+            stt += 1
+        if nd[n + 1] > ql:
+            en -= 1
+    else:
+        if st.is_ext:
+            min_d, max_d = -st.bw, st.bw
+        else:
+            min_d = (ql - tl - st.bw) if ql < tl else (tl - ql - st.bw)
+            max_d = (tl - ql + st.bw) if tl > ql else (ql - tl + st.bw)
+        min_d = max(min_d, -tl)
+        max_d = max(max_d, ql)
+        while nd[stt] < min_d:
+            stt += 1
+        while nd[en - 1] > max_d:
+            en -= 1
+    st.wd = nd[stt:en].copy()
+    st.wk = nk[stt:en].copy()
+    return en - stt
+
+
+def wf_ed_core(st: WfState):
+    """Run wavefront steps until an end is reached or the band is
+    exceeded; resumes from the current state (stepwise restart)."""
+    t_end = q_end = -1
+    while True:
+        na = wf_step(st)
+        if na < 0:
+            t_end, q_end = st.t_end, st.q_end
+            break
+        st.score += 1
+        if st.bw >= 0 and st.score > st.bw:
+            break
+    st.t_end = t_end + 1
+    st.q_end = q_end + 1
+
+
+def wf_ed(ts: np.ndarray, qs: np.ndarray, is_ext: bool = True, bw: int = -1):
+    """One-shot edit distance; returns (score, t_endl, q_endl)."""
+    st = WfState()
+    st.reset(np.asarray(ts, np.uint8))
+    st.qs = np.asarray(qs, np.uint8)
+    st.is_ext = is_ext
+    st.bw = bw
+    wf_ed_core(st)
+    return st.score, st.t_end, st.q_end

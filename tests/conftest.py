@@ -1,11 +1,22 @@
 import os
 
 # Tests always run on CPU with a virtual 8-device mesh for sharding tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# The session environment pins JAX_PLATFORMS=axon (tunneled remote TPU) and
+# a sitecustomize registers the axon PJRT plugin in every interpreter;
+# initializing it makes a TPU *claim* through the relay, which serializes
+# and stalls every process.  Hard-override the platform AND drop the axon
+# backend factory so tests never touch the tunnel (TPU = benchmarks only,
+# invoked with the real env).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402  (already imported by sitecustomize with env platform)
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+_xb._backend_factories.pop("axon", None)
 
 import numpy as np
 import pytest
