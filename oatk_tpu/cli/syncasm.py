@@ -1,0 +1,57 @@
+"""syncasm CLI (run_syncasm.c main analogue)."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..asm.pipeline import syncasm
+from ..utils.log import print_exit_stats
+from ._common import parse_data_size
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="syncasm", description="HiFi read assembler (sparse syncmer dBG)")
+    p.add_argument("files", nargs="+", help="target.fa[stq][.gz] [...]")
+    p.add_argument("-k", type=int, default=1001, help="kmer size [1001]")
+    p.add_argument("-s", type=int, default=31, help="smer size (<=31) [31]")
+    p.add_argument("-c", type=int, default=3, help="minimum kmer coverage [3]")
+    p.add_argument("-a", type=float, default=0.35, help="minimum arc coverage [0.35]")
+    p.add_argument("-D", type=parse_data_size, default=0, help="max data; K/M/G suffix")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-o", default="syncasm.asm", help="prefix of output files")
+    p.add_argument("--max-bubble", type=int, default=100000)
+    p.add_argument("--max-tip", type=int, default=10000)
+    p.add_argument("--weak-cross", type=float, default=0.3)
+    p.add_argument("--unzip-round", type=int, default=3)
+    p.add_argument("--no-read-ec", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="run extraction on host CPU oracle")
+    p.add_argument("-v", "--verbose", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    res = syncasm(
+        args.files,
+        k=args.k,
+        s=args.s,
+        min_k_cov=args.c,
+        min_a_cov_f=args.a,
+        bubble_size=args.max_bubble,
+        tip_size=args.max_tip,
+        weak_cross=args.weak_cross,
+        do_ec=not args.no_read_ec,
+        do_unzip=args.unzip_round,
+        max_data=args.D,
+        out=args.o,
+        verbose=args.verbose,
+    )
+    if res.scg is None:
+        sys.stderr.write("[E::main] failed to construct assembly\n")
+        return 1
+    print_exit_stats("main")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""path_to_fasta / rotate / hmmannot / oatk wrapper parity tests."""
+import os
+import stat
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from genome_sim import random_genome, sample_reads, write_reads
+
+REFBIN = Path("/root/refbin")
+
+
+def _mk_gfa(tmp_path, rng, glen=18000):
+    genome = random_genome(rng, glen)
+    reads = sample_reads(rng, genome, coverage=14, read_len=2500)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+    pref = tmp_path / "asm"
+    subprocess.run(
+        [str(REFBIN / "syncasm"), "-k", "251", "-s", "17", "-c", "3",
+         "--no-read-ec", "--unzip-round", "0", "-o", str(pref), str(fa)],
+        check=True, capture_output=True,
+    )
+    return f"{pref}.utg.final.gfa"
+
+
+def _segs(gfa):
+    out = []
+    for line in open(gfa):
+        if line.startswith("S\t"):
+            out.append(line.split("\t")[1])
+    return out
+
+
+def test_path_to_fasta_parity(tmp_path, rng):
+    gfa = _mk_gfa(tmp_path, rng)
+    segs = _segs(gfa)
+    pstr = ",".join(f"{s}+" for s in segs)
+    ref = subprocess.run(
+        [str(REFBIN / "path_to_fasta"), gfa, pstr], capture_output=True, text=True, check=True
+    ).stdout
+    from oatk_tpu.cli.path_to_fasta import main
+
+    out = tmp_path / "mine.fa"
+    assert main([gfa, pstr, "-o", str(out)]) == 0
+    assert out.read_text() == ref
+
+    # --linear + custom wrap + gap
+    ref2 = subprocess.run(
+        [str(REFBIN / "path_to_fasta"), "--linear", "-l", "80", "-n", "10", gfa, pstr],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    out2 = tmp_path / "mine2.fa"
+    assert main(["--linear", "-l", "80", "-n", "10", gfa, pstr, "-o", str(out2)]) == 0
+    assert out2.read_text() == ref2
+
+
+def test_rotate_parity(tmp_path, rng):
+    fa = tmp_path / "in.fa"
+    seqs = {f"ctg{i}": random_genome(rng, int(rng.integers(500, 3000))) for i in range(3)}
+    with open(fa, "w") as f:
+        for n, s in seqs.items():
+            f.write(f">{n}\n{s}\n")
+    # positional rotation
+    ref = subprocess.run(
+        [str(REFBIN / "rotate"), str(fa), "ctg1", "137"], capture_output=True, text=True, check=True
+    ).stdout
+    from oatk_tpu.cli.rotate import main
+
+    out = tmp_path / "o1.fa"
+    assert main([str(fa), "ctg1", "137", "-o", str(out)]) == 0
+    assert out.read_text() == ref
+    # reverse strand
+    ref2 = subprocess.run(
+        [str(REFBIN / "rotate"), "-r", str(fa), "ctg2", "93"], capture_output=True, text=True, check=True
+    ).stdout
+    out2 = tmp_path / "o2.fa"
+    assert main(["-r", str(fa), "ctg2", "93", "-o", str(out2)]) == 0
+    assert out2.read_text() == ref2
+    # batch file with strands
+    rot = tmp_path / "rot.txt"
+    rot.write_text("ctg0 17 -\nctg2 250 +\n")
+    ref3 = subprocess.run(
+        [str(REFBIN / "rotate"), "-s", str(rot), str(fa)], capture_output=True, text=True, check=True
+    ).stdout
+    out3 = tmp_path / "o3.fa"
+    assert main(["-s", str(rot), str(fa), "-o", str(out3)]) == 0
+    assert out3.read_text() == ref3
+
+
+FAKE_NHMMSCAN = """#!/bin/bash
+# fake nhmmscan: --noali --cpu 1 -o /dev/null --tblout OUT DB IN
+out=""; db=""; fin=""
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --tblout) out="$2"; shift 2;;
+    --noali|--cpu|-o) [[ "$1" == "--noali" ]] && shift || shift 2;;
+    *) if [[ -z "$db" ]]; then db="$1"; else fin="$1"; fi; shift;;
+  esac
+done
+: > "$out"
+i=0
+grep '^>' "$fin" | sed 's/>//' | while read -r name rest; do
+  i=$((i+1))
+  echo "gene$i - $name - 1 500 100 600 90 610 500 + 1e-30 450.0 0.5 -" >> "$out"
+done
+"""
+
+
+def test_hmm_annotate_fake(tmp_path, rng):
+    # fake nhmmscan executable; verify batching + tblout concatenation
+    exe = tmp_path / "fake_nhmmscan"
+    exe.write_text(FAKE_NHMMSCAN)
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    fa = tmp_path / "seqs.fa"
+    with open(fa, "w") as f:
+        for i in range(7):
+            f.write(f">s{i}\n{random_genome(rng, 800)}\n")
+    from oatk_tpu.annot.runner import hmm_annotate
+
+    out = tmp_path / "annot.txt"
+    with open(out, "w") as fo:
+        hmm_annotate([str(fa)], str(exe), "db.hmm", fo, max_batch_size=2000, max_batch_num=10, n_threads=2)
+    lines = [l for l in out.read_text().splitlines() if l.strip()]
+    assert len(lines) == 7
+    names = {l.split()[2] for l in lines}
+    assert names == {f"s{i}" for i in range(7)}
+
+    # parse the result through the annot DB
+    from oatk_tpu.annot.db import OG_MITO, hmm_annot_read
+
+    db = hmm_annot_read(str(out), None, OG_MITO)
+    assert db.n == 7 and db.n_seg == 7
+
+
+def test_oatk_wrapper_with_fake_nhmmscan(tmp_path, rng):
+    """Full wrapper: reads -> assembly -> (fake) annotation -> pathfinder."""
+    exe = tmp_path / "fake_nhmmscan"
+    # fake scan emitting mito-like genes on every segment
+    exe.write_text(FAKE_NHMMSCAN.replace("gene$i", "nad$i"))
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    genome = random_genome(rng, 20000)
+    reads = sample_reads(rng, genome, coverage=15, read_len=3000)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+
+    from oatk_tpu.cli.oatk import main
+
+    ret = main([
+        "-k", "251", "-s", "17", "-c", "3", "--no-read-ec", "--unzip-round", "0",
+        "-m", "fake.hmm", "--nhmmscan", str(exe),
+        "-o", str(tmp_path / "oatk.asm"), str(fa),
+    ])
+    assert ret == 0
+    fasta = (tmp_path / "oatk.asm.mito.ctg.fasta").read_text()
+    assert fasta.startswith(">ctg000001")
+    # assembled circular contig should be ~genome size
+    seq = "".join(fasta.splitlines()[1:])
+    assert abs(len(seq) - len(genome)) < 2000
