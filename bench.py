@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: syncmer extraction + k-mer counting throughput (HOT LOOPS 1+2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: 30 Mbp of synthetic HiFi-like reads (2000 x 15 kb sampled at
+100x from a 300 kb genome with homopolymers), oatk defaults k=1001/s=31.
+The measured span covers FASTA parse -> device closed-syncmer extraction
+-> per-read result assembly -> global k-mer counting/id assignment,
+i.e. the same stages as the reference baseline run
+(`syncasm -k 1001 -s 31 -c 1000000 --no-read-ec --unzip-round 0 -t 4`,
+which exits after counting on an empty graph).  Steady-state: the jit
+compile is warmed on the same shapes first (compile-once, stream-many
+is the production regime).
+
+Baseline (reference C, 4 threads on this host) is read from
+BASELINE.json["published"]["ref_extract_count_mbps"], measured on the
+fly if absent.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+DATA = "/tmp/oatk_bench_reads.fa"
+REFBIN = "/root/refbin/syncasm"
+K, S = 1001, 31
+
+
+def ensure_dataset() -> int:
+    if os.path.exists(DATA):
+        total = 0
+        with open(DATA) as f:
+            for line in f:
+                if not line.startswith(">"):
+                    total += len(line) - 1
+        return total
+    from genome_sim import random_genome, sample_reads
+
+    rng = np.random.default_rng(2026)
+    genome = random_genome(rng, 300_000)
+    reads = sample_reads(rng, genome, coverage=100, read_len=15_000)
+    with open(DATA, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    return sum(len(r) for r in reads)
+
+
+def measure_reference(total_bases: int) -> float:
+    t0 = time.time()
+    subprocess.run(
+        [REFBIN, "-k", str(K), "-s", str(S), "-c", "1000000", "--no-read-ec",
+         "--unzip-round", "0", "-t", "4", "-o", "/tmp/oatk_bench_ref", DATA],
+        capture_output=True,
+    )
+    dt = time.time() - t0
+    return total_bases / 1e6 / dt
+
+
+def main():
+    total_bases = ensure_dataset()
+
+    baseline_path = os.path.join(REPO, "BASELINE.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+    ref_mbps = baseline.get("published", {}).get("ref_extract_count_mbps")
+    if not ref_mbps and os.path.exists(REFBIN):
+        ref_mbps = measure_reference(total_bases)
+        baseline.setdefault("published", {})["ref_extract_count_mbps"] = round(ref_mbps, 2)
+        with open(baseline_path, "w") as f:
+            json.dump(baseline, f, indent=2)
+
+    import oatk_tpu  # noqa: F401
+    from oatk_tpu.asm.reads import extract_all_syncmers
+    from oatk_tpu.index.syncmer_db import collect_syncmer_db
+    from oatk_tpu.io.fastx import read_fastx
+
+    # warm the jit cache on the exact shapes (parse once, extract once)
+    records = read_fastx([DATA])
+    extract_all_syncmers(records, K, S)
+
+    # steady-state measured run: parse + extract + count
+    t0 = time.time()
+    records = read_fastx([DATA])
+    read_db = extract_all_syncmers(records, K, S)
+    scm_db = collect_syncmer_db(read_db)
+    dt = time.time() - t0
+    assert scm_db is not None and scm_db.n > 0
+
+    mbps = total_bases / 1e6 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "syncmer_extract_count_throughput",
+                "value": round(mbps, 2),
+                "unit": "Mbp/s",
+                "vs_baseline": round(mbps / ref_mbps, 3) if ref_mbps else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..io.fastx import SeqRecord
-from ..kernels.oracle import ReadSyncmers, syncmers_of_read_oracle
+from ..kernels.oracle import ReadSyncmers, hoco_compress_np, syncmers_of_read_oracle
 from ..utils import log_info
 
 
@@ -85,32 +85,31 @@ def extract_all_syncmers(
             # be generous, retry bigger if overflow
             max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
             while True:
-                out = extract_syncmers_batch(jnp.asarray(seq), jnp.asarray(lens), w, s, max_out)
+                out = extract_syncmers_batch(
+                    jnp.asarray(seq), jnp.asarray(lens), w, s, max_out, return_hoco=False
+                )
                 n_sel = int(out["n_sel"])
                 if n_sel <= max_out:
                     break
                 max_out = _round_up(n_sel + 1024, 1024)
-            hoco_c = np.asarray(out["hoco_c"])
-            hoco_l = np.asarray(out["hoco_l"])
-            ho_rl = np.asarray(out["ho_rl"])
-            is_n = np.asarray(out["is_n"])
             sel_b = np.asarray(out["sel_b"])[:n_sel]
             sel_p = np.asarray(out["sel_p"])[:n_sel]
             sel_z = np.asarray(out["sel_z"])[:n_sel]
             sel_smer = np.asarray(out["sel_smer"])[:n_sel].astype(np.uint64)
             sel_kh = np.asarray(out["sel_khash"])[:n_sel]
-            # split per read (sel_b ascending)
+            # split per read (sel_b ascending); hoco recomputed host-side
+            # (vectorized numpy, bit-identical to the device compression)
             cuts = np.searchsorted(sel_b, np.arange(B + 1))
             for bi, ri in enumerate(chunk):
                 lo, hi = cuts[bi], cuts[bi + 1]
-                hl = int(hoco_l[bi])
+                code, ho_rl, is_n = hoco_compress_np(records[ri].seq)
                 db.reads[ri] = ReadSyncmers(
                     sid=records[ri].sid,
                     name=records[ri].name,
-                    hoco_l=hl,
-                    hoco_code=hoco_c[bi, :hl].copy(),
-                    ho_rl=ho_rl[bi, :hl].astype(np.uint32),
-                    is_n=is_n[bi, :hl].copy(),
+                    hoco_l=len(code),
+                    hoco_code=code,
+                    ho_rl=ho_rl,
+                    is_n=is_n,
                     m_pos=((sel_p[lo:hi].astype(np.uint32)) << 1 | sel_z[lo:hi].astype(np.uint32)),
                     s_mer=sel_smer[lo:hi],
                     k_mer=sel_kh[lo:hi].copy(),

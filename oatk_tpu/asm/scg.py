@@ -137,6 +137,53 @@ def process_mergeable_unitigs(scg: Scg):
     scg.rebuild_index()
 
 
+def scg_subgraph_stat(scg: Scg, fo):
+    """Per-connected-component unitig/syncmer/arc counts
+    (scg_subgraph_stat analogue, /root/reference/syncasm.c:423-463)."""
+    from ..graph.traverse import subgraph as asmg_subgraph
+
+    utg = scg.utg
+    n_utg = utg.n_vtx
+    visited = np.zeros(n_utg, bool)
+    s = 0
+    utg._flush_pending()
+    for i in range(n_utg):
+        if visited[i] or utg.vtx_del[i]:
+            continue
+        vtx = asmg_subgraph(utg, [i], 0, 0, modify_graph=False)
+        flag = np.zeros(n_utg, bool)
+        n_scm = 0
+        for v in vtx:
+            n_scm += len(utg.vtx_a[v])
+            flag[v] = True
+            visited[v] = True
+        n_arc = sum(
+            1
+            for j in range(len(utg.av))
+            if not utg.adel[j]
+            and flag[int(utg.av[j]) >> 1]
+            and flag[int(utg.aw[j]) >> 1]
+        )
+        print(f"[M::scg_subgraph_stat] syncmer graph stats for subgraph {s} - seeding u{vtx[0]}", file=fo)
+        print(f"[M::scg_subgraph_stat] number unitigs  : {len(vtx)}", file=fo)
+        print(f"[M::scg_subgraph_stat] number syncmers : {n_scm}", file=fo)
+        print(f"[M::scg_subgraph_stat] number arcs     : {n_arc}", file=fo)
+        s += 1
+
+
+def scg_print_unitig_syncmer_list(scg: Scg, fo):
+    """Dump per-unitig syncmer lists with coverages (debug aid)."""
+    utg = scg.utg
+    for i in range(utg.n_vtx):
+        if utg.vtx_del[i]:
+            continue
+        items = " ".join(
+            f"{int(x)>>1}{'+-'[int(x)&1]}[{int(scg.scm_db.cov[int(x)>>1])}]"
+            for x in utg.vtx_a[i]
+        )
+        print(f"u{i} syncmer list: {items}", file=fo)
+
+
 def scg_stat(scg: Scg, fo=None):
     utg = scg.utg
     n_utg = utg.vtx_n1()

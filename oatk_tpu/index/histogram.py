@@ -75,6 +75,38 @@ def analyze_count_peaks(cnt: np.ndarray, start_cnt: int = LOWEST_CUT, verbose: i
     return max_i, peak_het
 
 
+def hist_plot(hist_pairs, label: str, fo=sys.stderr):
+    """ASCII histogram (hist_plot analogue, /root/reference/syncmer.c:669-734):
+    hist_pairs = sorted [(count_value, frequency)]; bars of '*' scaled to
+    the 99% mass, '+' suffix per extra decade."""
+    n = len(hist_pairs)
+    if n < 5:
+        return
+    cnts = [freq for _, freq in hist_pairs]
+    tot = sum(c for (v, c), i in zip(hist_pairs, range(n)) if i >= 3) * 0.99
+    acc = 0.0
+    b = n
+    for i in range(n):
+        acc += cnts[i]
+        if acc >= tot:
+            b = i + 1
+            break
+    p_cnt = max(cnts[:b], default=1)
+    per_dot = max(1, p_cnt / 100)
+    for i in range(b):
+        v, c = hist_pairs[i]
+        d = int(c / per_dot)
+        bar = "*" * min(d, 100)
+        if c / per_dot > 100:
+            bar += "+" * int(np.log10(c / per_dot / 100))
+        print(f"[M::hist_plot] [{label}] {v}: {bar} {c}", file=fo)
+    if b < n:
+        rest = sum(cnts[b:])
+        d = int(rest / per_dot)
+        bar = "*" * min(d, 100)
+        print(f"[M::hist_plot] [{label}] >{hist_pairs[b-1][0]}: {bar} {rest}", file=fo)
+
+
 def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     """Collect syncmer statistics (sr_db_stat analogue) into read_db.stats."""
     w = read_db.k
@@ -131,5 +163,12 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
         p(f"smer peak_hom: {s_hom}; peak_het: {s_het}")
         p(f"number unique kmer: {stats['kmer_unique']}; singletons: {stats['kmer_singleton']}")
         p(f"kmer peak_hom: {k_hom}; peak_het: {k_het}")
+        if verbose > 1:
+            dv, dc = np.unique(dist, return_counts=True) if len(dist) else ([], [])
+            hist_plot(sorted(zip([int(x) for x in dv], [int(x) for x in dc])), "DIST", fo)
+            sv, sc = np.unique(s_counts, return_counts=True)
+            hist_plot(sorted(zip([int(x) for x in sv], [int(x) for x in sc])), "SMER", fo)
+            kv, kc = np.unique(k_counts, return_counts=True)
+            hist_plot(sorted(zip([int(x) for x in kv], [int(x) for x in kc])), "KMER", fo)
     read_db.stats = stats
     return stats

@@ -122,14 +122,18 @@ def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
     return h
 
 
-@partial(jax.jit, static_argnames=("w", "s", "max_out"))
-def extract_syncmers_batch(seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int):
+@partial(jax.jit, static_argnames=("w", "s", "max_out", "return_hoco"))
+def extract_syncmers_batch(
+    seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int, return_hoco: bool = True
+):
     """Extract closed syncmers from a padded ASCII read batch.
 
     seq:  [B, L] uint8 ASCII; positions >= lens[b] are padding.
-    Returns hoco arrays plus flat selected-syncmer arrays of size max_out
-    (entries beyond n_sel are invalid; flat order = (read, position)
-    ascending which matches the reference's emission order).
+    Returns hoco arrays (omitted when return_hoco=False to avoid big
+    device->host transfers; the host recomputes them with numpy) plus
+    flat selected-syncmer arrays of size max_out (entries beyond n_sel
+    are invalid; flat order = (read, position) ascending which matches
+    the reference's emission order).
     """
     B, L = seq.shape
     q = w - s + 1
@@ -250,22 +254,21 @@ def extract_syncmers_batch(seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, 
     sel_smer = smer_payload.reshape(-1)[jnp.where(valid, flat_idx, 0)]
 
     # ---- Murmur k-mer hash per selected window ----
-    offs = jnp.arange(w, dtype=jnp.int32)
-    fwd_idx = safe_p[:, None] + offs[None, :]
-    rev_idx = safe_p[:, None] + (w - 1 - offs)[None, :]
-    gidx = jnp.where(sel_z[:, None] == 0, fwd_idx, rev_idx)
-    win = hoco_c[safe_b[:, None], jnp.clip(gidx, 0, L - 1)]
-    win = jnp.where(sel_z[:, None] == 0, win, 3 - win)
+    # windows are contiguous runs of the (flattened) hoco array; a
+    # vmapped dynamic_slice lowers to a gather of stride-1 slices,
+    # which the TPU handles far better than 65M scattered element loads
+    flat_hoco = hoco_c.reshape(-1)
+    starts = (safe_b * L + safe_p).astype(jnp.int32)
+
+    win = jax.vmap(lambda st: lax.dynamic_slice(flat_hoco, (st,), (w,)))(starts)
+    rev_win = (3 - win)[:, ::-1]
+    win = jnp.where(sel_z[:, None] == 0, win, rev_win)
     blocks = _pack_windows_u64(win, w)
     khash = _murmur64_rows(blocks, (w - 1) // 4 + 1)
 
     per_read = jnp.sum(selected, axis=1, dtype=jnp.int32)
 
-    return dict(
-        hoco_c=hoco_c,
-        hoco_l=hoco_l,
-        ho_rl=ho_rl,
-        is_n=is_n,
+    out = dict(
         n_sel=n_sel,
         sel_b=sel_b,
         sel_p=sel_p,
@@ -275,3 +278,6 @@ def extract_syncmers_batch(seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, 
         valid=valid,
         per_read=per_read,
     )
+    if return_hoco:
+        out.update(hoco_c=hoco_c, hoco_l=hoco_l, ho_rl=ho_rl, is_n=is_n)
+    return out

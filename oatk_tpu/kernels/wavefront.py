@@ -32,6 +32,8 @@ class WfState:
     # wavefront: parallel arrays of diagonals
     wd: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
     wk: np.ndarray = field(default_factory=lambda: np.full(1, -1, np.int64))
+    # optional traceback: per step (d0, packed 2-bit parent codes)
+    tb: list | None = None
 
     def reset(self, ts: np.ndarray):
         self.ts = ts
@@ -87,21 +89,37 @@ def wf_step(st: WfState) -> int:
                 return -1
         k[j] = kk
 
-    # next wave
+    # next wave (parent codes: -1 ins/from-left-diag, 0 mismatch, 1 del)
     nd = np.empty(n + 2, np.int64)
     nk = np.empty(n + 2, np.int64)
+    npr = np.empty(n + 2, np.int64)
     nd[0] = d[0] - 1
     nk[0] = k[0] + 1
+    npr[0] = 1
     nd[1] = d[0]
+    npr[1] = 0 if (n == 1 or k[0] > k[1]) else 1
     nk[1] = (k[0] if (n == 1 or k[0] > k[1]) else k[1]) + 1
     if n >= 3:
-        mid = np.maximum(k[:-2], np.maximum(k[1:-1] + 1, k[2:] + 1))
+        a0 = k[:-2]
+        a1 = k[1:-1] + 1
+        a2 = k[2:] + 1
+        pr = np.full(n - 2, -1, np.int64)
+        best = a0.copy()
+        take1 = best <= a1
+        pr[take1] = 0
+        best = np.maximum(best, a1)
+        take2 = best <= a2
+        pr[take2] = 1
+        best = np.maximum(best, a2)
         nd[2:n] = d[1 : n - 1]
-        nk[2:n] = mid
+        nk[2:n] = best
+        npr[2:n] = pr
     if n >= 2:
         nd[n] = d[n - 1]
+        npr[n] = -1 if k[n - 2] > k[n - 1] + 1 else 0
         nk[n] = max(k[n - 2], k[n - 1] + 1)
     nd[n + 1] = d[n - 1] + 1
+    npr[n + 1] = -1
     nk[n + 1] = k[n - 1]
 
     stt, en = 0, n + 2
@@ -124,6 +142,8 @@ def wf_step(st: WfState) -> int:
             en -= 1
     st.wd = nd[stt:en].copy()
     st.wk = nk[stt:en].copy()
+    if st.tb is not None:
+        st.tb.append((int(nd[stt]), npr[stt:en].copy()))
     return en - stt
 
 
@@ -152,3 +172,53 @@ def wf_ed(ts: np.ndarray, qs: np.ndarray, is_ext: bool = True, bw: int = -1):
     st.bw = bw
     wf_ed_core(st)
     return st.score, st.t_end, st.q_end
+
+
+# CIGAR ops (htslib codes): 1=I 2=D 7='=' 8=X
+def wf_traceback(st: WfState) -> list[tuple[int, int]]:
+    """CIGAR traceback [(len, op)] from the recorded step parents
+    (requires st.tb enabled before alignment; levdist.c:227-263)."""
+    ts, qs = st.ts, st.qs
+    cigar: list[list[int]] = []  # [op, len], built reversed
+
+    def push(op, ln):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += ln
+        else:
+            cigar.append([op, ln])
+
+    i = st.q_end - 1
+    k = st.t_end - 1
+    s = len(st.tb) - 1
+    while True:
+        k0 = k
+        while i >= 0 and k >= 0 and qs[i] == ts[k]:
+            i -= 1
+            k -= 1
+        if k0 - k > 0:
+            push(7, k0 - k)
+        if i < 0 or k < 0:
+            break
+        d0, codes = st.tb[s]
+        j = i - k - d0
+        pre = int(codes[j])
+        if pre == 0:
+            push(8, 1)
+            i -= 1
+            k -= 1
+        elif pre < 0:
+            push(1, 1)
+            i -= 1
+        else:
+            push(2, 1)
+            k -= 1
+        s -= 1
+    if i >= 0:
+        push(1, i + 1)
+    elif k >= 0:
+        push(2, k + 1)
+    return [(ln, op) for op, ln in reversed(cigar)]
+
+
+def cigar_string(cigar: list[tuple[int, int]]) -> str:
+    return "".join(f"{ln}{'MIDNSHP=XB'[op]}" for ln, op in cigar)

@@ -70,3 +70,24 @@ def test_banded(rng):
         np.frombuffer(ts.encode(), np.uint8), np.frombuffer(qs.encode(), np.uint8), True, bw=5
     )
     assert score > 5 and t_end == 0 and q_end == 0
+
+
+def test_cigar_traceback_vs_reference(rng):
+    from oatk_tpu.kernels.wavefront import WfState, cigar_string, wf_ed_core, wf_traceback
+
+    for _ in range(15):
+        ts, qs = _rand_pair(rng, int(rng.integers(10, 150)), int(rng.integers(10, 150)), 0.12)
+        out = subprocess.run([LEVTEST, ts, qs, "1"], capture_output=True, text=True).stdout
+        ref_cigar = None
+        for line in out.splitlines():
+            if "CIGAR_STR" in line:
+                ref_cigar = line.split(": ", 1)[1].strip()
+        st = WfState()
+        st.reset(np.frombuffer(ts.encode(), np.uint8))
+        st.qs = np.frombuffer(qs.encode(), np.uint8)
+        st.is_ext = True
+        st.bw = -1
+        st.tb = []
+        wf_ed_core(st)
+        mine = cigar_string(wf_traceback(st))
+        assert mine == ref_cigar, (ts, qs, mine, ref_cigar)
