@@ -43,13 +43,17 @@ def extract_all_syncmers(
     w: int,
     s: int,
     use_device: bool = True,
-    batch_bases: int = 32 << 20,
+    batch_bases: int = 8 << 20,
+    impl: str = "auto",
 ) -> ReadDB:
     """Run syncmer extraction for all reads.
 
     Reads are bucketed by padded length (powers-of-two-ish) so XLA
     compiles a handful of batch shapes; each bucket streams through the
     device in chunks of ~batch_bases.
+
+    impl: 'pallas' (VMEM scan kernel; TPU fast path), 'jnp' (whole-array
+    reference implementation), or 'auto' (pallas on TPU, jnp elsewhere).
     """
     db = ReadDB(k=w, s=s)
     db.reads = [None] * len(records)  # type: ignore
@@ -59,61 +63,107 @@ def extract_all_syncmers(
             db.reads[i] = syncmers_of_read_oracle(rec.seq, w, s, rec.sid, rec.name)
         return db
 
+    import jax
     import jax.numpy as jnp
 
-    from ..kernels.syncmer import extract_syncmers_batch
+    from ..kernels.oracle import pack_hoco
+    from ..kernels.syncmer import (
+        extract_hoco_packed_pallas,
+        extract_syncmers_batch,
+    )
 
-    # bucket by padded length
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    interpret = jax.default_backend() != "tpu"
+
+    # host-side homopolymer compression (needed for consensus/EC anyway);
+    # the device consumes 2-bit packed hoco codes + sparse N positions
+    hoco: list[tuple] = [hoco_compress_np(rec.seq) for rec in records]
+
+    # bucket by padded hoco length
     buckets: dict[int, list[int]] = {}
     for i, rec in enumerate(records):
-        L = max(len(rec.seq), w + 4)
+        L = max(len(hoco[i][0]) if impl == "pallas" else len(rec.seq), w + 4)
         Lp = max(512, 1 << int(np.ceil(np.log2(L))))
         buckets.setdefault(Lp, []).append(i)
 
+    # dispatch all chunks first (uploads/compute pipeline through the
+    # device queue), then fetch + assemble
+    pending: list[tuple] = []
     for Lp, idxs in sorted(buckets.items()):
         bsz = max(1, batch_bases // Lp)
         for start in range(0, len(idxs), bsz):
             chunk = idxs[start : start + bsz]
             B = len(chunk)
+            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+            if impl == "pallas":
+                packed = np.zeros((B, Lp // 4), dtype=np.uint8)
+                hoco_l = np.zeros(B, dtype=np.int32)
+                n_pos: list[int] = []
+                for bi, ri in enumerate(chunk):
+                    code, _, is_n = hoco[ri]
+                    packed[bi, : (len(code) + 3) // 4] = pack_hoco(code)
+                    hoco_l[bi] = len(code)
+                    for p in np.flatnonzero(is_n):
+                        n_pos.append(bi * Lp + int(p))
+                n_cap = _round_up(max(64, len(n_pos)), 1024)
+                n_arr = np.full(n_cap, B * Lp, np.int32)
+                n_arr[: len(n_pos)] = n_pos
+                out = extract_hoco_packed_pallas(
+                    jnp.asarray(packed), jnp.asarray(hoco_l), jnp.asarray(n_arr),
+                    w, s, max_out, interpret=interpret,
+                )
+            else:
+                seq = np.zeros((B, Lp), dtype=np.uint8)
+                lens = np.zeros(B, dtype=np.int32)
+                for bi, ri in enumerate(chunk):
+                    sq = records[ri].seq
+                    seq[bi, : len(sq)] = sq
+                    lens[bi] = len(sq)
+                out = extract_syncmers_batch(
+                    jnp.asarray(seq), jnp.asarray(lens), w, s, max_out, return_hoco=False
+                )
+            pending.append((chunk, B, Lp, max_out, out))
+
+    for chunk, B, Lp, max_out, out in pending:
+        n_sel = int(out["n_sel"])
+        if n_sel > max_out:
+            # capacity overflow (pathological density): redo this chunk
+            # synchronously with a bigger buffer via the unpacked path
             seq = np.zeros((B, Lp), dtype=np.uint8)
             lens = np.zeros(B, dtype=np.int32)
             for bi, ri in enumerate(chunk):
                 sq = records[ri].seq
                 seq[bi, : len(sq)] = sq
                 lens[bi] = len(sq)
-            # ~1 syncmer per ~6 hoco bases worst case on random DNA with small k;
-            # be generous, retry bigger if overflow
-            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
-            while True:
-                out = extract_syncmers_batch(
-                    jnp.asarray(seq), jnp.asarray(lens), w, s, max_out, return_hoco=False
-                )
-                n_sel = int(out["n_sel"])
-                if n_sel <= max_out:
-                    break
-                max_out = _round_up(n_sel + 1024, 1024)
-            sel_b = np.asarray(out["sel_b"])[:n_sel]
-            sel_p = np.asarray(out["sel_p"])[:n_sel]
-            sel_z = np.asarray(out["sel_z"])[:n_sel]
-            sel_smer = np.asarray(out["sel_smer"])[:n_sel].astype(np.uint64)
-            sel_kh = np.asarray(out["sel_khash"])[:n_sel]
-            # split per read (sel_b ascending); hoco recomputed host-side
-            # (vectorized numpy, bit-identical to the device compression)
-            cuts = np.searchsorted(sel_b, np.arange(B + 1))
-            for bi, ri in enumerate(chunk):
-                lo, hi = cuts[bi], cuts[bi + 1]
-                code, ho_rl, is_n = hoco_compress_np(records[ri].seq)
-                db.reads[ri] = ReadSyncmers(
-                    sid=records[ri].sid,
-                    name=records[ri].name,
-                    hoco_l=len(code),
-                    hoco_code=code,
-                    ho_rl=ho_rl,
-                    is_n=is_n,
-                    m_pos=((sel_p[lo:hi].astype(np.uint32)) << 1 | sel_z[lo:hi].astype(np.uint32)),
-                    s_mer=sel_smer[lo:hi],
-                    k_mer=sel_kh[lo:hi].copy(),
-                )
+            max_out = _round_up(n_sel + 1024, 1024)
+            out = extract_syncmers_batch(
+                jnp.asarray(seq), jnp.asarray(lens), w, s, max_out, return_hoco=False
+            )
+            n_sel = int(out["n_sel"])
+        sel_b, sel_p, sel_z, sel_smer, sel_kh = jax.device_get(
+            [out["sel_b"], out["sel_p"], out["sel_z"], out["sel_smer"], out["sel_khash"]]
+        )
+        sel_b = sel_b[:n_sel]
+        sel_p = sel_p[:n_sel]
+        sel_z = sel_z[:n_sel]
+        sel_smer = sel_smer[:n_sel].astype(np.uint64)
+        sel_kh = sel_kh[:n_sel]
+        cuts = np.searchsorted(sel_b, np.arange(B + 1))
+        for bi, ri in enumerate(chunk):
+            lo, hi = cuts[bi], cuts[bi + 1]
+            code, ho_rl, is_n = hoco[ri]
+            db.reads[ri] = ReadSyncmers(
+                sid=records[ri].sid,
+                name=records[ri].name,
+                hoco_l=len(code),
+                hoco_code=code,
+                ho_rl=ho_rl,
+                is_n=is_n,
+                m_pos=((sel_p[lo:hi].astype(np.uint32)) << 1 | sel_z[lo:hi].astype(np.uint32)),
+                s_mer=sel_smer[lo:hi],
+                k_mer=sel_kh[lo:hi].copy(),
+            )
     n_scm = db.total_syncmers()
     log_info(f"collected {n_scm} syncmers from {len(records)} target sequence(s)", func="extract_all_syncmers")
     return db

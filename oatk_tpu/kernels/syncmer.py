@@ -122,6 +122,161 @@ def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
     return h
 
 
+def _hoco_phase(seq: jnp.ndarray, lens: jnp.ndarray):
+    """Shared homopolymer-compression phase: ASCII [B, L] -> hoco code
+    arrays (+ bookkeeping).  Returns dict with hoco_c/hoco_l/ho_rl/is_n
+    and the effective-N mask (pad counts as N)."""
+    B, L = seq.shape
+    nt4 = jnp.asarray(SEQ_NT4)
+    c = nt4[seq]
+    pos_idx = jnp.arange(L, dtype=jnp.int32)
+    in_read = pos_idx[None, :] < lens[:, None]
+    c = jnp.where(in_read, c, 5)  # 5 = out-of-read sentinel
+
+    prev = jnp.pad(c[:, :-1], ((0, 0), (1, 0)), constant_values=255)
+    keep = ((c == 4) | (prev == 4) | (c != prev)) & (c != 5)
+    hpos = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    hoco_l = jnp.where(
+        lens > 0, hpos[jnp.arange(B), jnp.maximum(lens - 1, 0)] + 1, 0
+    ).astype(jnp.int32)
+
+    scat = jnp.where(keep, hpos, L)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
+    hoco_c = jnp.zeros((B, L), jnp.uint8).at[b_idx, scat].set(
+        jnp.where(c == 4, 0, c).astype(jnp.uint8), mode="drop"
+    )
+    is_n = jnp.zeros((B, L), bool).at[b_idx, scat].set(c == 4, mode="drop")
+    raw_of = jnp.full((B, L), -1, jnp.int32).at[b_idx, scat].set(
+        jnp.broadcast_to(pos_idx[None, :], (B, L)), mode="drop"
+    )
+    nxt_raw = jnp.concatenate([raw_of[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+    h_in = pos_idx[None, :] < hoco_l[:, None]
+    ho_rl = jnp.where(
+        h_in,
+        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of,
+        0,
+    ).astype(jnp.int32)
+    eff_n = is_n | ~h_in
+    return dict(hoco_c=hoco_c, hoco_l=hoco_l, ho_rl=ho_rl, is_n=is_n, eff_n=eff_n, h_in=h_in)
+
+
+def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
+    """Per-selected strand/smer payload/Murmur hash from selection codes.
+
+    sel_code: [B, L] int32 (0 none, 1 open, 2 close)."""
+    B, L = hoco_c.shape
+    q = w - s + 1
+    mask = np.uint64((1 << (2 * s)) - 1)
+
+    flat_sel = (sel_code != 0).reshape(-1)
+    n_sel = jnp.sum(flat_sel, dtype=jnp.int32)
+    (flat_idx,) = jnp.nonzero(flat_sel, size=max_out, fill_value=B * L)
+    valid = flat_idx < B * L
+    sel_b = (flat_idx // L).astype(jnp.int32)
+    sel_p = (flat_idx % L).astype(jnp.int32)
+    safe_b = jnp.where(valid, sel_b, 0)
+    safe_p = jnp.where(valid, sel_p, 0)
+    oc = sel_code.reshape(-1)[jnp.where(valid, flat_idx, 0)]  # 1 open, 2 close
+
+    flat_hoco = hoco_c.reshape(-1)
+    # boundary s-mer start: p for open, p+q-1 for close
+    t = jnp.where(oc == 1, safe_p, safe_p + q - 1)
+    st = (safe_b * L + jnp.clip(t, 0, L - 1)).astype(jnp.int32)
+    sm_win = jax.vmap(lambda a: lax.dynamic_slice(flat_hoco, (a,), (s,)))(st).astype(jnp.uint64)
+    sh = jnp.arange(s, dtype=jnp.uint64)
+    fwd = jnp.sum(sm_win << (2 * (s - 1 - sh))[None, :], axis=1) & jnp.uint64(mask)
+    rev = jnp.sum((jnp.uint64(3) - sm_win) << (2 * sh)[None, :], axis=1) & jnp.uint64(mask)
+    z = (fwd > rev).astype(jnp.int32)
+    canon = jnp.minimum(fwd, rev)
+    payload = (canon << 1) | z.astype(jnp.uint64)
+    payload = jnp.where(oc == 2, payload ^ jnp.uint64(1), payload)
+
+    # Murmur identity over the oriented k-mer window
+    starts = (safe_b * L + safe_p).astype(jnp.int32)
+    win = jax.vmap(lambda a: lax.dynamic_slice(flat_hoco, (a,), (w,)))(starts)
+    rev_win = (3 - win)[:, ::-1]
+    win = jnp.where(z[:, None] == 0, win, rev_win)
+    blocks = _pack_windows_u64(win, w)
+    khash = _murmur64_rows(blocks, (w - 1) // 4 + 1)
+
+    per_read = jnp.sum(sel_code != 0, axis=1, dtype=jnp.int32)
+    return dict(
+        n_sel=n_sel,
+        sel_b=sel_b,
+        sel_p=sel_p,
+        sel_z=jnp.where(valid, z, 0),
+        sel_smer=payload.astype(jnp.int64),
+        sel_khash=khash,
+        valid=valid,
+        per_read=per_read,
+    )
+
+
+@partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))
+def extract_syncmers_batch_pallas(
+    seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int, interpret: bool = False
+):
+    """Pallas fast path from raw ASCII: hoco (jnp) -> VMEM selection
+    kernel -> per-selected details (jnp).  Same output contract as the
+    jnp path with return_hoco=False."""
+    from .syncmer_pallas import syncmer_select_pallas
+
+    B, L = seq.shape
+    h = _hoco_phase(seq, lens)
+    codes = jnp.where(h["eff_n"], jnp.where(h["h_in"], 4, 5), h["hoco_c"]).astype(jnp.int32)
+    codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
+    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
+    return _selected_details(h["hoco_c"], h["hoco_l"], sel, w, s, max_out)
+
+
+@partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))
+def extract_hoco_packed_pallas(
+    packed: jnp.ndarray,  # [B, L//4] uint8, 4 hoco bases/byte (first base high bits)
+    hoco_l: jnp.ndarray,  # [B] int32
+    n_pos: jnp.ndarray,  # [Nn] int32 flat (b*L + p) ambiguous positions
+    w: int,
+    s: int,
+    max_out: int,
+    interpret: bool = False,
+):
+    """Pallas fast path from 2-bit packed hoco codes (minimal transfer:
+    0.25 B/base up the wire; N positions shipped sparsely)."""
+    from .syncmer_pallas import syncmer_select_pallas
+
+    B, L4 = packed.shape
+    L = L4 * 4
+    shifts = jnp.array([6, 4, 2, 0], jnp.int32)
+    codes = ((packed[:, :, None].astype(jnp.int32) >> shifts[None, None, :]) & 3).reshape(B, L)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    codes = jnp.where(pos[None, :] < hoco_l[:, None], codes, 5)
+    codes = codes.reshape(-1).at[n_pos].set(4, mode="drop").reshape(B, L)
+    codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
+    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
+    hoco_c = jnp.where(codes < 4, codes, 0).astype(jnp.uint8)
+    return _selected_details(hoco_c, None, sel, w, s, max_out)
+
+
+@partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))
+def extract_hoco_batch_pallas(
+    codes_u8: jnp.ndarray, w: int, s: int, max_out: int, interpret: bool = False
+):
+    """Pallas fast path from pre-compressed hoco codes.
+
+    codes_u8: [B, L] uint8 with values 0..3 = bases, 4 = ambiguous,
+    5 = padding/after-read-end.  The host computes homopolymer
+    compression anyway (per-read run lengths are needed downstream), so
+    uploading 1-byte hoco codes skips the device-side compaction scatter
+    entirely and shrinks the transfer ~25%.
+    """
+    from .syncmer_pallas import syncmer_select_pallas
+
+    codes = codes_u8.astype(jnp.int32)
+    codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
+    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
+    hoco_c = jnp.where(codes_u8 < 4, codes_u8, 0).astype(jnp.uint8)
+    return _selected_details(hoco_c, None, sel, w, s, max_out)
+
+
 @partial(jax.jit, static_argnames=("w", "s", "max_out", "return_hoco"))
 def extract_syncmers_batch(
     seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int, return_hoco: bool = True

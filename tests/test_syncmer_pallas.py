@@ -1,0 +1,65 @@
+"""Pallas selection kernel vs jnp reference path vs oracle (interpret
+mode on CPU)."""
+import numpy as np
+import pytest
+
+from conftest import random_read
+from oatk_tpu.io.fastx import SeqRecord
+
+
+def _mk(seqs):
+    return [SeqRecord(i, f"r{i}", np.frombuffer(s.encode(), np.uint8)) for i, s in enumerate(seqs)]
+
+
+@pytest.mark.parametrize("w,s", [(15, 5), (51, 11), (91, 13)])
+def test_pallas_path_matches_oracle(rng, w, s):
+    import jax.numpy as jnp
+
+    from oatk_tpu.kernels.oracle import syncmers_of_read_oracle
+    from oatk_tpu.kernels.syncmer import extract_syncmers_batch_pallas
+
+    seqs = [random_read(rng, rng.integers(w + 5, 700), n_prob=0.01) for _ in range(6)]
+    recs = _mk(seqs)
+    B = len(recs)
+    L = 1024
+    seq = np.zeros((B, L), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, r in enumerate(recs):
+        b = r.seq[:L]
+        seq[i, : len(b)] = b
+        lens[i] = len(b)
+    out = extract_syncmers_batch_pallas(
+        jnp.asarray(seq), jnp.asarray(lens), w, s, 2048, interpret=True
+    )
+    n_sel = int(out["n_sel"])
+    sel_b = np.asarray(out["sel_b"])[:n_sel]
+    sel_p = np.asarray(out["sel_p"])[:n_sel]
+    sel_z = np.asarray(out["sel_z"])[:n_sel]
+    sel_smer = np.asarray(out["sel_smer"])[:n_sel].astype(np.uint64)
+    sel_kh = np.asarray(out["sel_khash"])[:n_sel]
+    cuts = np.searchsorted(sel_b, np.arange(B + 1))
+    for i, rec in enumerate(recs):
+        ora = syncmers_of_read_oracle(rec.seq[:L], w, s, i)
+        lo, hi = cuts[i], cuts[i + 1]
+        np.testing.assert_array_equal(
+            sel_p[lo:hi] * 2 + sel_z[lo:hi], ora.m_pos, err_msg=f"read {i} m_pos"
+        )
+        np.testing.assert_array_equal(sel_smer[lo:hi], ora.s_mer, err_msg=f"read {i} s_mer")
+        np.testing.assert_array_equal(sel_kh[lo:hi], ora.k_mer, err_msg=f"read {i} k_mer")
+
+
+@pytest.mark.parametrize("w,s", [(51, 11)])
+def test_extract_all_pallas_impl(rng, w, s):
+    """Full wrapper with impl='pallas' (interpret on CPU) vs oracle."""
+    from oatk_tpu.asm.reads import extract_all_syncmers
+    from oatk_tpu.kernels.oracle import syncmers_of_read_oracle
+
+    seqs = [random_read(rng, rng.integers(w + 5, 600), n_prob=0.01) for _ in range(5)]
+    recs = _mk(seqs)
+    db = extract_all_syncmers(recs, w, s, impl="pallas")
+    for rec in recs:
+        ora = syncmers_of_read_oracle(rec.seq, w, s, rec.sid)
+        got = db.reads[rec.sid]
+        np.testing.assert_array_equal(got.m_pos, ora.m_pos)
+        np.testing.assert_array_equal(got.s_mer, ora.s_mer)
+        np.testing.assert_array_equal(got.k_mer, ora.k_mer)
