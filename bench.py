@@ -80,23 +80,24 @@ def main():
             json.dump(baseline, f, indent=2)
 
     import oatk_tpu  # noqa: F401
-    from oatk_tpu.asm.reads import extract_all_syncmers
+    from oatk_tpu.asm.pipeline import load_reads
     from oatk_tpu.index.syncmer_db import collect_syncmer_db
-    from oatk_tpu.io.fastx import read_fastx
 
     # warm the jit cache on the exact shapes (parse once, extract once)
-    records = read_fastx([DATA])
-    extract_all_syncmers(records, K, S)
+    load_reads([DATA], K, S)
 
-    # steady-state measured run: parse + extract + count
-    t0 = time.time()
-    records = read_fastx([DATA])
-    read_db = extract_all_syncmers(records, K, S)
-    scm_db = collect_syncmer_db(read_db)
-    dt = time.time() - t0
-    assert scm_db is not None and scm_db.n > 0
+    # steady-state: parse + extract + count; best of 3 to damp the
+    # (highly variable) host<->device tunnel latency
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        read_db = load_reads([DATA], K, S)
+        scm_db = collect_syncmer_db(read_db)
+        dt = time.time() - t0
+        assert scm_db is not None and scm_db.n > 0
+        best = dt if best is None else min(best, dt)
 
-    mbps = total_bases / 1e6 / dt
+    mbps = total_bases / 1e6 / best
     print(
         json.dumps(
             {

@@ -18,8 +18,19 @@ from ..io.fastx import read_fastx
 from ..graph.clean import drop_tip, pop_bubble, remove_weak_crosslink
 from ..utils import log_error, log_info
 from .consensus import scg_consensus
-from .reads import ReadDB, extract_all_syncmers
+from .reads import ReadDB, extract_all_syncmers, load_and_extract
 from .scg import Scg, make_syncmer_graph, process_mergeable_unitigs, scg_stat
+
+
+def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: bool = True) -> ReadDB:
+    """Load reads + extract syncmers, preferring the fused native-parse
+    -> Pallas path; falls back to the Python reader."""
+    if use_device:
+        db = load_and_extract(files, k, s, max_data)
+        if db is not None:
+            return db
+    records = read_fastx(files, max_data)
+    return extract_all_syncmers(records, k, s, use_device=use_device)
 
 
 @dataclass
@@ -46,8 +57,7 @@ def syncasm(
     use_device: bool = True,
     verbose: int = 0,
 ) -> SyncasmResult:
-    records = read_fastx(files, max_data)
-    read_db = extract_all_syncmers(records, k, s, use_device=use_device)
+    read_db = load_reads(files, k, s, max_data, use_device)
     read_db_stat(read_db, sys.stderr, verbose)
 
     if min_k_cov == 0:

@@ -167,3 +167,129 @@ def extract_all_syncmers(
     n_scm = db.total_syncmers()
     log_info(f"collected {n_scm} syncmers from {len(records)} target sequence(s)", func="extract_all_syncmers")
     return db
+
+
+def load_and_extract(
+    paths: list[str],
+    w: int,
+    s: int,
+    max_data: int = 0,
+    batch_bases: int = 8 << 20,
+    impl: str = "auto",
+) -> ReadDB | None:
+    """Fused native load + device extraction: C parser/hoco/packer feeds
+    the Pallas kernel without materializing raw-ASCII records.
+
+    Returns None when the native library or the pallas path is not
+    applicable (caller falls back to read_fastx + extract_all_syncmers).
+    """
+    import gzip
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..kernels.syncmer import extract_hoco_packed_pallas
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl != "pallas" or not native.available():
+        return None
+    interpret = jax.default_backend() != "tpu"
+
+    db = ReadDB(k=w, s=s)
+    total_raw = 0
+    sid0 = 0
+    for path in paths:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        op = gzip.open if magic == b"\x1f\x8b" else open
+        with op(path, "rb") as f:
+            data = f.read()
+        res = native.parse_fastx_hoco(data)
+        if res is None:
+            return None
+        names, rawlen, offs, codes, rl, isn = res
+        n_reads = len(names)
+        hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
+
+        # honor the data cap (-D)
+        keep = n_reads
+        if max_data:
+            cum = np.cumsum(rawlen)
+            keep = int(np.searchsorted(cum, max_data - total_raw) + 1)
+            keep = min(keep, n_reads)
+        total_raw += int(rawlen[:keep].sum())
+
+        # bucket by padded hoco length
+        buckets: dict[int, list[int]] = {}
+        for i in range(keep):
+            L = max(int(hoco_l[i]), w + 4)
+            Lp = max(512, 1 << int(np.ceil(np.log2(L))))
+            buckets.setdefault(Lp, []).append(i)
+
+        pending = []
+        for Lp, idxs in sorted(buckets.items()):
+            bsz = max(1, batch_bases // Lp)
+            for start in range(0, len(idxs), bsz):
+                chunk = idxs[start : start + bsz]
+                B = len(chunk)
+                max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+                # contiguous chunks pack natively; gather rows per index
+                packed = np.zeros((B, Lp // 4), np.uint8)
+                hl = np.zeros(B, np.int32)
+                n_pos: list[int] = []
+                sub_offs = np.empty(2, np.int64)
+                for bi, ri in enumerate(chunk):
+                    sub_offs[0] = offs[ri]
+                    sub_offs[1] = offs[ri + 1]
+                    row = native.pack_rows(codes, sub_offs, 0, 1, Lp // 4)
+                    packed[bi] = row[0]
+                    hl[bi] = hoco_l[ri]
+                    nz = np.flatnonzero(isn[offs[ri] : offs[ri + 1]])
+                    if len(nz):
+                        n_pos.extend((bi * Lp + nz).tolist())
+                n_cap = _round_up(max(64, len(n_pos)), 1024)
+                n_arr = np.full(n_cap, B * Lp, np.int32)
+                n_arr[: len(n_pos)] = n_pos
+                out = extract_hoco_packed_pallas(
+                    jnp.asarray(packed), jnp.asarray(hl), jnp.asarray(n_arr),
+                    w, s, max_out, interpret=interpret,
+                )
+                pending.append((chunk, B, max_out, out))
+
+        reads: list = [None] * keep
+        for chunk, B, max_out, out in pending:
+            n_sel = int(out["n_sel"])
+            assert n_sel <= max_out, "syncmer capacity overflow"
+            sel_b, sel_p, sel_z, sel_smer, sel_kh = jax.device_get(
+                [out["sel_b"], out["sel_p"], out["sel_z"], out["sel_smer"], out["sel_khash"]]
+            )
+            cuts = np.searchsorted(sel_b[:n_sel], np.arange(B + 1))
+            for bi, ri in enumerate(chunk):
+                lo, hi = cuts[bi], cuts[bi + 1]
+                o0, o1 = int(offs[ri]), int(offs[ri + 1])
+                reads[ri] = ReadSyncmers(
+                    sid=sid0 + ri,
+                    name=names[ri],
+                    hoco_l=o1 - o0,
+                    hoco_code=codes[o0:o1],
+                    ho_rl=rl[o0:o1],
+                    is_n=isn[o0:o1].astype(bool),
+                    m_pos=(
+                        (sel_p[lo:hi].astype(np.uint32) << 1)
+                        | sel_z[lo:hi].astype(np.uint32)
+                    ),
+                    s_mer=sel_smer[lo:hi].astype(np.uint64),
+                    k_mer=sel_kh[lo:hi].copy(),
+                )
+        db.reads.extend(reads)
+        sid0 += keep
+        if max_data and total_raw >= max_data:
+            log_info(f"data limit ({max_data}) reached", func="load_and_extract")
+            break
+    log_info(
+        f"collected {db.total_syncmers()} syncmers from {db.n} target sequence(s)",
+        func="load_and_extract",
+    )
+    return db

@@ -1,0 +1,109 @@
+"""Native (C) runtime components with lazy build + Python fallback.
+
+The reference's runtime is C (kseq parsing, pthread pools); the
+TPU-native equivalent keeps compute in XLA/Pallas but moves the
+host-side data plumbing (FASTA/FASTQ parse + homopolymer compression +
+2-bit packing) into a small C library, built on demand with the system
+compiler and loaded via ctypes.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libfastx_hoco.so")
+_SRC = os.path.join(_HERE, "fastx_hoco.c")
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            cc = os.environ.get("CC", "cc")
+            tmp = _SO + ".tmp"
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, _SO)
+        lib = ctypes.CDLL(_SO)
+        lib.parse_fastx_hoco.restype = ctypes.c_int64
+        lib.parse_fastx_hoco.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.pack_rows.restype = None
+        lib.pack_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fastx_hoco(data: bytes):
+    """Parse + hoco-compress a FASTA/FASTQ byte buffer natively.
+
+    Returns (names, rawlen[i64], offs[i64 n+1], codes[u8], rl[u32],
+    isn[u8]) with per-read hoco streams concatenated, or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    max_reads = max(16, data.count(b"\n>") + data.count(b"\n@") + 2)
+    max_hoco = n  # hoco never exceeds raw length
+    codes = np.empty(max_hoco, np.uint8)
+    rl = np.empty(max_hoco, np.uint32)
+    isn = np.empty(max_hoco, np.uint8)
+    offs = np.empty(max_reads + 1, np.int64)
+    rawlen = np.empty(max_reads, np.int64)
+    hdr_beg = np.empty(max_reads, np.int64)
+    hdr_end = np.empty(max_reads, np.int64)
+    n_hoco = ctypes.c_int64(0)
+    buf = np.frombuffer(data, np.uint8)
+    ret = lib.parse_fastx_hoco(
+        buf.ctypes.data, n,
+        codes.ctypes.data, rl.ctypes.data, isn.ctypes.data,
+        offs.ctypes.data, rawlen.ctypes.data,
+        hdr_beg.ctypes.data, hdr_end.ctypes.data,
+        max_reads, max_hoco, ctypes.byref(n_hoco),
+    )
+    if ret < 0:
+        return None
+    n_reads = int(ret)
+    h = int(n_hoco.value)
+    names = [
+        data[hdr_beg[i] : hdr_end[i]].decode() for i in range(n_reads)
+    ]
+    return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
+
+
+def pack_rows(codes: np.ndarray, offs: np.ndarray, row0: int, n_rows: int, row_bytes: int):
+    lib = _load()
+    out = np.zeros((n_rows, row_bytes), np.uint8)
+    lib.pack_rows(
+        codes.ctypes.data, offs.ctypes.data, row0, n_rows, row_bytes, out.ctypes.data
+    )
+    return out
