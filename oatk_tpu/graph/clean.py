@@ -110,8 +110,10 @@ def drop_tip(
             is_tip = False
             for i in g.arc_range(w1):
                 # faithful to the reference's operator-precedence quirk:
-                # (a1[i].del || a1[i].w ^ 1) == w
-                if (int(g.adel[i]) | (int(g.aw[i]) ^ 1)) == w:
+                # (a1[i].del || a1[i].w ^ 1) == w -- the || yields 0/1,
+                # so the "skip self" filter only triggers when w == 1
+                lhs = 1 if (g.adel[i] or (int(g.aw[i]) ^ 1) != 0) else 0
+                if lhs == w:
                     continue
                 _, _, l1 = uext(g, int(g.aw[i]), n_vtx + 1, b)
                 if b_tip <= l1 or c_tip * 2 <= cwt_len(g, b):
