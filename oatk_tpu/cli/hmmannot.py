@@ -21,6 +21,11 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", type=int, default=0)
     args = p.parse_args(argv)
 
+    import os
+
+    if not os.path.isfile(args.nhmmdb):
+        sys.stderr.write(f"[E::main] input database file does not exist: {args.nhmmdb}\n")
+        return 1
     if not check_executable(args.nhmmscan):
         sys.stderr.write(f"[E::main] executable not found: {args.nhmmscan}\n")
         return 1

@@ -66,6 +66,10 @@ def main(argv=None):
     if not args.mito_db and not args.pltd_db:
         sys.stderr.write("[E::main] provide at least one HMM profile database (-m and/or -p)\n")
         return 1
+    for db in (args.mito_db, args.pltd_db):
+        if db and not os.path.isfile(db):
+            sys.stderr.write(f"[E::main] input database file does not exist: {db}\n")
+            return 1
     if args.mini_circle and args.input_asg:
         sys.stderr.write("[E::main] mini-circle mode is not compatible with '-G' option\n")
         return 1

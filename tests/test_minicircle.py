@@ -26,12 +26,13 @@ def test_oatk_minicircle_mode(tmp_path, rng):
     exe = tmp_path / "fake_nhmmscan"
     exe.write_text(FAKE_NHMMSCAN.replace("gene$i", "mini$i"))
     exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    (tmp_path / "fake.hmm").write_text("dummy\n")
 
     from oatk_tpu.cli.oatk import main
 
     ret = main([
         "-k", "101", "-s", "13", "-c", "3", "--no-read-ec", "--unzip-round", "0",
-        "-M", "-m", "fake.hmm", "--nhmmscan", str(exe),
+        "-M", "-m", str(tmp_path / "fake.hmm"), "--nhmmscan", str(exe),
         "-o", str(tmp_path / "oatk.asm"), str(fa),
     ])
     assert ret == 0

@@ -135,6 +135,41 @@ def test_hmm_annotate_fake(tmp_path, rng):
     assert db.n == 7 and db.n_seg == 7
 
 
+def test_oatk_input_gfa_mode_parity(tmp_path, rng):
+    """oatk -G (restart from a user GFA) vs the reference binary: with the
+    same stub nhmmscan both sides are fully deterministic, so every output
+    file (annotation tblout + 4 pathfinder files) must be byte-identical."""
+    gfa = _mk_gfa(tmp_path, rng, glen=22000)
+    exe = tmp_path / "fake_nhmmscan"
+    exe.write_text(FAKE_NHMMSCAN.replace("gene$i", "nad$i"))
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    (tmp_path / "fake.hmm").write_text("dummy\n")
+
+    subprocess.run(
+        [str(REFBIN / "oatk"), "-G", "-m", str(tmp_path / "fake.hmm"),
+         "--nhmmscan", str(exe), "-o", str(tmp_path / "ref.asm"), gfa],
+        check=True, capture_output=True,
+    )
+    from oatk_tpu.cli.oatk import main
+
+    ret = main([
+        "-G", "-m", str(tmp_path / "fake.hmm"), "--nhmmscan", str(exe),
+        "-o", str(tmp_path / "mine.asm"), gfa,
+    ])
+    assert ret == 0
+    for suff in ("annot_mito.txt", "mito.gfa", "mito.bed", "mito.ctg.fasta", "mito.ctg.bed"):
+        a = (tmp_path / f"ref.asm.{suff}").read_bytes()
+        b = (tmp_path / f"mine.asm.{suff}").read_bytes()
+        assert a == b, f"{suff} differs"
+
+
+def test_oatk_rejects_missing_db(tmp_path, capsys):
+    from oatk_tpu.cli.oatk import main
+
+    ret = main(["-m", "/nonexistent.hmm", "-o", str(tmp_path / "x"), "in.fa"])
+    assert ret == 1
+
+
 def test_oatk_wrapper_with_fake_nhmmscan(tmp_path, rng):
     """Full wrapper: reads -> assembly -> (fake) annotation -> pathfinder."""
     exe = tmp_path / "fake_nhmmscan"
@@ -145,12 +180,13 @@ def test_oatk_wrapper_with_fake_nhmmscan(tmp_path, rng):
     reads = sample_reads(rng, genome, coverage=15, read_len=3000)
     fa = tmp_path / "reads.fa"
     write_reads(str(fa), reads)
+    (tmp_path / "fake.hmm").write_text("dummy\n")
 
     from oatk_tpu.cli.oatk import main
 
     ret = main([
         "-k", "251", "-s", "17", "-c", "3", "--no-read-ec", "--unzip-round", "0",
-        "-m", "fake.hmm", "--nhmmscan", str(exe),
+        "-m", str(tmp_path / "fake.hmm"), "--nhmmscan", str(exe),
         "-o", str(tmp_path / "oatk.asm"), str(fa),
     ])
     assert ret == 0
