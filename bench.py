@@ -86,10 +86,10 @@ def main():
     # warm the jit cache on the exact shapes (parse once, extract once)
     load_reads([DATA], K, S)
 
-    # steady-state: parse + extract + count; best of 3 to damp the
+    # steady-state: parse + extract + count; best of 5 to damp the
     # (highly variable) host<->device tunnel latency
     best = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         read_db = load_reads([DATA], K, S)
         scm_db = collect_syncmer_db(read_db)

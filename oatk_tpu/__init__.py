@@ -21,3 +21,15 @@ __version__ = "0.1.0"
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the syncmer kernels compile once per
+# (batch, length-bucket) shape (~1-2 min on TPU); caching across
+# processes makes repeat CLI invocations start in seconds.
+import os as _os
+
+_cache_dir = _os.environ.get("OATK_TPU_CACHE", "/tmp/oatk_tpu_jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass

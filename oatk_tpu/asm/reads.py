@@ -38,6 +38,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
+    """Decode the kernel's single-transfer [3, max_out+1] int64 result:
+    row0 = flat_idx<<1|z (slot max_out = n_sel), row1 = smer payload,
+    row2 = bitcast Murmur hash."""
+    flat = pk[0, :n_sel]
+    sel_z = (flat & 1).astype(np.int32)
+    fi = flat >> 1
+    sel_b = (fi // Lp).astype(np.int32)
+    sel_p = (fi % Lp).astype(np.int32)
+    sel_smer = pk[1, :n_sel].astype(np.uint64)
+    sel_kh = pk[2, :n_sel].view(np.uint64)
+    return sel_b, sel_p, sel_z, sel_smer, sel_kh
+
+
 def extract_all_syncmers(
     records: list[SeqRecord],
     w: int,
@@ -126,7 +140,8 @@ def extract_all_syncmers(
             pending.append((chunk, B, Lp, max_out, out))
 
     for chunk, B, Lp, max_out, out in pending:
-        n_sel = int(out["n_sel"])
+        pk = np.asarray(jax.device_get(out["packed"]))
+        n_sel = int(pk[0, max_out])
         if n_sel > max_out:
             # capacity overflow (pathological density): redo this chunk
             # synchronously with a bigger buffer via the unpacked path
@@ -140,15 +155,9 @@ def extract_all_syncmers(
             out = extract_syncmers_batch(
                 jnp.asarray(seq), jnp.asarray(lens), w, s, max_out, return_hoco=False
             )
-            n_sel = int(out["n_sel"])
-        sel_b, sel_p, sel_z, sel_smer, sel_kh = jax.device_get(
-            [out["sel_b"], out["sel_p"], out["sel_z"], out["sel_smer"], out["sel_khash"]]
-        )
-        sel_b = sel_b[:n_sel]
-        sel_p = sel_p[:n_sel]
-        sel_z = sel_z[:n_sel]
-        sel_smer = sel_smer[:n_sel].astype(np.uint64)
-        sel_kh = sel_kh[:n_sel]
+            pk = np.asarray(jax.device_get(out["packed"]))
+            n_sel = int(pk[0, max_out])
+        sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
         cuts = np.searchsorted(sel_b, np.arange(B + 1))
         for bi, ri in enumerate(chunk):
             lo, hi = cuts[bi], cuts[bi + 1]
@@ -256,16 +265,15 @@ def load_and_extract(
                     jnp.asarray(packed), jnp.asarray(hl), jnp.asarray(n_arr),
                     w, s, max_out, interpret=interpret,
                 )
-                pending.append((chunk, B, max_out, out))
+                pending.append((chunk, B, Lp, max_out, out))
 
         reads: list = [None] * keep
-        for chunk, B, max_out, out in pending:
-            n_sel = int(out["n_sel"])
+        for chunk, B, Lp, max_out, out in pending:
+            pk = np.asarray(jax.device_get(out["packed"]))
+            n_sel = int(pk[0, max_out])
             assert n_sel <= max_out, "syncmer capacity overflow"
-            sel_b, sel_p, sel_z, sel_smer, sel_kh = jax.device_get(
-                [out["sel_b"], out["sel_p"], out["sel_z"], out["sel_smer"], out["sel_khash"]]
-            )
-            cuts = np.searchsorted(sel_b[:n_sel], np.arange(B + 1))
+            sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
+            cuts = np.searchsorted(sel_b, np.arange(B + 1))
             for bi, ri in enumerate(chunk):
                 lo, hi = cuts[bi], cuts[bi + 1]
                 o0, o1 = int(offs[ri]), int(offs[ri + 1])
