@@ -27,30 +27,32 @@ def calc_syncmer_overlap(read_db: ReadDB, scm_db: SyncmerDB, m1: int, rc1: int, 
     counts: dict[int, int] = {}
     pos1 = scm_db.m_pos[m1]
     pos2 = scm_db.m_pos[m2]
-    r2_all = (pos2 >> np.uint64(32)).astype(np.int64)
+    reads = read_db.reads
+    r1_all = (pos1 >> np.uint64(32)).astype(np.int64).tolist()
+    i1_all = (((pos1 >> np.uint64(1)).astype(np.int64)) & MAX_RD_SCM).tolist()
+    c1_all = (pos1.astype(np.int64) & 1).tolist()
+    r2_all = (pos2 >> np.uint64(32)).astype(np.int64).tolist()
+    i2_all = (((pos2 >> np.uint64(1)).astype(np.int64)) & MAX_RD_SCM).tolist()
+    c2_all = (pos2.astype(np.int64) & 1).tolist()
     p2 = 0
     n2 = len(pos2)
-    for e1 in pos1:
-        r1 = int(e1 >> np.uint64(32))
-        i1 = (int(e1) >> 1) & MAX_RD_SCM
-        rd1 = read_db.reads[r1]
+    for r1, i1, c1 in zip(r1_all, i1_all, c1_all):
+        rd1 = reads[r1]
         if int(rd1.k_mer[i1]) & 1:
             continue  # error-corrected
         l1 = int(rd1.m_pos[i1]) >> 1
-        c1 = int(e1) & 1
         while p2 < n2 and r2_all[p2] < r1:
             p2 += 1
         for j in range(p2, n2):
-            r2 = int(r2_all[j])
+            r2 = r2_all[j]
             if r2 != r1:
                 break
-            e2 = pos2[j]
-            i2 = (int(e2) >> 1) & MAX_RD_SCM
-            rd2 = read_db.reads[r2]
+            i2 = i2_all[j]
+            rd2 = reads[r2]
             if int(rd2.k_mer[i2]) & 1:
                 continue
             l2 = int(rd2.m_pos[i2]) >> 1
-            c2 = int(e2) & 1
+            c2 = c2_all[j]
             if i1 == i2 + 1 and c1 != rc1 and c2 != rc2:
                 d = l1 - l2
                 counts[d] = counts.get(d, 0) + 1
@@ -82,11 +84,17 @@ def syncmer_consensus(
     bl += l
 
     m_pos = scm_db.m_pos[s]
+    # bulk-decode occurrence fields once (tolist converts in C; the
+    # per-element int(np.uint64) pattern dominated profiles otherwise)
+    sids = (m_pos >> np.uint64(32)).astype(np.int64).tolist()
+    idxs = (((m_pos >> np.uint64(1)).astype(np.int64)) & MAX_RD_SCM).tolist()
+
     base_seq = None
-    for e in m_pos:
-        sid = int(e >> np.uint64(32))
-        idx = (int(e) >> 1) & MAX_RD_SCM
-        rd = read_db.reads[sid]
+    tot_rl = None
+    m_seq = 0
+    reads = read_db.reads
+    for sid, idx in zip(sids, idxs):
+        rd = reads[sid]
         if int(rd.k_mer[idx]) & 1:
             continue
         p = int(rd.m_pos[idx])
@@ -94,11 +102,19 @@ def syncmer_consensus(
         p >>= 1
         if not r:
             p += beg
-        win = rd.hoco_code[p : p + l].astype(np.int64)
+        if base_seq is None:
+            win = rd.hoco_code[p : p + l].astype(np.int64)
+            if r:
+                win = (3 - win)[::-1]
+            base_seq = win
+            if hoco_seq:
+                break
+            tot_rl = np.zeros(l, np.int64)
+        rl = rd.ho_rl[p : p + l].astype(np.int64) - 1  # stored run-1 in reference
         if r:
-            win = (3 - win)[::-1]
-        base_seq = win
-        break
+            rl = rl[::-1]
+        tot_rl += rl
+        m_seq += 1
     if base_seq is None:
         out.append(b"N" * l)
         return bl
@@ -106,28 +122,11 @@ def syncmer_consensus(
     if hoco_seq:
         out.append(_NT[base_seq].tobytes())
         return bl
-
-    tot_rl = np.zeros(l, np.int64)
-    m_seq = 0
-    for e in m_pos:
-        sid = int(e >> np.uint64(32))
-        idx = (int(e) >> 1) & MAX_RD_SCM
-        rd = read_db.reads[sid]
-        if int(rd.k_mer[idx]) & 1:
-            continue
-        p = int(rd.m_pos[idx])
-        r = (p & 1) ^ rev
-        p >>= 1
-        if not r:
-            p += beg
-        rl = rd.ho_rl[p : p + l].astype(np.int64) - 1  # stored run-1 in reference
-        if r:
-            rl = rl[::-1]
-        tot_rl += rl
-        m_seq += 1
     chunks = []
     bl_extra = 0
-    reps = np.array([1 + _lround(t / m_seq) for t in tot_rl], np.int64)
+    # vectorized 1 + lround(t/m_seq): run-length totals are non-negative,
+    # so lround == floor(x + 0.5) (C lround half-away-from-zero)
+    reps = 1 + np.floor(tot_rl / m_seq + 0.5).astype(np.int64)
     bl_extra = int(reps.sum()) - l
     out.append(_NT[np.repeat(base_seq, reps)].tobytes())
     return bl + bl_extra
