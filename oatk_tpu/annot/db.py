@@ -32,6 +32,10 @@ ATHALIANA_PLTD_G71 = [
 ]
 
 ORDER_UNSORTED = 0
+ORDER_GNAME = 1  # gene name (strcmp)
+ORDER_GID = 2  # gene id
+ORDER_SNAME = 3  # segment name (strcmp)
+ORDER_SID = 4  # segment id
 ORDER_SID_OG = 5  # sid - og_type - gid - score(desc)
 ORDER_SID_CO = 6  # sid - alifrom - alito
 
@@ -79,17 +83,33 @@ class AnnotDB:
 
     # ---- sorting / indexing ----
     def sort(self, so: int):
+        """All 6 reference sort orders (hmmannot.c:242-392); the pipeline
+        uses ORDER_SID_OG / ORDER_SID_CO, the rest are API parity."""
         if so == self.so:
             return
         if so == ORDER_SID_OG:
             order = np.lexsort((-self.score, self.gid, self.og_type, self.sid))
         elif so == ORDER_SID_CO:
             order = np.lexsort((self.alito, self.alifrom, self.sid))
+        elif so == ORDER_GNAME:
+            order = sorted(range(self.n), key=lambda i: self.gname[i])
+        elif so == ORDER_GID:
+            order = np.argsort(self.gid, kind="stable")
+        elif so == ORDER_SNAME:
+            order = sorted(range(self.n), key=lambda i: self.sname[i])
+        elif so == ORDER_SID:
+            order = np.argsort(self.sid, kind="stable")
         else:
             raise ValueError(so)
         self._permute(order)
         self.so = so
-        self._build_index()
+        # name-keyed orders carry no range index (hmmannot.c:344-346)
+        if so in (ORDER_GNAME, ORDER_SNAME):
+            self.index = None
+        elif so == ORDER_GID:
+            self._build_index(self.gid, self.n_gene)
+        else:
+            self._build_index()
 
     def _permute(self, order):
         self.gname = [self.gname[i] for i in order]
@@ -100,14 +120,15 @@ class AnnotDB:
         ):
             setattr(self, f, getattr(self, f)[order])
 
-    def _build_index(self):
-        n_idx = self.n_seg
+    def _build_index(self, key: np.ndarray | None = None, n_idx: int | None = None):
+        key = self.sid if key is None else key
+        n_idx = self.n_seg if n_idx is None else n_idx
         self.index = np.zeros(n_idx, np.int64)
         if self.n == 0:
             return
-        starts = np.flatnonzero(np.concatenate([[True], self.sid[1:] != self.sid[:-1]]))
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
         counts = np.diff(np.concatenate([starts, [self.n]]))
-        self.index[self.sid[starts]] = (starts << 32) | counts
+        self.index[key[starts]] = (starts << 32) | counts
 
     def query_sid(self, sid: int) -> slice:
         if self.index is None or sid >= len(self.index) or sid < 0:

@@ -147,9 +147,45 @@ def wf_step(st: WfState) -> int:
     return en - stt
 
 
+def _wf_ed_core_native(st: WfState) -> bool:
+    """Dispatch to the C core (native/wavefront.c); returns False when
+    the native library is unavailable (caller falls back to numpy).
+    The diagonal set is always contiguous (d0..d0+n-1), so state
+    converts losslessly at the call boundary."""
+    from .. import native
+
+    if not native.available():
+        return False
+    n = len(st.wk)
+    tl, ql = len(st.ts), len(st.qs)
+    # diagonals are always trimmed to [-tl, ql] so n <= tl+ql+1
+    cap = max(64, tl + ql + 16, n)
+    hdr = np.array([st.score, -1, -1, int(st.wd[0]), n], np.int64)
+    k = np.empty(cap, np.int64)
+    k[:n] = st.wk
+    ts = np.ascontiguousarray(st.ts, np.uint8)
+    qs = np.ascontiguousarray(st.qs, np.uint8)
+    ret = native.wf_ed_core_native(ts, qs, int(st.is_ext), st.bw, hdr, k)
+    if ret < 0:  # capacity exceeded (shouldn't happen; be safe)
+        return False
+    st.score = int(hdr[0])
+    nn = int(hdr[4])
+    st.wd = hdr[3] + np.arange(nn, dtype=np.int64)
+    st.wk = k[:nn].copy()
+    if ret == 1:
+        st.t_end = int(hdr[1]) + 1
+        st.q_end = int(hdr[2]) + 1
+    else:
+        st.t_end = 0
+        st.q_end = 0
+    return True
+
+
 def wf_ed_core(st: WfState):
     """Run wavefront steps until an end is reached or the band is
     exceeded; resumes from the current state (stepwise restart)."""
+    if st.tb is None and _wf_ed_core_native(st):
+        return
     t_end = q_end = -1
     while True:
         na = wf_step(st)

@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libfastx_hoco.so")
-_SRC = os.path.join(_HERE, "fastx_hoco.c")
+_SRCS = [os.path.join(_HERE, "fastx_hoco.c"), os.path.join(_HERE, "wavefront.c")]
 _lib = None
 _build_failed = False
 
@@ -27,11 +27,12 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             cc = os.environ.get("CC", "cc")
             tmp = _SO + ".tmp"
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+                [cc, "-O3", "-shared", "-fPIC", *_SRCS, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
@@ -49,6 +50,13 @@ def _load():
         lib.pack_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.wf_ed_core_native.restype = ctypes.c_int64
+        lib.wf_ed_core_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         _lib = lib
     except Exception:
@@ -98,6 +106,19 @@ def parse_fastx_hoco(data: bytes):
         data[hdr_beg[i] : hdr_end[i]].decode() for i in range(n_reads)
     ]
     return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
+
+
+def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:
+    """Run the wavefront core natively; see native/wavefront.c.
+
+    ts, qs: contiguous uint8 arrays; hdr: int64[5]
+    {score, t_end_raw, q_end_raw, d0, n}; k: int64 capacity buffer.
+    Returns 1 end-hit / 0 band-exceeded / -1 capacity too small."""
+    lib = _load()
+    return lib.wf_ed_core_native(
+        ts.ctypes.data, len(ts), qs.ctypes.data, len(qs),
+        is_ext, bw, hdr.ctypes.data, k.ctypes.data, len(k),
+    )
 
 
 def pack_rows(codes: np.ndarray, offs: np.ndarray, row0: int, n_rows: int, row_bytes: int):

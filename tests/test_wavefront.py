@@ -91,3 +91,64 @@ def test_cigar_traceback_vs_reference(rng):
         wf_ed_core(st)
         mine = cigar_string(wf_traceback(st))
         assert mine == ref_cigar, (ts, qs, mine, ref_cigar)
+
+
+def test_native_matches_numpy(rng):
+    """The C core (native/wavefront.c) must reproduce the numpy wavefront
+    exactly -- score, raw endpoints, and the full (wd, wk) state -- on
+    one-shot and stepwise-restart (growing query) workloads."""
+    import oatk_tpu.kernels.wavefront as W
+    from oatk_tpu import native
+    from oatk_tpu.kernels.wavefront import _wf_ed_core_native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    def run_numpy(st):
+        t = q = -1
+        while True:
+            na = W.wf_step(st)
+            if na < 0:
+                t, q = st.t_end, st.q_end
+                break
+            st.score += 1
+            if st.bw >= 0 and st.score > st.bw:
+                break
+        st.t_end = t + 1
+        st.q_end = q + 1
+
+    for it in range(400):
+        tl = int(rng.integers(1, 120))
+        ql = int(rng.integers(1, 120))
+        ts = rng.integers(0, 4, tl).astype(np.uint8)
+        qs = rng.integers(0, 4, ql).astype(np.uint8)
+        if rng.random() < 0.5:
+            qs = ts.copy()[:ql] if ql <= tl else np.concatenate(
+                [ts, rng.integers(0, 4, ql - tl).astype(np.uint8)])
+            for p in rng.integers(0, len(qs), max(1, len(qs) // 20)):
+                qs[p] = (qs[p] + 1) % 4
+        is_ext = bool(rng.integers(2))
+        bw = int(rng.choice([-1, 3, 6, 10]))
+        a = WfState(); a.reset(ts); a.qs = qs; a.is_ext = is_ext; a.bw = bw
+        b = WfState(); b.reset(ts); b.qs = qs; b.is_ext = is_ext; b.bw = bw
+        assert _wf_ed_core_native(a)
+        run_numpy(b)
+        assert (a.score, a.t_end, a.q_end) == (b.score, b.t_end, b.q_end)
+        assert np.array_equal(a.wd, b.wd) and np.array_equal(a.wk, b.wk)
+
+    # stepwise restart with a growing query (the EC DFS access pattern)
+    for it in range(100):
+        tl = int(rng.integers(20, 150))
+        ts = rng.integers(0, 4, tl).astype(np.uint8)
+        full = ts.copy()
+        for p in rng.integers(0, tl, 3):
+            full[p] = (full[p] + 1) % 4
+        a = WfState(); a.reset(ts); a.is_ext = True; a.bw = 8
+        b = WfState(); b.reset(ts); b.is_ext = True; b.bw = 8
+        cut = int(rng.integers(5, tl))
+        for qs_piece in (full[:cut], full):
+            a.qs = qs_piece; b.qs = qs_piece
+            assert _wf_ed_core_native(a)
+            run_numpy(b)
+            assert (a.score, a.t_end, a.q_end) == (b.score, b.t_end, b.q_end)
+            assert np.array_equal(a.wk, b.wk)
