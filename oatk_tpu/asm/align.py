@@ -45,39 +45,42 @@ class ReadAln:
         return len(self.frags)
 
 
-def _align_one(read, scg: Scg, min_score_needed: int) -> tuple[list[list], int]:
+def _align_one(
+    read, scg: Scg, min_score_needed: int, ulen: np.ndarray | None = None
+) -> tuple[list[list], int]:
     """Returns (list of optimal fragment chains, max_score); each chain is
     a list of fragment dicts."""
     g = scg.utg
     idx = scg.idx
     n_scm = read.n
-    # ---- anchors ----
-    uids: list[int] = []
-    uposs: list[int] = []
-    sposs: list[int] = []
-    for j in range(n_scm):
-        s = int(read.k_mer[j]) >> 1
-        sl = idx.occ(s)
-        if sl.start == sl.stop:
-            continue
-        rj = int(read.m_pos[j]) & 1
-        for o in range(sl.start, sl.stop):
-            u = int(idx.uid[o])
-            p = int(idx.pos[o])
-            t = int(idx.rev[o]) ^ rj
-            uids.append(u << 1 | t)
-            uposs.append(len(g.vtx_a[u]) - p - 1 if t else p)
-            sposs.append(j)
-    if not uids:
+    # ---- anchors (vectorized per-read index expansion) ----
+    s_arr = (read.k_mer >> np.uint64(1)).astype(np.int64)
+    lo = idx.start[s_arr]
+    cnt = idx.start[s_arr + 1] - lo
+    tot = int(cnt.sum())
+    if tot == 0:
         return [], 0
+    j_rep = np.repeat(np.arange(n_scm, dtype=np.int64), cnt)
+    off0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    o_idx = np.repeat(lo - off0, cnt) + np.arange(tot, dtype=np.int64)
+    u = idx.uid[o_idx]
+    p = idx.pos[o_idx]
+    rj = (read.m_pos.astype(np.int64) & 1)[j_rep]
+    t_rev = idx.rev[o_idx] ^ rj
+    if ulen is None:
+        ulen = np.fromiter(
+            (len(a) for a in g.vtx_a), np.int64, count=g.n_vtx
+        )
+    uid_all = (u << 1) | t_rev
+    upos_all = np.where(t_rev == 1, ulen[u] - p - 1, p)
 
-    order = np.lexsort((np.array(uposs), np.array(sposs), np.array(uids)))
-    uid_a = np.array(uids)[order]
-    upos_a = np.array(uposs)[order]
-    spos_a = np.array(sposs)[order]
+    order = np.lexsort((upos_all, j_rep, uid_all))
+    uid_a = uid_all[order].tolist()
+    upos_a = upos_all[order].tolist()
+    spos_a = j_rep[order].tolist()
     m = len(uid_a)
-    nxt = np.full(m, -1, np.int64)
-    used = np.zeros(m, bool)
+    nxt = [-1] * m
+    used = [False] * m
 
     # ---- per-unitig next-pointer linking ----
     frags: list[dict] = []
@@ -244,12 +247,14 @@ def scg_read_alignment(
 
     ra_db: list[ReadAln] = []
     n_mapped = n_unique = n_mappable = 0
+    g = scg.utg
+    ulen = np.fromiter((len(a) for a in g.vtx_a), np.int64, count=g.n_vtx)
     for r in read_db.reads:
         if r.n > 0:
             n_mappable += 1
         if (old_ra[r.sid] & 1) == 0 or r.n == 0:
             continue
-        chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1)
+        chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1, ulen)
         n_a = len(chains)
         if n_a == 0:
             continue
