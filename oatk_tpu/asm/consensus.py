@@ -22,8 +22,77 @@ _NT = np.frombuffer(b"ACGT", np.uint8)
 MAX_RD_LEN = 0x7FFFFFFF
 
 
-def calc_syncmer_overlap(read_db: ReadDB, scm_db: SyncmerDB, m1: int, rc1: int, m2: int, rc2: int) -> int:
+class _Flats:
+    """Flat concatenations of the per-read arrays for the native (C)
+    consensus loops; built once per scg_consensus call.  None when the
+    native library is unavailable (pure-Python loops used instead)."""
+
+    def __init__(self, read_db: ReadDB, scm_db: SyncmerDB):
+        reads = read_db.reads
+        n = len(reads)
+        mc = np.fromiter((r.n for r in reads), np.int64, count=n)
+        self.moff = np.zeros(n, np.int64)
+        if n > 1:
+            np.cumsum(mc[:-1], out=self.moff[1:])
+        hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
+        self.hoff = np.zeros(n, np.int64)
+        if n > 1:
+            np.cumsum(hl[:-1], out=self.hoff[1:])
+        z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
+        self.kflat = (
+            np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n else z64
+        )
+        self.mflat = (
+            np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n else z32
+        )
+        self.code_flat = (
+            np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n else z8
+        )
+        self.rl_flat = (
+            np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False) if n else z32
+        )
+        # syncmer occurrence lists flattened (for whole-unitig C emission)
+        ns = scm_db.n
+        self.mp_off = np.zeros(ns + 1, np.int64)
+        if ns:
+            np.cumsum(
+                np.fromiter((len(a) for a in scm_db.m_pos), np.int64, count=ns),
+                out=self.mp_off[1:],
+            )
+            self.mp_flat = np.concatenate(scm_db.m_pos).astype(np.uint64, copy=False)
+        else:
+            self.mp_flat = z64
+
+    @staticmethod
+    def build(read_db: ReadDB, scm_db: SyncmerDB):
+        """Cached per (read_db, scm_db) contents: EC rewrites reads and
+        occurrence lists mid-pipeline, so invalidate on the version
+        counters those mutators bump."""
+        from .. import native
+
+        if not native.available():
+            return None
+        key = (id(scm_db), getattr(read_db, "version", 0), getattr(scm_db, "version", 0))
+        cached = getattr(read_db, "_flats_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        flats = _Flats(read_db, scm_db)
+        read_db._flats_cache = (key, flats)
+        return flats
+
+
+def calc_syncmer_overlap(
+    read_db: ReadDB, scm_db: SyncmerDB, m1: int, rc1: int, m2: int, rc2: int,
+    flats: _Flats | None = None,
+) -> int:
     """Mode of per-read adjacent distances between syncmers m1 -> m2."""
+    if flats is not None:
+        from .. import native
+
+        return native.scm_overlap_mode(
+            scm_db.m_pos[m1], scm_db.m_pos[m2], rc1, rc2,
+            flats.kflat, flats.mflat, flats.moff,
+        )
     counts: dict[int, int] = {}
     pos1 = scm_db.m_pos[m1]
     pos2 = scm_db.m_pos[m2]
@@ -69,7 +138,8 @@ def _lround(x: float) -> int:
 
 
 def syncmer_consensus(
-    read_db: ReadDB, scm_db: SyncmerDB, s: int, rev: int, beg: int, out: list, hoco_seq: bool
+    read_db: ReadDB, scm_db: SyncmerDB, s: int, rev: int, beg: int, out: list, hoco_seq: bool,
+    flats: _Flats | None = None,
 ) -> int:
     """Append the consensus of syncmer ``s`` starting at offset ``beg``
     (may be negative -> 'N' fill) to ``out``; returns emitted length."""
@@ -82,6 +152,27 @@ def syncmer_consensus(
         beg = 0
     l = w - beg
     bl += l
+
+    if flats is not None:
+        from .. import native
+
+        base = np.empty(l, np.uint8)
+        totrl = None if hoco_seq else np.zeros(l, np.int64)
+        m_seq = native.scm_consensus_fill(
+            scm_db.m_pos[s], rev, beg, l,
+            flats.kflat, flats.mflat, flats.moff,
+            flats.code_flat, flats.rl_flat, flats.hoff,
+            not hoco_seq, base, totrl,
+        )
+        if m_seq == 0:
+            out.append(b"N" * l)
+            return bl
+        if hoco_seq:
+            out.append(_NT[base].tobytes())
+            return bl
+        reps = 1 + np.floor(totrl / m_seq + 0.5).astype(np.int64)
+        out.append(_NT[np.repeat(base, reps)].tobytes())
+        return bl + int(reps.sum()) - l
 
     m_pos = scm_db.m_pos[s]
     # bulk-decode occurrence fields once (tolist converts in C; the
@@ -133,17 +224,35 @@ def syncmer_consensus(
 
 
 def unitig_consensus(
-    read_db: ReadDB, scm_db: SyncmerDB, v: np.ndarray, out: list, hoco_seq: bool
+    read_db: ReadDB, scm_db: SyncmerDB, v: np.ndarray, out: list, hoco_seq: bool,
+    flats: _Flats | None = None,
 ) -> int:
     """Stitch syncmer consensi along a unitig by overlap offsets."""
     n = len(v)
     if n == 0:
         return 0
     w = read_db.k
+    if flats is not None:
+        from .. import native
+
+        vv = np.ascontiguousarray(v, np.uint64)
+        cap = max(4096, 4 * n * w)
+        while True:
+            buf = np.empty(cap, np.uint8)
+            ret = native.utg_consensus_emit(
+                vv, w, hoco_seq, flats.mp_flat, flats.mp_off,
+                flats.kflat, flats.mflat, flats.moff,
+                flats.code_flat, flats.rl_flat, flats.hoff, buf,
+            )
+            if ret >= 0:
+                out.append(buf[:ret].tobytes())
+                return int(ret)
+            cap *= 4  # pathological run-length expansion; regrow
     pos = np.zeros(n, np.int64)
     for i in range(1, n):
         pos[i] = pos[i - 1] + calc_syncmer_overlap(
-            read_db, scm_db, int(v[i - 1]) >> 1, int(v[i - 1]) & 1, int(v[i]) >> 1, int(v[i]) & 1
+            read_db, scm_db, int(v[i - 1]) >> 1, int(v[i - 1]) & 1, int(v[i]) >> 1, int(v[i]) & 1,
+            flats,
         )
     beg_pos = end_pos = 0
     l = 0
@@ -153,7 +262,8 @@ def unitig_consensus(
             i += 1
         beg_pos = int(pos[i])
         l += syncmer_consensus(
-            read_db, scm_db, int(v[i]) >> 1, int(v[i]) & 1, end_pos - beg_pos, out, hoco_seq
+            read_db, scm_db, int(v[i]) >> 1, int(v[i]) & 1, end_pos - beg_pos, out, hoco_seq,
+            flats,
         )
         end_pos = beg_pos + w
         i += 1
@@ -210,13 +320,14 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     scm_db = scg.scm_db
     w = read_db.k
     utg.clean_consensus()
+    flats = _Flats.build(read_db, scm_db)
     if fo:
         fo.write("H\tVN:Z:1.0\n")
     for i in range(utg.n_vtx):
         if utg.vtx_del[i]:
             continue
         chunks: list[bytes] = []
-        l = unitig_consensus(read_db, scm_db, utg.vtx_a[i], chunks, hoco_seq)
+        l = unitig_consensus(read_db, scm_db, utg.vtx_a[i], chunks, hoco_seq, flats)
         seq = b"".join(chunks).decode()
         assert len(seq) == l
         cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
@@ -239,7 +350,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             a = utg.vtx_a[v >> 1]
             sub = a[:ln] if (v & 1) else a[len(a) - ln :]
             chunks = []
-            l = unitig_consensus(read_db, scm_db, sub, chunks, hoco_seq)
+            l = unitig_consensus(read_db, scm_db, sub, chunks, hoco_seq, flats)
         else:
             a = utg.vtx_a[v >> 1]
             z = v & 1
@@ -247,10 +358,10 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             a2 = utg.vtx_a[t >> 1]
             z2 = t & 1
             tt = int(a2[-1] if z2 else a2[0]) ^ z2
-            l = calc_syncmer_overlap(read_db, scm_db, vv >> 1, vv & 1, tt >> 1, tt & 1)
+            l = calc_syncmer_overlap(read_db, scm_db, vv >> 1, vv & 1, tt >> 1, tt & 1, flats)
             if l < w:
                 chunks = []
-                l = syncmer_consensus(read_db, scm_db, vv >> 1, vv & 1, l, chunks, hoco_seq)
+                l = syncmer_consensus(read_db, scm_db, vv >> 1, vv & 1, l, chunks, hoco_seq, flats)
             else:
                 l = 0
         l = min(l, utg.vtx_len[v >> 1], utg.vtx_len[t >> 1])

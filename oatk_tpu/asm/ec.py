@@ -290,6 +290,8 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     scm_db.cov = cov.astype(np.uint32)
     scm_db.m_pos = [np.array(p, np.uint64) for p in pos_lists]
     scm_db.del_ = c_cov == 0
+    scm_db.version += 1
+    read_db.version += 1  # reads were spliced before the rebuild
 
 
 def read_error_correction(

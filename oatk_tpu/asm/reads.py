@@ -25,6 +25,7 @@ class ReadDB:
     s: int  # s-mer size
     reads: list[ReadSyncmers] = field(default_factory=list)
     stats: dict = field(default_factory=dict)
+    version: int = 0  # bumped whenever read arrays mutate (EC)
 
     @property
     def n(self) -> int:

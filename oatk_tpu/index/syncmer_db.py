@@ -34,6 +34,7 @@ class SyncmerDB:
     cov: np.ndarray  # [n] uint32 occurrence count
     del_: np.ndarray  # [n] bool deleted flag
     m_pos: list  # [n] arrays of uint64: sid<<32 | read_idx<<1 | rev
+    version: int = 0  # bumped whenever m_pos/cov are rebuilt (EC)
 
     @property
     def n(self) -> int:

@@ -17,7 +17,11 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libfastx_hoco.so")
-_SRCS = [os.path.join(_HERE, "fastx_hoco.c"), os.path.join(_HERE, "wavefront.c")]
+_SRCS = [
+    os.path.join(_HERE, "fastx_hoco.c"),
+    os.path.join(_HERE, "wavefront.c"),
+    os.path.join(_HERE, "consensus.c"),
+]
 _lib = None
 _build_failed = False
 
@@ -57,6 +61,29 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.scm_overlap_mode.restype = ctypes.c_int64
+        lib.scm_overlap_mode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.utg_consensus_emit.restype = ctypes.c_int64
+        lib.utg_consensus_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.scm_consensus_fill.restype = ctypes.c_int64
+        lib.scm_consensus_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
     except Exception:
@@ -118,6 +145,42 @@ def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:
     return lib.wf_ed_core_native(
         ts.ctypes.data, len(ts), qs.ctypes.data, len(qs),
         is_ext, bw, hdr.ctypes.data, k.ctypes.data, len(k),
+    )
+
+
+def utg_consensus_emit(
+    v, w: int, hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
+    code_flat, rl_flat, hoff, out,
+) -> int:
+    lib = _load()
+    return lib.utg_consensus_emit(
+        v.ctypes.data, len(v), w, 1 if hoco_seq else 0,
+        mp_flat.ctypes.data, mp_off.ctypes.data,
+        kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
+        code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        len(code_flat), out.ctypes.data, len(out),
+    )
+
+
+def scm_overlap_mode(pos1, pos2, rc1: int, rc2: int, kflat, mflat, moff) -> int:
+    lib = _load()
+    return lib.scm_overlap_mode(
+        pos1.ctypes.data, len(pos1), pos2.ctypes.data, len(pos2),
+        rc1, rc2, kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
+    )
+
+
+def scm_consensus_fill(
+    mpos, rev: int, beg: int, l: int, kflat, mflat, moff,
+    code_flat, rl_flat, hoff, need_rl: bool, base_out, totrl_out,
+) -> int:
+    lib = _load()
+    return lib.scm_consensus_fill(
+        mpos.ctypes.data, len(mpos), rev, beg, l,
+        kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
+        code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        1 if need_rl else 0, len(code_flat), base_out.ctypes.data,
+        totrl_out.ctypes.data if totrl_out is not None else None,
     )
 
 

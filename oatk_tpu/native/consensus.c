@@ -1,0 +1,207 @@
+/* Native consensus hot loops (syncasm.c:465-1046 semantics as realized
+ * by oatk_tpu/asm/consensus.py, which is byte-parity-validated against
+ * the reference binaries).
+ *
+ * Both functions operate on flat concatenations of the per-read arrays
+ * (built once per scg_consensus call):
+ *   kflat[moff[sid]+idx]  u64 syncmer id<<1|ec_flag per read syncmer
+ *   mflat[moff[sid]+idx]  u32 hoco_pos<<1|rev per read syncmer
+ *   code_flat[hoff[sid]+p] u8 hoco base codes
+ *   rl_flat[hoff[sid]+p]   u32 homopolymer run lengths (>=1)
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define SCM_IDX_MASK 0x7FFFFFFFLL
+
+/* Mode of per-read adjacent distances between two syncmers; ties break
+ * count desc then distance asc.  pos arrays are sorted by read id. */
+int64_t scm_overlap_mode(const uint64_t *pos1, int64_t n1,
+                         const uint64_t *pos2, int64_t n2,
+                         int64_t rc1, int64_t rc2,
+                         const uint64_t *kflat, const uint32_t *mflat,
+                         const int64_t *moff)
+{
+    int64_t stack_d[1024];
+    int64_t *dv = stack_d;
+    int64_t cap = 1024, nd = 0;
+    int64_t p2 = 0, a, j;
+
+    for (a = 0; a < n1; ++a) {
+        uint64_t e1 = pos1[a];
+        int64_t r1 = (int64_t)(e1 >> 32);
+        int64_t i1 = (int64_t)(e1 >> 1) & SCM_IDX_MASK;
+        int64_t c1 = (int64_t)(e1 & 1);
+        int64_t g1 = moff[r1] + i1;
+        if (kflat[g1] & 1) continue; /* error-corrected */
+        int64_t l1 = (int64_t)(mflat[g1] >> 1);
+        while (p2 < n2 && (int64_t)(pos2[p2] >> 32) < r1) ++p2;
+        for (j = p2; j < n2; ++j) {
+            uint64_t e2 = pos2[j];
+            int64_t r2 = (int64_t)(e2 >> 32);
+            if (r2 != r1) break;
+            int64_t i2 = (int64_t)(e2 >> 1) & SCM_IDX_MASK;
+            int64_t g2 = moff[r2] + i2;
+            if (kflat[g2] & 1) continue;
+            int64_t l2 = (int64_t)(mflat[g2] >> 1);
+            int64_t c2 = (int64_t)(e2 & 1);
+            int64_t d;
+            if (i1 == i2 + 1 && c1 != rc1 && c2 != rc2) d = l1 - l2;
+            else if (i1 + 1 == i2 && c1 == rc1 && c2 == rc2) d = l2 - l1;
+            else continue;
+            if (nd == cap) {
+                cap *= 2;
+                if (dv == stack_d) {
+                    dv = (int64_t *)malloc(cap * sizeof(int64_t));
+                    if (!dv) return 0;
+                    memcpy(dv, stack_d, nd * sizeof(int64_t));
+                } else {
+                    int64_t *p = (int64_t *)realloc(dv, cap * sizeof(int64_t));
+                    if (!p) { free(dv); return 0; }
+                    dv = p;
+                }
+            }
+            dv[nd++] = d;
+        }
+    }
+    if (nd == 0) { if (dv != stack_d) free(dv); return 0; }
+
+    /* insertion sort is fine (distance lists are short and clustered) */
+    for (a = 1; a < nd; ++a) {
+        int64_t key = dv[a];
+        for (j = a - 1; j >= 0 && dv[j] > key; --j) dv[j + 1] = dv[j];
+        dv[j + 1] = key;
+    }
+    int64_t best_d = dv[0], best_c = 1, cur_c = 1;
+    for (a = 1; a < nd; ++a) {
+        if (dv[a] == dv[a - 1]) ++cur_c;
+        else cur_c = 1;
+        if (cur_c > best_c) { best_c = cur_c; best_d = dv[a]; }
+    }
+    if (dv != stack_d) free(dv);
+    return best_d;
+}
+
+/* Consensus inputs for one syncmer window of length l starting at
+ * offset beg (>=0) within the k-mer.  Fills base_out[l] with hoco codes
+ * from the first un-corrected occurrence and (when need_rl) accumulates
+ * totrl_out[l] += run_length-1 over all un-corrected occurrences.
+ * Returns the number of contributing occurrences (0 => caller emits N). */
+int64_t scm_consensus_fill(const uint64_t *mpos, int64_t n_occ,
+                           int64_t rev, int64_t beg, int64_t l,
+                           const uint64_t *kflat, const uint32_t *mflat,
+                           const int64_t *moff,
+                           const uint8_t *code_flat, const uint32_t *rl_flat,
+                           const int64_t *hoff,
+                           int64_t need_rl, int64_t hoco_total,
+                           uint8_t *base_out, int64_t *totrl_out)
+{
+    int64_t m_seq = 0, a, j;
+    int have_base = 0;
+    for (a = 0; a < n_occ; ++a) {
+        uint64_t e = mpos[a];
+        int64_t sid = (int64_t)(e >> 32);
+        int64_t idx = (int64_t)(e >> 1) & SCM_IDX_MASK;
+        int64_t g = moff[sid] + idx;
+        if (kflat[g] & 1) continue;
+        uint32_t praw = mflat[g];
+        int64_t r = (int64_t)(praw & 1) ^ rev;
+        int64_t p = (int64_t)(praw >> 1);
+        if (!r) p += beg;
+        int64_t st = hoff[sid] + p;
+        if (st < 0 || st + l > hoco_total) continue; /* corrupt entry guard */
+        if (!have_base) {
+            if (r)
+                for (j = 0; j < l; ++j) base_out[j] = 3 - code_flat[st + l - 1 - j];
+            else
+                memcpy(base_out, code_flat + st, l);
+            have_base = 1;
+            if (!need_rl) return 1;
+        }
+        if (r)
+            for (j = 0; j < l; ++j) totrl_out[j] += (int64_t)rl_flat[st + l - 1 - j] - 1;
+        else
+            for (j = 0; j < l; ++j) totrl_out[j] += (int64_t)rl_flat[st + j] - 1;
+        ++m_seq;
+    }
+    return have_base ? m_seq : 0;
+}
+
+/* Full unitig consensus emission: overlap-mode stitching of the oriented
+ * syncmer list v[nv], per-window base fill + run-length means, ASCII
+ * output (hoco_seq => one char per hoco base; else run-length expanded).
+ * Mirrors unitig_consensus + syncmer_consensus in asm/consensus.py.
+ * Returns emitted length, or -1 when out_cap is too small. */
+#include <math.h>
+
+int64_t utg_consensus_emit(const uint64_t *v, int64_t nv,
+                           int64_t w, int64_t hoco_seq,
+                           const uint64_t *mp_flat, const int64_t *mp_off,
+                           const uint64_t *kflat, const uint32_t *mflat,
+                           const int64_t *moff,
+                           const uint8_t *code_flat, const uint32_t *rl_flat,
+                           const int64_t *hoff, int64_t hoco_total,
+                           uint8_t *out, int64_t out_cap)
+{
+    static const char NT[4] = {'A', 'C', 'G', 'T'};
+    if (nv == 0) return 0;
+    int64_t *pos = (int64_t *)malloc(nv * sizeof(int64_t));
+    uint8_t *base = (uint8_t *)malloc(w);
+    int64_t *totrl = (int64_t *)malloc(w * sizeof(int64_t));
+    if (!pos || !base || !totrl) { free(pos); free(base); free(totrl); return -1; }
+    pos[0] = 0;
+    int64_t i, j;
+    for (i = 1; i < nv; ++i) {
+        int64_t m1 = (int64_t)(v[i - 1] >> 1), rc1 = (int64_t)(v[i - 1] & 1);
+        int64_t m2 = (int64_t)(v[i] >> 1), rc2 = (int64_t)(v[i] & 1);
+        pos[i] = pos[i - 1] + scm_overlap_mode(
+            mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
+            mp_flat + mp_off[m2], mp_off[m2 + 1] - mp_off[m2],
+            rc1, rc2, kflat, mflat, moff);
+    }
+
+    int64_t outp = 0, end_pos = 0;
+    i = 0;
+    while (i < nv) {
+        while (i + 1 < nv && pos[i + 1] <= end_pos) ++i;
+        int64_t beg_pos = pos[i];
+        int64_t beg = end_pos - beg_pos;
+        int64_t s = (int64_t)(v[i] >> 1), rev = (int64_t)(v[i] & 1);
+        if (beg < 0) {
+            if (outp - beg > out_cap) goto full;
+            memset(out + outp, 'N', -beg);
+            outp -= beg;
+            beg = 0;
+        }
+        int64_t l = w - beg;
+        memset(totrl, 0, l * sizeof(int64_t));
+        int64_t m_seq = scm_consensus_fill(
+            mp_flat + mp_off[s], mp_off[s + 1] - mp_off[s], rev, beg, l,
+            kflat, mflat, moff, code_flat, rl_flat, hoff,
+            !hoco_seq, hoco_total, base, totrl);
+        if (m_seq == 0) {
+            if (outp + l > out_cap) goto full;
+            memset(out + outp, 'N', l);
+            outp += l;
+        } else if (hoco_seq) {
+            if (outp + l > out_cap) goto full;
+            for (j = 0; j < l; ++j) out[outp + j] = NT[base[j] & 3];
+            outp += l;
+        } else {
+            for (j = 0; j < l; ++j) {
+                int64_t rep = 1 + (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
+                if (outp + rep > out_cap) goto full;
+                memset(out + outp, NT[base[j] & 3], rep);
+                outp += rep;
+            }
+        }
+        end_pos = beg_pos + w;
+        ++i;
+    }
+    free(pos); free(base); free(totrl);
+    return outp;
+full:
+    free(pos); free(base); free(totrl);
+    return -1;
+}
