@@ -97,12 +97,16 @@ def make_syncmer_graph(
     g = Asmg()
     # filter by kmer coverage (persistently marks scm_db.del_)
     scm_db.del_ |= scm_db.cov < np.uint32(min_k_cov)
-    for i in range(scm_db.n):
-        g.add_vtx(
-            a=np.array([i << 1], np.uint64),
-            cov=int(scm_db.cov[i]),
-            deleted=bool(scm_db.del_[i]),
-        )
+    n = scm_db.n
+    # bulk vertex creation (one per syncmer; a 40k-call add_vtx loop
+    # dominated profiles on high-error inputs)
+    ids2 = (np.arange(n, dtype=np.uint64) << np.uint64(1)).reshape(n, 1)
+    g.vtx_a = list(ids2)
+    g.vtx_seq = [None] * n
+    g.vtx_len = [0] * n
+    g.vtx_cov = scm_db.cov.astype(np.int64).tolist()
+    g.vtx_del = np.asarray(scm_db.del_).tolist()
+    g.vtx_circ = [False] * n
 
     cv0, cv1 = _read_adjacent_pairs(read_db)
     if len(cv0):
