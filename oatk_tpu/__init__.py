@@ -28,8 +28,12 @@ _jax.config.update("jax_enable_x64", True)
 import os as _os
 
 _cache_dir = _os.environ.get("OATK_TPU_CACHE", "/tmp/oatk_tpu_jax_cache")
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # pragma: no cover - older jax without the knobs
-    pass
+# CPU-only runs skip the cache: XLA:CPU persists AOT code whose machine
+# features may not match a later host (it warns about possible SIGILL),
+# and CPU compiles are cheap anyway.
+if "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
