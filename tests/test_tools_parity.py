@@ -195,3 +195,37 @@ def test_oatk_wrapper_with_fake_nhmmscan(tmp_path, rng):
     # assembled circular contig should be ~genome size
     seq = "".join(fasta.splitlines()[1:])
     assert abs(len(seq) - len(genome)) < 2000
+
+
+def test_syncasm_data_cap_multifile_parity(tmp_path, rng):
+    """-D cap with multi-file (plain + gz) input must truncate at the
+    same read boundary as the reference (sstream semantics)."""
+    import gzip
+
+    genome = random_genome(rng, 25000)
+    reads = sample_reads(rng, genome, coverage=24, read_len=2600)
+    half = len(reads) // 2
+    p1 = tmp_path / "p1.fa"
+    with open(p1, "w") as f:
+        for i, r in enumerate(reads[:half]):
+            f.write(f">a{i}\n{r}\n")
+    p2 = tmp_path / "p2.fa.gz"
+    with gzip.open(p2, "wt") as f:
+        for i, r in enumerate(reads[half:]):
+            f.write(f">b{i}\n{r}\n")
+
+    subprocess.run(
+        [str(REFBIN / "syncasm"), "-k", "251", "-s", "17", "-c", "3", "-D", "400K",
+         "--no-read-ec", "--unzip-round", "0", "-o", str(tmp_path / "ref"),
+         str(p1), str(p2)],
+        check=True, capture_output=True,
+    )
+    from oatk_tpu.cli.syncasm import main
+
+    ret = main(["-k", "251", "-s", "17", "-c", "3", "-D", "400K",
+                "--no-read-ec", "--unzip-round", "0",
+                "-o", str(tmp_path / "mine"), str(p1), str(p2)])
+    assert ret == 0
+    a = (tmp_path / "ref.utg.final.gfa").read_bytes()
+    b = (tmp_path / "mine.utg.final.gfa").read_bytes()
+    assert a == b
