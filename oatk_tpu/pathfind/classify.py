@@ -720,9 +720,19 @@ def asg_annotation(
 
 
 def print_og_classification_summary(asg: Asg, db: AnnotDB, components, fo=sys.stderr):
+    """Verbosity dump, field-for-field as /root/reference/path.c:4199-4221."""
+    f = "print_og_classification_summary"
     for i, comp in enumerate(components):
-        fo.write(f"[M::print_og_classification_summary] OG component {i} og_type: {OG_TYPES[comp.type]}\n")
-        fo.write(f"[M::print_og_classification_summary] OG component {i} og_score: {comp.score:.1f}\n")
-        fo.write(f"[M::print_og_classification_summary] OG component {i} og_len: {comp.len}\n")
+        fo.write(f"[M::{f}] OG component {i} \n")
+        fo.write(f"[M::{f}] OG component {i} og_type: {OG_TYPES[comp.type]}\n")
+        fo.write(f"[M::{f}] OG component {i} og_score: {comp.score:.1f}\n")
+        fo.write(f"[M::{f}] OG component {i} og_sscore: {comp.sscore:.1f}\n")
+        fo.write(f"[M::{f}] OG component {i} og_len: {comp.len}\n")
+        fo.write(f"[M::{f}] OG component {i} og_nv: {comp.nv}\n")
         names = " ".join(asg.segs[v].name for v in comp.v)
-        fo.write(f"[M::print_og_classification_summary] OG component {i} og_v: {names}\n")
+        fo.write(f"[M::{f}] OG component {i} og_v: {names}\n")
+        fo.write(f"[M::{f}] OG component {i} og_ng: {comp.ng}\n")
+        for gj in comp.g:
+            gid = int(gj) >> 34
+            score_u32 = int(gj) & 0xFFFFFFFF
+            fo.write(f"[M::{f}] OG component {i} og_g: {db.gnames[gid]} {score_u32}\n")
