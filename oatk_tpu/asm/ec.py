@@ -304,6 +304,9 @@ def read_error_correction(
     max_arc_f: float,
     verbose: int = 0,
 ):
+    import time
+
+    cpu0, real0 = time.process_time(), time.time()
     sys.setrecursionlimit(1_000_000)
     scg._kmer_size = read_db.k
     find_error_syncmers(scg, err_mer_c, max_err_c, err_arc_c, max_arc_f, True)
@@ -316,9 +319,27 @@ def read_error_correction(
 
     update_syncmer_db(read_db, scg.scm_db)
 
-    log_info("Error Correction Summary Results", func="read_error_correction")
-    log_info(f"total number of error blocks : {stats[0] + stats[5] + stats[10]}", func="read_error_correction")
-    log_info(f"               - uncorrected : {stats[1] + stats[6]}", func="read_error_correction")
-    log_info(f"                 - corrected : {stats[2] + stats[7]}", func="read_error_correction")
-    log_info(f"            - ambiguous seqs : {stats[4] + stats[9]}", func="read_error_correction")
-    log_info(f"            - ambiguous path : {stats[3] + stats[8]}", func="read_error_correction")
+    # summary table exactly as syncerr.c:905-927; note the reference
+    # labels AMBISNQ (path) counts "ambiguous seqs" and vice versa --
+    # the swap is kept for byte parity
+    p = lambda msg: log_info(msg, func="read_error_correction")
+    p("Error Correction Summary Results")
+    p(f"total number of error blocks : {stats[0] + stats[5] + stats[10]}")
+    p(f"               - uncorrected : {stats[1] + stats[6]}")
+    p(f"                 - corrected : {stats[2] + stats[7]}")
+    p(f"            - ambiguous seqs : {stats[3] + stats[8]}")
+    p(f"            - ambiguous path : {stats[4] + stats[9]}")
+    if verbose:
+        p(f"error blocks in the tail end : {stats[0]}")
+        p(f"               - uncorrected : {stats[1]}")
+        p(f"                 - corrected : {stats[2]}")
+        p(f"            - ambiguous seqs : {stats[3]}")
+        p(f"            - ambiguous path : {stats[4]}")
+        p(f"  error blocks in the middle : {stats[5]}")
+        p(f"               - uncorrected : {stats[6]}")
+        p(f"                 - corrected : {stats[7]}")
+        p(f"            - ambiguous seqs : {stats[8]}")
+        p(f"            - ambiguous path : {stats[9]}")
+        p(f"     error blocks overlapped : {stats[10]}")
+        p(f"  error correction  CPU time : {time.process_time() - cpu0:.3f} sec")
+        p(f"  error correction real time : {time.time() - real0:.3f} sec")

@@ -19,7 +19,13 @@ from ..graph.clean import drop_tip, pop_bubble, remove_weak_crosslink
 from ..utils import log_error, log_info
 from .consensus import scg_consensus
 from .reads import ReadDB, extract_all_syncmers, load_and_extract
-from .scg import Scg, make_syncmer_graph, process_mergeable_unitigs, scg_stat
+from .scg import (
+    Scg,
+    make_syncmer_graph,
+    process_mergeable_unitigs,
+    scg_stat,
+    scg_subgraph_stat,
+)
 
 
 def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: bool = True) -> ReadDB:
@@ -58,6 +64,7 @@ def syncasm(
     verbose: int = 0,
 ) -> SyncasmResult:
     read_db = load_reads(files, k, s, max_data, use_device)
+    log_info(f"collected syncmers from {read_db.n} target sequence(s)", func="syncasm")
     read_db_stat(read_db, sys.stderr, verbose)
 
     if min_k_cov == 0:
@@ -86,13 +93,19 @@ def syncasm(
     if scg.is_empty():
         log_error("empty syncmer graph", func="syncasm")
         return SyncasmResult(read_db, scm_db, None)
+    log_info("syncmer graph stats", func="syncasm")
     scg_stat(scg, sys.stderr)
+    if verbose > 1:
+        scg_subgraph_stat(scg, sys.stderr)
 
     log_info("syncmer graph unitigging", func="syncasm")
     process_mergeable_unitigs(scg)
+    log_info("syncmer graph stats after unitigging", func="syncasm")
     scg_stat(scg, sys.stderr)
     with open(out + ".utg.gfa", "w") as fo:
         scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
+    if verbose > 1:
+        scg_subgraph_stat(scg, sys.stderr)
 
     # basic cleanup (no bubble popping before unzip: protects haplotypes)
     log_info("syncmer graph cleanup", func="syncasm")
@@ -121,6 +134,9 @@ def syncasm(
             scg_update_utg_cov(scg)
             updated = scg_multiplex(scg, ra_db, max_n_scm, 10, 0.3)
             if verbose:
+                log_info(
+                    f"syncmer graph stats after multiplexing round {rounds}", func="syncasm"
+                )
                 scg_stat(scg, sys.stderr)
 
         ra_db = scg_read_alignment(read_db, scg, for_unzip=True, old_ra_db=ra_db)

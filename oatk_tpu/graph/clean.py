@@ -128,7 +128,7 @@ def drop_tip(
     if do_cleanup and cnt:
         g.finalize(True)
     if verbose:
-        log_info(f"dropped {cnt} tips", func="drop_tip")
+        log_info(f"dropped {cnt} tips", func="asmg_drop_tip")
     return cnt
 
 
@@ -170,7 +170,7 @@ def remove_weak_crosslink(
     if do_cleanup and cnt:
         g.finalize(True)
     if verbose:
-        log_info(f"dropped {cnt} weak cross links", func="remove_weak_crosslink")
+        log_info(f"dropped {cnt} weak cross links", func="asmg_remove_weak_crosslink")
     return cnt
 
 
@@ -345,5 +345,5 @@ def pop_bubble(
     if do_cleanup and n_pop:
         g.finalize(True)
     if verbose:
-        log_info(f"popped {n_pop} bubbles and trimmed {n_tip} short tips", func="pop_bubble")
+        log_info(f"popped {n_pop} bubbles and trimmed {n_tip} short tips", func="asmg_pop_bubble")
     return n_pop

@@ -52,7 +52,17 @@ def timed_stage(name: str):
     )
 
 
-def print_exit_stats(func: str = "main") -> None:
+VERSION = "1.0"
+
+
+def print_exit_stats(func: str = "main", with_cmd: bool = True) -> None:
+    """Version/CMD/time footer as printed by every reference binary
+    (/root/reference/run_syncasm.c:442-449, misc.c:129-154)."""
+    import sys as _sys
+
+    if with_cmd:
+        log_info(f"Version: {VERSION}", func=func)
+        log_info("CMD: " + " ".join([_sys.argv[0]] + _sys.argv[1:]), func=func)
     log_info(
         f"Real time: {time.time() - realtime0:.3f} sec; "
         f"CPU: {cputime():.3f} sec; "
