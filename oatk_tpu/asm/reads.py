@@ -174,8 +174,6 @@ def extract_all_syncmers(
                 s_mer=sel_smer[lo:hi],
                 k_mer=sel_kh[lo:hi].copy(),
             )
-    n_scm = db.total_syncmers()
-    log_info(f"collected {n_scm} syncmers from {len(records)} target sequence(s)", func="extract_all_syncmers")
     return db
 
 
@@ -295,10 +293,10 @@ def load_and_extract(
         db.reads.extend(reads)
         sid0 += keep
         if max_data and total_raw >= max_data:
-            log_info(f"data limit ({max_data}) reached", func="load_and_extract")
+            # message as /root/reference/syncmer.c:473,539
+            log_info(
+                f"data limit ({max_data}) reached. Discard the remaining sequences...",
+                func="sr_read",
+            )
             break
-    log_info(
-        f"collected {db.total_syncmers()} syncmers from {db.n} target sequence(s)",
-        func="load_and_extract",
-    )
     return db

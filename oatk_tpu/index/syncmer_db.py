@@ -20,7 +20,6 @@ import numpy as np
 
 from ..asm.reads import ReadDB
 from ..kernels.oracle import kmer_packed_bytes
-from ..utils import log_info, log_warn
 
 MAX_RD_SCM = 0x7FFFFFFF
 
@@ -114,8 +113,9 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
                     reps.append(b)
             if len(reps) > 1:
                 n_collision_clusters += 1
-        if n_collision_clusters:
-            log_warn(f"{n_collision_clusters} kmer hash collision cluster(s) resolved")
+        # collisions are resolved silently, as in the reference (the
+        # reference only reports them under DEBUG_CHECK_HASH_COLLISION,
+        # syncmer.c:1383) -- keeps -v stderr byte parity
 
     # assign global syncmer ids: clusters in sorted-hash order, sub-clusters
     # by first occurrence
@@ -163,5 +163,4 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
             off += n
 
     assert int(db.cov.sum()) == n_tot
-    log_info(f"{n_scm} distinct syncmers from {n_tot} occurrences", func="collect_syncmer_db")
     return db

@@ -133,6 +133,31 @@ def test_pathfinder_mito_and_pltd(tmp_path, rng):
     _run_both(tmp_path, gfa, mito_txt=mito, pltd_txt=pltd)
 
 
+def test_pathfinder_from_ec_unzip_assembly(tmp_path):
+    """Pathfinder parity on a GFA produced by an EC + 3-round-unzip
+    assembly with sequencing errors (VERDICT round-1 item 5)."""
+    rng = np.random.default_rng(21)  # seed chosen so the erroneous assembly is non-empty
+    a = random_genome(rng, 8000)
+    r = random_genome(rng, 2400)
+    b = random_genome(rng, 7000)
+    genome = a + r + b + r
+    reads = sample_reads(rng, genome, coverage=18, read_len=2300, err_rate=0.0015)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+    pref = tmp_path / "asm"
+    subprocess.run(
+        [str(REFBIN / "syncasm"), "-k", "151", "-s", "13", "-c", "3",
+         "--unzip-round", "3", "-o", str(pref), str(fa)],
+        check=True, capture_output=True,
+    )
+    gfa = f"{pref}.utg.final.gfa"
+    segs = _parse_gfa_segs(gfa)
+    hits = _scatter_genes(rng, segs, MITO_GENES)
+    mito = tmp_path / "mito.txt"
+    _write_tblout(mito, hits)
+    _run_both(tmp_path, gfa, mito_txt=mito)
+
+
 def test_pathfinder_repeat_graph(tmp_path, rng):
     # genome with repeat -> multi-unitig graph with copy numbers
     a = random_genome(rng, 9000)

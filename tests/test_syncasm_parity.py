@@ -63,6 +63,26 @@ def test_utg_gfa_parity_no_ec(tmp_path, seed, glen):
     _assert_gfa_equal(f"{ref_pref}.utg.final.gfa", f"{my_pref}.utg.final.gfa")
 
 
+@pytest.mark.parametrize(
+    "seed,ec,unzip",
+    [(21, True, 0), (22, False, 3), (23, True, 3)],
+    ids=["ec1-unzip0", "ec0-unzip3", "ec1-unzip3"],
+)
+def test_utg_gfa_parity_ec_unzip(tmp_path, seed, ec, unzip):
+    """EC/unzip-on parity in the fast suite (VERDICT round-1 item 5):
+    exercises asm/ec.py (C13) and asm/unzip.py (C15) against the
+    reference with sequencing errors so EC has real work to do."""
+    rng = np.random.default_rng(seed)
+    a = random_genome(rng, 7000)
+    r = random_genome(rng, 2200)
+    b = random_genome(rng, 6000)
+    genome = a + r + b + r  # repeat so unzip engages
+    reads = sample_reads(rng, genome, coverage=14, read_len=2200, err_rate=0.002)
+    ref_pref, my_pref = _run_pair(tmp_path, reads, k=251, s=17, c=3, ec=ec, unzip=unzip)
+    _assert_gfa_equal(f"{ref_pref}.utg.gfa", f"{my_pref}.utg.gfa")
+    _assert_gfa_equal(f"{ref_pref}.utg.final.gfa", f"{my_pref}.utg.final.gfa")
+
+
 def test_utg_gfa_parity_with_repeat(tmp_path):
     # genome with an exact long repeat creating a junction
     rng = np.random.default_rng(9)
