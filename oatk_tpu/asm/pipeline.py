@@ -62,8 +62,20 @@ def syncasm(
     out: str = "syncasm.asm",
     use_device: bool = True,
     verbose: int = 0,
+    shards: int = 0,
 ) -> SyncasmResult:
-    read_db = load_reads(files, k, s, max_data, use_device)
+    collector = None
+    if shards > 1:
+        # multi-chip path: data-parallel extraction + hash-range-routed
+        # occurrence sharding over a device mesh (dist/sharded_db.py);
+        # produces a byte-identical SyncmerDB to the host path
+        from ..dist.sharded_db import load_and_extract_sharded
+        from ..dist.sharding import make_mesh
+
+        mesh = make_mesh(shards)
+        read_db, collector = load_and_extract_sharded(files, k, s, mesh, max_data)
+    else:
+        read_db = load_reads(files, k, s, max_data, use_device)
     log_info(f"collected syncmers from {read_db.n} target sequence(s)", func="syncasm")
     read_db_stat(read_db, sys.stderr, verbose)
 
@@ -73,7 +85,7 @@ def syncasm(
         min_k_cov = het * 10 if het > 0 else hom * 10
         log_info(f"set minimum kmer coverage as {min_k_cov}", func="syncasm")
 
-    scm_db = collect_syncmer_db(read_db)
+    scm_db = collector.build(read_db) if collector is not None else collect_syncmer_db(read_db)
     if scm_db is None:
         log_error("no syncmers collected", func="syncasm")
         return SyncasmResult(read_db, None, None)

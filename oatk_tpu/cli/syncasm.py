@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("--unzip-round", type=int, default=3)
     p.add_argument("--no-read-ec", action="store_true")
     p.add_argument("--cpu", action="store_true", help="run extraction on host CPU oracle")
+    p.add_argument(
+        "--shards", type=int, default=0,
+        help="shard extraction+counting over this many mesh devices [off]",
+    )
     p.add_argument("-v", "--verbose", type=int, default=0)
     return p
 
@@ -45,6 +49,7 @@ def main(argv=None):
         max_data=args.D,
         out=args.o,
         verbose=args.verbose,
+        shards=args.shards,
     )
     if res.scg is None:
         sys.stderr.write("[E::main] failed to construct assembly\n")

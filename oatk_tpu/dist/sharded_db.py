@@ -1,0 +1,395 @@
+"""Production multi-chip syncmer collection: data-parallel extraction +
+hash-range-sharded occurrence store feeding the real assembly pipeline.
+
+This is the distributed replacement for the reference's global qsort of
+128-bit (kmerhash<<64 | sid<<32 | idx<<1 | rev) keys
+(/root/reference/syncmer.c:1397-1451):
+
+- reads are sharded over the mesh axis; each chip extracts closed
+  syncmers from its read shard (the same kernel as the single-device
+  path, so hashes/positions are bit-identical);
+- every occurrence is routed to its *owner* chip with an all_to_all,
+  ownership = top bits of the k-mer hash, so chips own ascending
+  disjoint hash ranges;
+- owner chips append received (hash, low) pairs into a device-resident
+  buffer across batches (the streaming analogue of the reference
+  accumulating `s_mer_pos_v`);
+- finalize does ONE per-chip 2-key sort (lax.sort on (hash, low)):
+  because ownership ranges are monotone in hash, concatenating the
+  per-chip sorted runs in chip order reproduces the reference's total
+  128-bit sort order exactly -- global syncmer ids then follow from an
+  exclusive scan of per-chip cluster counts, which is precisely what
+  :func:`oatk_tpu.index.syncmer_db.build_db_from_sorted` computes over
+  the concatenated runs.
+
+Exact-sequence hash-collision resolution happens on the host inside
+``build_db_from_sorted`` (it needs the packed read bytes); the sharded
+and single-device paths share that code, so the resulting SyncmerDB --
+ids, coverage, position lists, per-read k_mer rewrite -- is
+byte-identical by construction, which the tests assert end-to-end via
+GFA byte parity.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..index.syncmer_db import SyncmerDB, build_db_from_sorted, flatten_occurrences
+
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _owner_bits(n_shards: int) -> int:
+    return max(1, (n_shards - 1).bit_length())
+
+
+@partial(
+    jax.jit,
+    static_argnames=("w", "s", "max_out", "bucket_cap", "mesh"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def _sharded_extract_route_step(
+    seq,  # [D, b, L] uint8 ASCII, read-sharded
+    lens,  # [D, b] int32
+    sids,  # [D, b] int64 global read ids
+    hbuf,  # [D, cap] uint64 carry: owned hashes (U64_MAX = empty)
+    lbuf,  # [D, cap] uint64 carry: owned lows
+    nbuf,  # [D] int32 carry: fill level
+    ndrop,  # [D] int32 carry: dropped (capacity overflow) count
+    w: int,
+    s: int,
+    max_out: int,
+    bucket_cap: int,
+    mesh,
+):
+    """One sharded extract + route + append step (jit, collectives on ICI).
+
+    Returns (packed[D,3,max_out+1], hbuf, lbuf, nbuf, ndrop): packed is
+    the per-shard single-transfer extraction result for host-side
+    ReadDB assembly; the carries accumulate owner-routed occurrences.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.syncmer import extract_syncmers_batch
+
+    D = mesh.devices.size
+    ax = mesh.axis_names[0]
+    bits = _owner_bits(D)
+    cap = hbuf.shape[1]
+
+    def step(seq_l, lens_l, sids_l, hb, lb, nb, dr):
+        seq_l, lens_l, sids_l = seq_l[0], lens_l[0], sids_l[0]
+        hb, lb = hb[0], lb[0]
+        n0, dropped = nb[0], dr[0]
+
+        out = extract_syncmers_batch(seq_l, lens_l, w, s, max_out, return_hoco=False)
+        khash = out["sel_khash"].astype(jnp.uint64)
+        valid = out["valid"]
+        sel_b = out["sel_b"]  # sorted ascending; == B for invalid lanes
+        sel_z = out["sel_z"].astype(jnp.uint64)
+
+        # global (sid, idx, rev) per occurrence; idx = rank within read
+        # (flat order is (read, position) ascending == emission order)
+        first = jnp.searchsorted(sel_b, sel_b)
+        idx = (jnp.arange(max_out, dtype=jnp.int64) - first).astype(jnp.uint64)
+        sid = sids_l[jnp.where(valid, sel_b, 0)].astype(jnp.uint64)
+        low = (sid << jnp.uint64(32)) | (idx << jnp.uint64(1)) | sel_z
+        low = jnp.where(valid, low, U64_MAX)
+        khash = jnp.where(valid, khash, U64_MAX)
+
+        # owner = top hash bits -> ascending disjoint hash ranges
+        owner = (khash >> jnp.uint64(64 - bits)).astype(jnp.int32)
+        owner = jnp.minimum(owner, D - 1)
+        owner = jnp.where(valid, owner, D)  # invalid -> dropped lane
+
+        # fixed-capacity routing buckets [D, bucket_cap]
+        order = jnp.argsort(owner, stable=True)
+        so, sh_, slw = owner[order], khash[order], low[order]
+        start = jnp.searchsorted(so, jnp.arange(D, dtype=jnp.int32))
+        end = jnp.searchsorted(so, jnp.arange(1, D + 1, dtype=jnp.int32))
+        cnt = end - start
+        dropped = dropped + jnp.sum(jnp.maximum(cnt - bucket_cap, 0))
+        pos = start[:, None] + jnp.arange(bucket_cap)[None, :]
+        in_r = jnp.arange(bucket_cap)[None, :] < jnp.minimum(cnt, bucket_cap)[:, None]
+        safe = jnp.clip(pos, 0, max_out - 1)
+        bkt_h = jnp.where(in_r, sh_[safe], U64_MAX)
+        bkt_l = jnp.where(in_r, slw[safe], U64_MAX)
+
+        # exchange: bucket d of every shard lands on shard d
+        recv_h = lax.all_to_all(bkt_h[None], ax, split_axis=1, concat_axis=0).reshape(-1)
+        recv_l = lax.all_to_all(bkt_l[None], ax, split_axis=1, concat_axis=0).reshape(-1)
+
+        # compact valid-first (preserve order) and append at fill level
+        rvalid = recv_l != U64_MAX
+        n_recv = jnp.sum(rvalid, dtype=jnp.int32)
+        corder = jnp.argsort(~rvalid, stable=True)
+        ch, cl = recv_h[corder], recv_l[corder]
+        # append; buffers carry D*bucket_cap slack so a clamped write
+        # start of (cap_data) stays in bounds
+        wr = jnp.minimum(n0, cap - ch.shape[0]).astype(jnp.int32)
+        hb = lax.dynamic_update_slice(hb, ch, (wr,))
+        lb = lax.dynamic_update_slice(lb, cl, (wr,))
+        n1 = n0 + n_recv
+        dropped = dropped + jnp.maximum(n1 - (cap - ch.shape[0]), 0) - jnp.maximum(
+            n0 - (cap - ch.shape[0]), 0
+        )
+        return (
+            out["packed"][None],
+            hb[None],
+            lb[None],
+            n1[None],
+            dropped[None],
+        )
+
+    shard_map = jax.shard_map
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(ax, None, None),
+            P(ax, None),
+            P(ax, None),
+            P(ax, None),
+            P(ax, None),
+            P(ax),
+            P(ax),
+        ),
+        out_specs=(P(ax, None, None), P(ax, None), P(ax, None), P(ax), P(ax)),
+        check_vma=False,
+    )(seq, lens, sids, hbuf, lbuf, nbuf, ndrop)
+
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0, 1))
+def _sharded_finalize_sort(hbuf, lbuf, mesh):
+    """Per-shard 2-key sort of the accumulated (hash, low) pairs.
+
+    Invalid slots are (U64_MAX, U64_MAX) and sort to the end of each
+    shard's run."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+
+    def srt(hb, lb):
+        h, l = lax.sort((hb[0], lb[0]), num_keys=2)
+        return h[None], l[None]
+
+    return jax.shard_map(
+        srt,
+        mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None)),
+        out_specs=(P(ax, None), P(ax, None)),
+        check_vma=False,
+    )(hbuf, lbuf)
+
+
+@dataclass
+class ShardedSyncmerCollector:
+    """Accumulates hash-routed syncmer occurrences on a device mesh and
+    builds the SyncmerDB at finalize."""
+
+    mesh: object
+    w: int
+    s: int
+    shard_cap: int  # per-shard data capacity (occurrences owned)
+    bucket_cap: int  # per-(shard, dest) routing capacity per step
+    _state: tuple | None = field(default=None, repr=False)
+    n_steps: int = 0
+
+    def _init_state(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        D = self.mesh.devices.size
+        ax = self.mesh.axis_names[0]
+        cap = self.shard_cap + D * self.bucket_cap  # slack for clamped writes
+        sh2 = NamedSharding(self.mesh, P(ax, None))
+        sh1 = NamedSharding(self.mesh, P(ax))
+        hbuf = jax.device_put(jnp.full((D, cap), U64_MAX, jnp.uint64), sh2)
+        lbuf = jax.device_put(jnp.full((D, cap), U64_MAX, jnp.uint64), sh2)
+        nbuf = jax.device_put(jnp.zeros(D, jnp.int32), sh1)
+        ndrop = jax.device_put(jnp.zeros(D, jnp.int32), sh1)
+        self._state = (hbuf, lbuf, nbuf, ndrop)
+
+    def add_batch(self, seq: np.ndarray, lens: np.ndarray, sids: np.ndarray, max_out: int):
+        """Extract + route one read batch.  seq [B, L] with B divisible by
+        the mesh size (pad with lens=0 rows).  Returns the per-shard
+        packed extraction results [D, 3, max_out+1] (host np array)."""
+        if self._state is None:
+            self._init_state()
+        D = self.mesh.devices.size
+        B = seq.shape[0]
+        assert B % D == 0, "batch rows must be divisible by the mesh size"
+        b = B // D
+        packed, hbuf, lbuf, nbuf, ndrop = _sharded_extract_route_step(
+            seq.reshape(D, b, -1),
+            lens.reshape(D, b),
+            sids.reshape(D, b),
+            *self._state,
+            w=self.w,
+            s=self.s,
+            max_out=max_out,
+            bucket_cap=self.bucket_cap,
+            mesh=self.mesh,
+        )
+        self._state = (hbuf, lbuf, nbuf, ndrop)
+        self.n_steps += 1
+        return np.asarray(jax.device_get(packed))
+
+    def build(self, read_db) -> SyncmerDB | None:
+        """Finalize: per-shard sort, gather runs in shard order (= global
+        128-bit key order), and build the DB with the shared host code.
+
+        Cross-checks the carry against the assembled ReadDB: per-shard
+        valid counts must sum to the total occurrence count and no
+        routing/append drops may have occurred."""
+        if self._state is None or read_db.total_syncmers() == 0:
+            return None
+        hbuf, lbuf, nbuf, ndrop = self._state
+        n_per_shard = np.asarray(jax.device_get(nbuf))
+        drops = int(np.asarray(jax.device_get(ndrop)).sum())
+        if drops:
+            raise RuntimeError(
+                f"sharded syncmer routing dropped {drops} occurrences; "
+                f"raise shard_cap/bucket_cap"
+            )
+        hs, ls = _sharded_finalize_sort(hbuf, lbuf, mesh=self.mesh)
+        self._state = None
+        hs = np.asarray(jax.device_get(hs))
+        ls = np.asarray(jax.device_get(ls))
+
+        # concatenate per-shard sorted runs in shard order; global ids =
+        # exclusive scan of shard counts + local cluster index, realized
+        # by building over the concatenation
+        sh = np.concatenate([hs[d, : n_per_shard[d]] for d in range(len(n_per_shard))])
+        sl = np.concatenate([ls[d, : n_per_shard[d]] for d in range(len(n_per_shard))])
+
+        n_tot = read_db.total_syncmers()
+        if len(sh) != n_tot:
+            raise RuntimeError(
+                f"sharded collector holds {len(sh)} occurrences, ReadDB has {n_tot}"
+            )
+        # smer payloads + per-read bases from the assembled ReadDB (the
+        # sequence bytes live host-side for collision resolution anyway)
+        _, _, smers, base = flatten_occurrences(read_db)
+        sid = (sl >> np.uint64(32)).astype(np.int64)
+        idx = ((sl >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        ss = smers[base[sid] + idx]
+        return build_db_from_sorted(read_db, sh, sl, ss, base)
+
+
+def load_and_extract_sharded(
+    paths: list[str],
+    w: int,
+    s: int,
+    mesh,
+    max_data: int = 0,
+    batch_bases: int = 8 << 20,
+):
+    """Multi-chip analogue of :func:`oatk_tpu.asm.reads.load_and_extract`:
+    reads stream through the mesh in length-bucketed batches, extraction
+    runs data-parallel per shard, occurrences are hash-routed to owner
+    shards, and the host assembles the per-read view from the per-shard
+    extraction results.
+
+    Returns (ReadDB, ShardedSyncmerCollector); call ``collector.build``
+    after read stats to obtain the SyncmerDB (matching the reference's
+    stage order: sr_db_stat runs on raw hashes before
+    collect_syncmer_from_reads rewrites them, run_syncasm.c:88-103).
+    """
+    from ..asm.reads import ReadDB, _round_up, _unpack_packed
+    from ..io.fastx import read_fastx
+    from ..kernels.oracle import ReadSyncmers, hoco_compress_np
+
+    D = mesh.devices.size
+    records = read_fastx(paths, max_data)
+    db = ReadDB(k=w, s=s)
+    db.reads = [None] * len(records)  # type: ignore
+    hoco = [hoco_compress_np(rec.seq) for rec in records]
+
+    # rough global occurrence bound for the carry capacity: ~1 syncmer
+    # per (w-s)/3 hoco bases, doubled for skew across hash ranges
+    total_bases = sum(len(rec.seq) for rec in records)
+    est = int(total_bases / max(4, (w - s) // 3)) + 1024
+    shard_cap = _round_up(2 * est // D + 4096, 1024)
+
+    buckets: dict[int, list[int]] = {}
+    for i, rec in enumerate(records):
+        L = max(len(rec.seq), w + 4)
+        Lp = max(512, 1 << int(np.ceil(np.log2(L))))
+        buckets.setdefault(Lp, []).append(i)
+
+    # chunk plan first: the routing bucket capacity is static per
+    # collector and must cover the worst single-chunk skew (everything
+    # on one shard routed to one owner)
+    plan = []
+    for Lp, idxs in sorted(buckets.items()):
+        bsz = _round_up(max(D, batch_bases // Lp), D)
+        for start in range(0, len(idxs), bsz):
+            chunk = idxs[start : start + bsz]
+            B = _round_up(len(chunk), D)
+            max_out = _round_up(
+                max(1024, int((B // D) * Lp / max(4, (w - s) // 3)) * 2), 1024
+            )
+            plan.append((Lp, chunk, B, max_out))
+
+    collector = None
+    if plan:
+        collector = ShardedSyncmerCollector(
+            mesh=mesh, w=w, s=s, shard_cap=shard_cap,
+            bucket_cap=max(p[3] for p in plan),
+        )
+    for Lp, chunk, B, max_out in plan:
+            seq = np.zeros((B, Lp), dtype=np.uint8)
+            lens = np.zeros(B, dtype=np.int32)
+            sids = np.zeros(B, dtype=np.int64)
+            for bi, ri in enumerate(chunk):
+                sq = records[ri].seq
+                seq[bi, : len(sq)] = sq
+                lens[bi] = len(sq)
+                sids[bi] = records[ri].sid
+            packed = collector.add_batch(seq, lens, sids, max_out)
+
+            bpd = B // D
+            for d in range(D):
+                pk = packed[d]
+                n_sel = int(pk[0, max_out])
+                if n_sel > max_out:
+                    raise RuntimeError(
+                        f"sharded extraction overflow on shard {d}: "
+                        f"{n_sel} > {max_out}; raise batch capacity"
+                    )
+                sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
+                cuts = np.searchsorted(sel_b, np.arange(bpd + 1))
+                for bl in range(bpd):
+                    gi = d * bpd + bl
+                    if gi >= len(chunk):
+                        continue
+                    ri = chunk[gi]
+                    lo, hi = cuts[bl], cuts[bl + 1]
+                    code, ho_rl, is_n = hoco[ri]
+                    db.reads[ri] = ReadSyncmers(
+                        sid=records[ri].sid,
+                        name=records[ri].name,
+                        hoco_l=len(code),
+                        hoco_code=code,
+                        ho_rl=ho_rl,
+                        is_n=is_n,
+                        m_pos=(
+                            (sel_p[lo:hi].astype(np.uint32) << 1)
+                            | sel_z[lo:hi].astype(np.uint32)
+                        ),
+                        s_mer=sel_smer[lo:hi].astype(np.uint64),
+                        k_mer=sel_kh[lo:hi].copy(),
+                    )
+    if collector is None:  # no reads at all
+        collector = ShardedSyncmerCollector(
+            mesh=mesh, w=w, s=s, shard_cap=1024, bucket_cap=1024
+        )
+    return db, collector

@@ -5,12 +5,22 @@ keys plus per-cluster exact-sequence collision resolution
 (/root/reference/syncmer.c:1270-1451).
 
 Design: occurrences across all reads are flattened to (hash, low) key
-pairs and sorted (device sort / np.lexsort); equal-hash runs become
-clusters.  Hash collisions between *different* k-mer sequences are
-detected with an exact packed-sequence comparison inside each cluster
-(vectorized against the cluster head, rare slow path on mismatch).
-Syncmer ids follow the sorted-hash / first-occurrence order, matching
-the reference's id assignment exactly.
+pairs and sorted; equal-hash runs become clusters.  Hash collisions
+between *different* k-mer sequences are detected with an exact
+packed-sequence comparison inside each cluster (vectorized against the
+cluster head, rare slow path on mismatch).  Syncmer ids follow the
+sorted-hash / first-occurrence order, matching the reference's id
+assignment exactly.
+
+Two front-ends share the cluster/id/position-list builder
+(:func:`build_db_from_sorted`):
+
+- :func:`collect_syncmer_db` -- single-process host lexsort.
+- ``oatk_tpu.dist.sharded_db`` -- multi-chip path: every occurrence is
+  routed to its hash-range owner shard on device, each shard sorts its
+  slice, and the concatenated per-shard runs ARE the global sort order
+  (ranges partition hash space monotonically), so both paths feed
+  byte-identical input here.
 """
 from __future__ import annotations
 
@@ -46,17 +56,22 @@ def _packed_kmer_of(read_db: ReadDB, sid: int, idx: int, rev: int) -> bytes:
     return kmer_packed_bytes(r.hoco_code, None, pos, read_db.k, rev).tobytes()
 
 
-def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
-    """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1."""
-    n_tot = read_db.total_syncmers()
-    if n_tot == 0:
-        return None
+def flatten_occurrences(read_db: ReadDB):
+    """Flatten per-read syncmer arrays to parallel (hash, low, smer)
+    arrays plus per-read base offsets into the flat order.
 
+    low = sid<<32 | idx<<1 | rev  -- the low 64 bits of the reference's
+    128-bit sort key (/root/reference/syncmer.c:1419).
+    """
+    n_tot = read_db.total_syncmers()
     hashes = np.empty(n_tot, dtype=np.uint64)
     lows = np.empty(n_tot, dtype=np.uint64)
+    smers = np.empty(n_tot, dtype=np.uint64)
+    base = np.zeros(read_db.n + 1, dtype=np.int64)
     off = 0
     for r in read_db.reads:
         n = r.n
+        base[r.sid] = off
         if n == 0:
             continue
         hashes[off : off + n] = r.k_mer
@@ -66,29 +81,32 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
             | (idx << np.uint64(1))
             | (r.m_pos.astype(np.uint64) & np.uint64(1))
         )
+        smers[off : off + n] = r.s_mer
         off += n
+    base[read_db.n] = off
+    return hashes, lows, smers, base
 
-    order = np.lexsort((lows, hashes))
-    sh = hashes[order]
-    sl = lows[order]
+
+def build_db_from_sorted(
+    read_db: ReadDB,
+    sh: np.ndarray,  # [n_tot] uint64 hashes, globally sorted by (hash, low)
+    sl: np.ndarray,  # [n_tot] uint64 lows, co-sorted
+    ss: np.ndarray,  # [n_tot] uint64 smer payloads, co-sorted
+    base: np.ndarray,  # [n_reads+1] int64 per-read offsets into flat order
+) -> SyncmerDB:
+    """Cluster sorted occurrences, resolve hash collisions by exact
+    sequence, assign global syncmer ids in sorted order, build position
+    lists, and rewrite per-read k_mer from hash to syncmer id<<1."""
+    n_tot = len(sh)
 
     # cluster boundaries on hash
     starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
     ends = np.concatenate([starts[1:], [n_tot]])
 
-    # exact-sequence collision check: compare each member to its cluster head.
-    # Sequences are identified lazily via (sid, idx) -> packed bytes; the
-    # vectorized proxy first compares s-mer payloads (identical k-mers
-    # always share the canonical s-mer), escalating to byte comparison
-    # only on mismatch -- in practice never.
-    smers = np.empty(n_tot, dtype=np.uint64)
-    off = 0
-    for r in read_db.reads:
-        n = r.n
-        if n:
-            smers[off : off + n] = r.s_mer
-            off += n
-    ss = smers[order]
+    # exact-sequence collision check: compare each member to its cluster
+    # head.  The vectorized proxy first compares s-mer payloads
+    # (identical k-mers always share the canonical s-mer), escalating to
+    # byte comparison only on mismatch -- in practice never.
     head_of = np.repeat(starts, ends - starts)
     suspicious = ss != ss[head_of]
 
@@ -151,16 +169,27 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
     for i in range(n_scm):
         db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]].copy()
 
-    # verify smer consistency within clusters (reference exits on mismatch)
-    # rewrite read k_mer: hash -> syncmer id << 1
+    # rewrite read k_mer: hash -> syncmer id << 1, scattered back to the
+    # per-read flat order via (sid, idx)
+    sid_all = (sl >> np.uint64(32)).astype(np.int64)
+    idx_all = ((sl >> np.uint64(1)) & np.uint64(MAX_RD_SCM)).astype(np.int64)
     new_kmer = np.empty(n_tot, dtype=np.uint64)
-    new_kmer[order] = (gid.astype(np.uint64)) << np.uint64(1)
-    off = 0
+    new_kmer[base[sid_all] + idx_all] = gid.astype(np.uint64) << np.uint64(1)
     for r in read_db.reads:
         n = r.n
         if n:
+            off = base[r.sid]
             r.k_mer = new_kmer[off : off + n].copy()
-            off += n
 
     assert int(db.cov.sum()) == n_tot
     return db
+
+
+def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
+    """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1."""
+    n_tot = read_db.total_syncmers()
+    if n_tot == 0:
+        return None
+    hashes, lows, smers, base = flatten_occurrences(read_db)
+    order = np.lexsort((lows, hashes))
+    return build_db_from_sorted(read_db, hashes[order], lows[order], smers[order], base)
