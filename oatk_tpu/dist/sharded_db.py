@@ -46,6 +46,20 @@ def _owner_bits(n_shards: int) -> int:
     return max(1, (n_shards - 1).bit_length())
 
 
+def _dget(x) -> np.ndarray:
+    """Fetch a (possibly multi-host sharded) device array to every host.
+
+    Single-process: plain device_get.  Multi-process (jax.distributed):
+    shards owned by remote hosts are not addressable, so gather them
+    over DCN first -- every process then assembles the same host-side
+    state, keeping the pipeline SPMD outside device code."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 @partial(
     jax.jit,
     static_argnames=("w", "s", "max_out", "bucket_cap", "mesh"),
@@ -240,7 +254,7 @@ class ShardedSyncmerCollector:
         )
         self._state = (hbuf, lbuf, nbuf, ndrop)
         self.n_steps += 1
-        return np.asarray(jax.device_get(packed))
+        return _dget(packed)
 
     def build(self, read_db) -> SyncmerDB | None:
         """Finalize: per-shard sort, gather runs in shard order (= global
@@ -252,8 +266,8 @@ class ShardedSyncmerCollector:
         if self._state is None or read_db.total_syncmers() == 0:
             return None
         hbuf, lbuf, nbuf, ndrop = self._state
-        n_per_shard = np.asarray(jax.device_get(nbuf))
-        drops = int(np.asarray(jax.device_get(ndrop)).sum())
+        n_per_shard = _dget(nbuf)
+        drops = int(_dget(ndrop).sum())
         if drops:
             raise RuntimeError(
                 f"sharded syncmer routing dropped {drops} occurrences; "
@@ -261,8 +275,8 @@ class ShardedSyncmerCollector:
             )
         hs, ls = _sharded_finalize_sort(hbuf, lbuf, mesh=self.mesh)
         self._state = None
-        hs = np.asarray(jax.device_get(hs))
-        ls = np.asarray(jax.device_get(ls))
+        hs = _dget(hs)
+        ls = _dget(ls)
 
         # concatenate per-shard sorted runs in shard order; global ids =
         # exclusive scan of shard counts + local cluster index, realized
