@@ -27,6 +27,21 @@ _jax.config.update("jax_enable_x64", True)
 # processes makes repeat CLI invocations start in seconds.
 import os as _os
 
+# Disable numpy's MADV_HUGEPAGE on large allocations.  On kernels where
+# transparent hugepages are slow to fault/collapse (measured here: first
+# touch of a THP-advised region runs ~150x slower than 4K pages -- 30 s
+# vs 0.2 s per 200 MB), every fresh large array pays a massive hidden
+# tax; the assembler's host stages are allocation-heavy (flat
+# concatenations, read batches), so this single switch dominates
+# end-to-end wall clock.  Runtime switch (not the NUMPY_MADVISE_HUGEPAGE
+# env var) so it works regardless of import order.
+try:
+    from numpy._core.multiarray import _set_madvise_hugepage as _smh
+except ImportError:  # pragma: no cover - numpy < 2
+    from numpy.core.multiarray import _set_madvise_hugepage as _smh
+if _os.environ.get("OATK_TPU_HUGEPAGE", "0") != "1":
+    _smh(False)
+
 _cache_dir = _os.environ.get("OATK_TPU_CACHE", "/tmp/oatk_tpu_jax_cache")
 # CPU-only runs skip the cache: XLA:CPU persists AOT code whose machine
 # features may not match a later host (it warns about possible SIGILL),
