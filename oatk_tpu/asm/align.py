@@ -228,6 +228,58 @@ def _align_one(
     return out, max_score
 
 
+def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray):
+    """Anchor arrays for the gated reads, concatenated and sorted per
+    read by (uid, spos, upos) -- the exact order _align_one works in."""
+    idx = scg.idx
+    uid_l, upos_l, spos_l, rid_l = [], [], [], []
+    for gi, sid in enumerate(sids):
+        r = read_db.reads[sid]
+        s_arr = (r.k_mer >> np.uint64(1)).astype(np.int64)
+        lo = idx.start[s_arr]
+        cnt = idx.start[s_arr + 1] - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        j_rep = np.repeat(np.arange(r.n, dtype=np.int64), cnt)
+        off0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        o_idx = np.repeat(lo - off0, cnt) + np.arange(tot, dtype=np.int64)
+        u = idx.uid[o_idx]
+        p = idx.pos[o_idx]
+        rj = (r.m_pos.astype(np.int64) & 1)[j_rep]
+        t_rev = idx.rev[o_idx] ^ rj
+        uid_l.append((u << 1) | t_rev)
+        upos_l.append(np.where(t_rev == 1, ulen[u] - p - 1, p))
+        spos_l.append(j_rep)
+        rid_l.append(np.full(tot, gi, np.int64))
+    if not uid_l:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros(len(sids) + 1, np.int64)
+    uid = np.concatenate(uid_l)
+    upos = np.concatenate(upos_l)
+    spos = np.concatenate(spos_l)
+    rid = np.concatenate(rid_l)
+    order = np.lexsort((upos, spos, uid, rid))
+    uid, upos, spos, rid = uid[order], upos[order], spos[order], rid[order]
+    aoff = np.searchsorted(rid, np.arange(len(sids) + 1, dtype=np.int64)).astype(np.int64)
+    return (
+        np.ascontiguousarray(uid, np.int64),
+        np.ascontiguousarray(upos, np.int64),
+        np.ascontiguousarray(spos, np.int64),
+        aoff,
+    )
+
+
+def _arc_table(g):
+    """(sorted keys v<<32|w, aln values) for live arcs; duplicates keep
+    the lowest storage index, matching asmg.arc_idx's scan order."""
+    g._flush_pending()
+    live = np.flatnonzero(~g.adel)
+    keys = (g.av[live].astype(np.uint64) << np.uint64(32)) | g.aw[live].astype(np.uint64)
+    uk, first = np.unique(keys, return_index=True)
+    return np.ascontiguousarray(uk), np.ascontiguousarray(g.aln[live[first]].astype(np.int64))
+
+
 def scg_read_alignment(
     read_db: ReadDB, scg: Scg, for_unzip: bool = False, old_ra_db: list | None = None
 ) -> list[ReadAln]:
@@ -252,20 +304,51 @@ def scg_read_alignment(
     for r in read_db.reads:
         if r.n > 0:
             n_mappable += 1
-        if (old_ra[r.sid] & 1) == 0 or r.n == 0:
-            continue
-        chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1, ulen)
-        n_a = len(chains)
-        if n_a == 0:
-            continue
-        n_mapped += 1
-        if n_a == 1:
-            n_unique += 1
-        for ch in chains:
-            frags = [
-                RaFrag(f["uid"], f["u_beg"], f["u_end"], f["s_beg"], f["s_end"]) for f in ch
-            ]
-            ra_db.append(ReadAln(r.sid, frags, 1.0 / n_a + max_score))
+
+    from .. import native
+
+    sids = [r.sid for r in read_db.reads if (old_ra[r.sid] & 1) and r.n > 0]
+    if native.available() and sids:
+        uid, upos, spos, aoff = _batch_anchors(read_db, scg, sids, ulen)
+        n_scm = np.fromiter((read_db.reads[s].n for s in sids), np.int64, count=len(sids))
+        min_sc = (old_ra[np.asarray(sids, np.int64)] >> 1).astype(np.int64)
+        arc_key, arc_aln = _arc_table(g)
+        res = native.align_batch(uid, upos, spos, aoff, n_scm, min_sc, ulen, arc_key, arc_aln)
+        out_frag, chain_cut, read_cut, max_score = res
+        for gi, sid in enumerate(sids):
+            c0, c1 = int(read_cut[gi]), int(read_cut[gi + 1])
+            n_a = c1 - c0
+            if n_a == 0:
+                continue
+            n_mapped += 1
+            if n_a == 1:
+                n_unique += 1
+            ms = int(max_score[gi])
+            for c in range(c0, c1):
+                f0, f1 = int(chain_cut[c]), int(chain_cut[c + 1])
+                frags = [
+                    RaFrag(
+                        int(out_frag[t, 0]), int(out_frag[t, 1]), int(out_frag[t, 2]),
+                        int(out_frag[t, 3]), int(out_frag[t, 4]),
+                    )
+                    for t in range(f0, f1)
+                ]
+                ra_db.append(ReadAln(sid, frags, 1.0 / n_a + ms))
+    else:
+        for sid in sids:
+            r = read_db.reads[sid]
+            chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1, ulen)
+            n_a = len(chains)
+            if n_a == 0:
+                continue
+            n_mapped += 1
+            if n_a == 1:
+                n_unique += 1
+            for ch in chains:
+                frags = [
+                    RaFrag(f["uid"], f["u_beg"], f["u_end"], f["s_beg"], f["s_end"]) for f in ch
+                ]
+                ra_db.append(ReadAln(r.sid, frags, 1.0 / n_a + max_score))
     log_info(
         f"{n_mappable} mappable reads, {n_mapped} mapped ({n_unique} unique mapping)",
         func="scg_read_alignment",

@@ -33,6 +33,16 @@ def scg_update_utg_cov(scg: Scg):
 def _find_lcs(s_scm: np.ndarray, u_scm: np.ndarray, offset: int) -> list[tuple[int, int]]:
     """Longest-common-subsequence match blocks between the read syncmer
     ids and a unitig syncmer list; returns [(start_in_read, length)]."""
+    from .. import native
+
+    if native.available():
+        blocks = native.find_lcs_native(
+            np.ascontiguousarray(s_scm, np.int64),
+            np.ascontiguousarray(u_scm, np.int64),
+            offset,
+        )
+        if blocks is not None:
+            return [(int(b), int(n)) for b, n in blocks]
     s_ids = s_scm
     u_ids = u_scm
     s_n, u_n = len(s_ids), len(u_ids)

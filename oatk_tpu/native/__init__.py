@@ -21,6 +21,7 @@ _SRCS = [
     os.path.join(_HERE, "fastx_hoco.c"),
     os.path.join(_HERE, "wavefront.c"),
     os.path.join(_HERE, "consensus.c"),
+    os.path.join(_HERE, "align.c"),
 ]
 _lib = None
 _build_failed = False
@@ -84,6 +85,21 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.align_batch.restype = ctypes.c_int64
+        lib.align_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.find_lcs.restype = ctypes.c_int64
+        lib.find_lcs.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
         _lib = lib
     except Exception:
@@ -182,6 +198,65 @@ def scm_consensus_fill(
         1 if need_rl else 0, len(code_flat), base_out.ctypes.data,
         totrl_out.ctypes.data if totrl_out is not None else None,
     )
+
+
+def align_batch(
+    uid, upos, spos, aoff, n_scm, min_score, ulen, arc_key, arc_aln,
+):
+    """Batched read->graph fragment chaining (native/align.c).
+
+    Anchors pre-sorted per read by (uid, spos, upos), reads delimited by
+    aoff.  Returns (frags[N,6] i64, chain_cut, read_cut, max_score) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_reads = len(aoff) - 1
+    cap_frag = max(4096, 4 * len(uid) + 64)
+    cap_chain = max(1024, 2 * n_reads + 64)
+    while True:
+        out_frag = np.empty((cap_frag, 6), np.int64)
+        chain_cut = np.empty(cap_chain + 1, np.int64)
+        read_cut = np.empty(n_reads + 1, np.int64)
+        max_score = np.empty(n_reads, np.int64)
+        ret = lib.align_batch(
+            uid.ctypes.data, upos.ctypes.data, spos.ctypes.data,
+            aoff.ctypes.data, n_reads,
+            n_scm.ctypes.data, min_score.ctypes.data, ulen.ctypes.data,
+            arc_key.ctypes.data, arc_aln.ctypes.data, len(arc_key),
+            out_frag.ctypes.data, chain_cut.ctypes.data,
+            read_cut.ctypes.data, max_score.ctypes.data,
+            cap_frag, cap_chain,
+        )
+        if ret == -2:
+            raise MemoryError("align_batch: allocation failure")
+        if ret >= 0:
+            n_chain = int(read_cut[n_reads])
+            return (
+                out_frag[: int(ret)],
+                chain_cut[: n_chain + 1],
+                read_cut,
+                max_score,
+            )
+        cap_frag *= 4
+        cap_chain *= 4
+
+
+def find_lcs_native(s_ids, u_ids, offset: int):
+    """LCS match blocks (native/align.c); returns [(start, len)] or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = 2 * (len(s_ids) + len(u_ids)) + 8
+    out = np.empty((cap, 2), np.int64)
+    ret = lib.find_lcs(
+        s_ids.ctypes.data, len(s_ids), u_ids.ctypes.data, len(u_ids),
+        offset, out.ctypes.data, cap,
+    )
+    if ret == -2:
+        raise MemoryError("find_lcs: allocation failure")
+    assert ret >= 0, "find_lcs capacity exceeded"
+    return out[: int(ret)]
 
 
 def pack_rows(codes: np.ndarray, offs: np.ndarray, row0: int, n_rows: int, row_bytes: int):

@@ -1,0 +1,393 @@
+/* Native read->graph alignment chaining + LCS block matching.
+ *
+ * C port of the per-read host loops of oatk_tpu/asm/align.py
+ * (_align_one: fragment construction from sorted anchors, exact-overlap
+ * chaining across graph arcs, multi-optimal backtrace) and
+ * oatk_tpu/asm/coverage.py (_find_lcs), which together dominate the
+ * post-extraction host wall clock.  Semantics (iteration order, tie
+ * handling, stable sorts) replicate the Python reference exactly; the
+ * Python implementations remain as fallbacks and as the oracle for the
+ * randomized equivalence tests.
+ *
+ * Reference behavior: /root/reference/alignment.c:159-691 (chaining),
+ * /root/reference/syncasm.c:1750-1832 (LCS blocks).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef int64_t i64;
+typedef uint64_t u64;
+
+/* ---------------- arc lookup: sorted (v<<32|w) keys ---------------- */
+
+static i64 arc_lookup(const u64 *keys, const i64 *vals, i64 n, u64 key) {
+    i64 lo = 0, hi = n;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (keys[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    if (lo < n && keys[lo] == key) return vals[lo];
+    return -1;
+}
+
+/* ---------------- per-read fragment state ---------------- */
+
+typedef struct {
+    i64 uid, u_beg, u_end, s_beg, s_end, s_cnt;
+    i64 score0, score;
+    i64 prev_head;   /* index into prev pool, -1 = none */
+    i64 orig;        /* append order for stable sort */
+} frag_t;
+
+typedef struct { i64 to, next; } prevlink_t;
+
+typedef struct {
+    frag_t *frags;
+    prevlink_t *pool;
+    i64 n_pool, cap_pool;
+} fragctx_t;
+
+static int push_prev(fragctx_t *c, i64 b, i64 a) {
+    if (c->n_pool == c->cap_pool) {
+        c->cap_pool = c->cap_pool ? c->cap_pool * 2 : 64;
+        prevlink_t *np = (prevlink_t *)realloc(c->pool, c->cap_pool * sizeof(prevlink_t));
+        if (!np) return -1;
+        c->pool = np;
+    }
+    /* append at TAIL to preserve python list.append order */
+    i64 idx = c->n_pool++;
+    c->pool[idx].to = a;
+    c->pool[idx].next = -1;
+    i64 h = c->frags[b].prev_head;
+    if (h < 0) c->frags[b].prev_head = idx;
+    else {
+        while (c->pool[h].next >= 0) h = c->pool[h].next;
+        c->pool[h].next = idx;
+    }
+    return 0;
+}
+
+static int frag_cmp(const void *pa, const void *pb) {
+    const frag_t *a = (const frag_t *)pa, *b = (const frag_t *)pb;
+    if (a->s_beg != b->s_beg) return a->s_beg < b->s_beg ? -1 : 1;
+    if (a->s_end != b->s_end) return a->s_end < b->s_end ? -1 : 1;
+    return a->orig < b->orig ? -1 : (a->orig > b->orig ? 1 : 0);
+}
+
+/* ---------------- backtrace (multi-optimal) ---------------- */
+
+typedef struct {
+    const fragctx_t *c;
+    i64 *acc; i64 n_acc;
+    /* chain emission */
+    i64 *chain_frag;   /* flat fragment indices */
+    i64 *chain_cut;    /* boundaries */
+    i64 n_chain, n_cf;
+    i64 cap_cf, cap_chain;
+    int overflow;
+} bt_t;
+
+static void backtrace(bt_t *bt, i64 node) {
+    if (bt->overflow) return;
+    bt->acc[bt->n_acc++] = node;
+    i64 h = bt->c->frags[node].prev_head;
+    if (h < 0) {
+        /* emit reversed acc as one chain */
+        if (bt->n_chain + 1 >= bt->cap_chain ||
+            bt->n_cf + bt->n_acc > bt->cap_cf) { bt->overflow = 1; return; }
+        for (i64 i = bt->n_acc - 1; i >= 0; i--)
+            bt->chain_frag[bt->n_cf++] = bt->acc[i];
+        bt->chain_cut[++bt->n_chain] = bt->n_cf;
+    } else {
+        for (; h >= 0; h = bt->c->pool[h].next) {
+            backtrace(bt, bt->c->pool[h].to);
+            bt->n_acc--;
+            if (bt->overflow) return;
+        }
+    }
+}
+
+/* ---------------- main batched entry ----------------
+ *
+ * anchors are pre-sorted per read by (uid, spos, upos); reads delimited
+ * by aoff.  Outputs: per-chain fragments (6 i64 fields), chain cuts per
+ * read, per-read (max_score, n_chains_emitted).
+ * Returns total fragments written, or -1 on capacity overflow (caller
+ * regrows), -2 on malloc failure. */
+i64 align_batch(
+    const i64 *uid_a, const i64 *upos_a, const i64 *spos_a,
+    const i64 *aoff, i64 n_reads,
+    const i64 *n_scm, const i64 *min_score,
+    const i64 *ulen,
+    const u64 *arc_key, const i64 *arc_aln, i64 n_arc,
+    /* outputs */
+    i64 *out_frag,      /* [cap_frag * 6] uid,u_beg,u_end,s_beg,s_end,s_cnt */
+    i64 *out_chain_cut, /* [cap_chain+1] frag boundaries (global) */
+    i64 *out_read_cut,  /* [n_reads+1] chain boundaries per read */
+    i64 *out_max_score, /* [n_reads] */
+    i64 cap_frag, i64 cap_chain)
+{
+    i64 max_m = 0;
+    for (i64 r = 0; r < n_reads; r++) {
+        i64 m = aoff[r + 1] - aoff[r];
+        if (m > max_m) max_m = m;
+    }
+    i64 *nxt = (i64 *)malloc(max_m * sizeof(i64));
+    unsigned char *used = (unsigned char *)malloc(max_m ? max_m : 1);
+    frag_t *frags = (frag_t *)malloc(max_m * sizeof(frag_t));
+    i64 *pos_v = (i64 *)malloc((max_m + 2) * sizeof(i64));
+    i64 *acc = (i64 *)malloc((max_m + 1) * sizeof(i64));
+    i64 *cchain_frag = (i64 *)malloc(cap_frag * sizeof(i64));
+    i64 *cchain_cut = (i64 *)malloc((cap_chain + 1) * sizeof(i64));
+    if (!nxt || !used || !frags || !pos_v || !acc || !cchain_frag || !cchain_cut) {
+        free(nxt); free(used); free(frags); free(pos_v); free(acc);
+        free(cchain_frag); free(cchain_cut);
+        return -2;
+    }
+    fragctx_t ctx = {frags, NULL, 0, 0};
+
+    i64 total_frag = 0, total_chain = 0;
+    out_read_cut[0] = 0;
+    out_chain_cut[0] = 0;
+    int err = 0;
+
+    for (i64 r = 0; r < n_reads && !err; r++) {
+        out_max_score[r] = 0;
+        i64 a0 = aoff[r], a1 = aoff[r + 1];
+        i64 m = a1 - a0;
+        if (m == 0) { out_read_cut[r + 1] = total_chain; continue; }
+        const i64 *uid = uid_a + a0, *upos = upos_a + a0, *spos = spos_a + a0;
+        memset(used, 0, m);
+        for (i64 i = 0; i < m; i++) nxt[i] = -1;
+
+        /* ---- fragment construction ---- */
+        i64 mf = 0;
+        ctx.n_pool = 0;
+        i64 j = 0;
+        while (j < m) {
+            i64 u = uid[j], p = j;
+            while (p < m && uid[p] == u) p++;
+            /* distinct-spos group starts */
+            i64 npos = 0;
+            pos_v[npos++] = j;
+            for (i64 t = j + 1; t < p; t++)
+                if (spos[t] != spos[pos_v[npos - 1]]) pos_v[npos++] = t;
+            pos_v[npos] = p;
+            for (i64 k = 0; k + 2 <= npos; k++) {
+                i64 s1 = pos_v[k], s2 = pos_v[k + 1];
+                while (s1 < pos_v[k + 1]) {
+                    while (s2 < pos_v[k + 2] && upos[s2] <= upos[s1]) s2++;
+                    if (s2 < pos_v[k + 2] && upos[s2] > upos[s1]) {
+                        nxt[s1] = s2;
+                        used[s2] = 1;
+                    }
+                    s1++;
+                }
+            }
+            /* chain walk from unmarked heads */
+            for (i64 k = j; k < p; k++) {
+                if (used[k]) continue;
+                i64 s_cnt = 1, u_gap = 0, s_gap = 0, t = k;
+                while (nxt[t] >= 0) {
+                    i64 n2 = nxt[t];
+                    i64 du = upos[n2] - upos[t]; if (du < 0) du = -du;
+                    i64 ds = spos[n2] - spos[t]; if (ds < 0) ds = -ds;
+                    u_gap += du - 1;
+                    s_gap += ds - 1;
+                    s_cnt++;
+                    t = n2;
+                }
+                if (s_cnt == 1) continue;
+                i64 gap = u_gap > s_gap ? u_gap : s_gap;
+                if (gap < 0) gap = 0;
+                i64 score = s_cnt - gap;
+                if (score >= 0) {
+                    frag_t *f = &frags[mf];
+                    f->uid = u; f->u_beg = upos[k]; f->u_end = upos[t];
+                    f->s_beg = spos[k]; f->s_end = spos[t];
+                    f->s_cnt = s_cnt; f->score0 = score; f->score = score;
+                    f->prev_head = -1; f->orig = mf;
+                    mf++;
+                    used[k] = 1;
+                    for (t = k; nxt[t] >= 0; ) { t = nxt[t]; used[t] = 1; }
+                }
+            }
+            /* singletons */
+            for (i64 k = j; k < p; k++) {
+                if (!used[k] && nxt[k] < 0) {
+                    frag_t *f = &frags[mf];
+                    f->uid = u; f->u_beg = upos[k]; f->u_end = upos[k];
+                    f->s_beg = spos[k]; f->s_end = spos[k];
+                    f->s_cnt = 1; f->score0 = 1; f->score = 1;
+                    f->prev_head = -1; f->orig = mf;
+                    mf++;
+                }
+            }
+            j = p;
+        }
+        if (mf == 0) { out_read_cut[r + 1] = total_chain; continue; }
+
+        qsort(frags, mf, sizeof(frag_t), frag_cmp);
+        /* prev indices reference post-sort positions, so reset pool */
+        ctx.n_pool = 0;
+        for (i64 i = 0; i < mf; i++) frags[i].prev_head = -1;
+
+        /* ---- chaining across arcs ---- */
+        for (i64 a = 0; a < mf; a++) {
+            frag_t *f = &frags[a];
+            i64 pend = f->s_end;
+            if (ulen[f->uid >> 1] - f->u_end - 1 > 0) continue;
+            i64 score = f->score;
+            for (i64 b = a + 1; b < mf; b++) {
+                frag_t *f1 = &frags[b];
+                if (f1->u_beg > 0) continue;
+                i64 aln = arc_lookup(arc_key, arc_aln, n_arc,
+                                     ((u64)f->uid << 32) | (u64)f1->uid);
+                if (aln < 0) continue;
+                i64 u_ovl = aln < pend + 1 ? aln : pend + 1;
+                i64 p1 = f1->s_beg;
+                if (p1 > pend + 1) break;
+                if (p1 + u_ovl != pend + 1) continue;
+                i64 score1 = score + f1->score0 - u_ovl;
+                if (score1 <= score || score1 < f1->score ||
+                    (score1 == f1->score && f1->prev_head < 0))
+                    continue;
+                if (score1 > f1->score) {
+                    f1->score = score1;
+                    f1->prev_head = -1;
+                }
+                if (push_prev(&ctx, b, a) < 0) { err = 2; break; }
+            }
+            if (err) break;
+        }
+        if (err) break;
+
+        i64 max_score = frags[0].score;
+        for (i64 i = 1; i < mf; i++)
+            if (frags[i].score > max_score) max_score = frags[i].score;
+        out_max_score[r] = max_score;
+        if (max_score < min_score[r]) { out_read_cut[r + 1] = total_chain; continue; }
+
+        /* ---- multi-optimal backtrace into scratch, then cov filter ---- */
+        bt_t bt = {&ctx, acc, 0, cchain_frag, cchain_cut, 0, 0,
+                   cap_frag, cap_chain, 0};
+        bt.chain_cut[0] = 0;
+        for (i64 a = 0; a < mf; a++) {
+            if (frags[a].score == max_score) {
+                bt.n_acc = 0;
+                backtrace(&bt, a);
+            }
+            if (bt.overflow) break;
+        }
+        if (bt.overflow) { err = 1; break; }
+
+        for (i64 c = 0; c < bt.n_chain; c++) {
+            i64 c0 = bt.chain_cut[c], c1 = bt.chain_cut[c + 1];
+            i64 cov = 0;
+            for (i64 t = c0; t < c1; t++) cov += frags[bt.chain_frag[t]].s_cnt;
+            /* keep when cov/n_scm >= 0.9  <=>  10*cov >= 9*n_scm */
+            if (10 * cov < 9 * n_scm[r]) continue;
+            if (total_chain + 1 >= cap_chain || total_frag + (c1 - c0) > cap_frag) {
+                err = 1; break;
+            }
+            for (i64 t = c0; t < c1; t++) {
+                frag_t *f = &frags[bt.chain_frag[t]];
+                i64 *o = out_frag + total_frag * 6;
+                o[0] = f->uid; o[1] = f->u_beg; o[2] = f->u_end;
+                o[3] = f->s_beg; o[4] = f->s_end; o[5] = f->s_cnt;
+                total_frag++;
+            }
+            out_chain_cut[++total_chain] = total_frag;
+        }
+        out_read_cut[r + 1] = total_chain;
+    }
+
+    free(nxt); free(used); free(frags); free(pos_v); free(acc);
+    free(cchain_frag); free(cchain_cut); free(ctx.pool);
+    if (err == 2) return -2;
+    if (err) return -1;
+    return total_frag;
+}
+
+/* ---------------- LCS match blocks ----------------
+ *
+ * Port of coverage.py _find_lcs: head/tail trim, O(sn*un) LCS DP on the
+ * middle, backtrace to unit blocks, merge adjacent.  Output blocks as
+ * (start_in_read, length) pairs; returns count or -1 on capacity. */
+i64 find_lcs(
+    const i64 *s_ids, i64 s_n,
+    const i64 *u_ids, i64 u_n,
+    i64 offset,
+    i64 *out_blocks, i64 cap_blocks /* pairs */)
+{
+    i64 nb = 0;
+    i64 start = 0;
+    i64 s_end = s_n - 1, u_end = u_n - 1;
+    while (start < s_n && start < u_n && s_ids[start] == u_ids[start]) start++;
+    while (start <= s_end && start <= u_end && s_ids[s_end] == u_ids[u_end]) {
+        s_end--; u_end--;
+    }
+    /* raw blocks before merging: head, middle units (reversed), tail */
+    if (start > 0) {
+        if (nb >= cap_blocks) return -1;
+        out_blocks[nb * 2] = offset; out_blocks[nb * 2 + 1] = start; nb++;
+    }
+    i64 sn = s_end - start + 1, un = u_end - start + 1;
+    if (sn > 0 && un > 0) {
+        const i64 *sa = s_ids + start, *ua = u_ids + start;
+        int32_t *L = (int32_t *)calloc((size_t)(sn + 1) * (un + 1), sizeof(int32_t));
+        if (!L) return -2;
+        for (i64 i = 1; i <= sn; i++) {
+            const i64 si = sa[i - 1];
+            int32_t *Li = L + i * (un + 1), *Lp = L + (i - 1) * (un + 1);
+            for (i64 jj = 1; jj <= un; jj++) {
+                if (si == ua[jj - 1]) Li[jj] = Lp[jj - 1] + 1;
+                else Li[jj] = Lp[jj] > Li[jj - 1] ? Lp[jj] : Li[jj - 1];
+            }
+        }
+        /* backtrace collects unit blocks in reverse; store then reverse */
+        i64 nb0 = nb;
+        i64 i = sn, jj = un;
+        while (i > 0 && jj > 0) {
+            if (sa[i - 1] == ua[jj - 1]) {
+                if (nb >= cap_blocks) { free(L); return -1; }
+                out_blocks[nb * 2] = i - 1 + offset + start;
+                out_blocks[nb * 2 + 1] = 1;
+                nb++;
+                i--; jj--;
+            } else if (L[i * (un + 1) + (jj - 1)] > L[(i - 1) * (un + 1) + jj]) {
+                jj--;
+            } else {
+                i--;
+            }
+        }
+        free(L);
+        /* reverse the unit-block run [nb0, nb) */
+        for (i64 x = nb0, y = nb - 1; x < y; x++, y--) {
+            i64 t0 = out_blocks[x * 2], t1 = out_blocks[x * 2 + 1];
+            out_blocks[x * 2] = out_blocks[y * 2];
+            out_blocks[x * 2 + 1] = out_blocks[y * 2 + 1];
+            out_blocks[y * 2] = t0; out_blocks[y * 2 + 1] = t1;
+        }
+    }
+    if (start + (s_end - start + 1) < s_n) {
+        if (nb >= cap_blocks) return -1;
+        out_blocks[nb * 2] = offset + s_end + 1;
+        out_blocks[nb * 2 + 1] = s_n - s_end - 1;
+        nb++;
+    }
+    /* merge adjacent */
+    i64 mg = 0;
+    for (i64 x = 0; x < nb; x++) {
+        if (mg > 0 &&
+            out_blocks[(mg - 1) * 2] + out_blocks[(mg - 1) * 2 + 1] == out_blocks[x * 2]) {
+            out_blocks[(mg - 1) * 2 + 1] += out_blocks[x * 2 + 1];
+        } else {
+            out_blocks[mg * 2] = out_blocks[x * 2];
+            out_blocks[mg * 2 + 1] = out_blocks[x * 2 + 1];
+            mg++;
+        }
+    }
+    return mg;
+}
