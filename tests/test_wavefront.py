@@ -93,6 +93,134 @@ def test_cigar_traceback_vs_reference(rng):
         assert mine == ref_cigar, (ts, qs, mine, ref_cigar)
 
 
+def test_pallas_matches_numpy(rng):
+    """The Pallas banded-wavefront kernel (kernels/wavefront_pallas.py,
+    interpret mode on CPU) must reproduce the numpy core exactly --
+    score, endpoints, and full resumable (wd, wk) state -- across both
+    modes, banding, and stepwise restart (the EC DFS invariant)."""
+    import oatk_tpu.kernels.wavefront as W
+    from oatk_tpu.kernels.wavefront_pallas import wf_ed_core_pallas
+
+    def run_numpy(st):
+        t = q = -1
+        while True:
+            na = W.wf_step(st)
+            if na < 0:
+                t, q = st.t_end, st.q_end
+                break
+            st.score += 1
+            if st.bw >= 0 and st.score > st.bw:
+                break
+        st.t_end = t + 1
+        st.q_end = q + 1
+
+    for it in range(120):
+        tl = int(rng.integers(1, 120))
+        ql = int(rng.integers(1, 120))
+        ts = rng.integers(0, 4, tl).astype(np.uint8)
+        qs = rng.integers(0, 4, ql).astype(np.uint8)
+        if rng.random() < 0.5:
+            qs = ts.copy()[:ql] if ql <= tl else np.concatenate(
+                [ts, rng.integers(0, 4, ql - tl).astype(np.uint8)])
+            for p in rng.integers(0, len(qs), max(1, len(qs) // 20)):
+                qs[p] = (qs[p] + 1) % 4
+        is_ext = bool(rng.integers(2))
+        bw = int(rng.choice([-1, 3, 6, 10]))
+        a = WfState(); a.reset(ts); a.qs = qs; a.is_ext = is_ext; a.bw = bw
+        b = WfState(); b.reset(ts); b.qs = qs; b.is_ext = is_ext; b.bw = bw
+        assert wf_ed_core_pallas(a, interpret=True)
+        run_numpy(b)
+        assert (a.score, a.t_end, a.q_end) == (b.score, b.t_end, b.q_end)
+        assert np.array_equal(a.wd, b.wd) and np.array_equal(a.wk, b.wk)
+
+    # stepwise restart with a growing query (the EC DFS access pattern)
+    for it in range(40):
+        tl = int(rng.integers(20, 150))
+        ts = rng.integers(0, 4, tl).astype(np.uint8)
+        full = ts.copy()
+        for p in rng.integers(0, tl, 3):
+            full[p] = (full[p] + 1) % 4
+        a = WfState(); a.reset(ts); a.is_ext = True; a.bw = 8
+        b = WfState(); b.reset(ts); b.is_ext = True; b.bw = 8
+        cut = int(rng.integers(5, tl))
+        for qs_piece in (full[:cut], full):
+            a.qs = qs_piece; b.qs = qs_piece
+            assert wf_ed_core_pallas(a, interpret=True)
+            run_numpy(b)
+            assert (a.score, a.t_end, a.q_end) == (b.score, b.t_end, b.q_end)
+            assert np.array_equal(a.wk, b.wk)
+
+
+def test_pallas_vs_reference_binary(rng):
+    """Pallas core vs the reference levtest binary on random pairs."""
+    from oatk_tpu.kernels.wavefront_pallas import wf_ed_core_pallas
+
+    for is_ext in (0, 1):
+        for _ in range(8):
+            tl = int(rng.integers(5, 120))
+            ql = int(rng.integers(5, 120))
+            ts, qs = _rand_pair(rng, tl, ql)
+            ref = _ref_ed(ts, qs, is_ext)
+            st = WfState()
+            st.reset(np.frombuffer(ts.encode(), np.uint8))
+            st.qs = np.frombuffer(qs.encode(), np.uint8)
+            st.is_ext = bool(is_ext)
+            st.bw = -1
+            assert wf_ed_core_pallas(st, interpret=True)
+            assert (st.score, st.t_end, st.q_end) == ref, (ts, qs, is_ext)
+
+
+def test_pallas_batched(rng):
+    """Batched grid: B independent alignments in one pallas_call give the
+    same results as B single-state runs."""
+    import jax.numpy as jnp
+
+    import oatk_tpu.kernels.wavefront as W
+    from oatk_tpu.kernels.wavefront_pallas import BIG, wf_ed_core_pallas_batch
+
+    B, TL, QL = 6, 128, 128
+    D_cap = TL + QL + 4
+    ts = np.zeros((B, TL), np.uint8)
+    qs = np.zeros((B, QL), np.uint8)
+    meta = np.zeros((B, 8), np.int32)
+    k = np.full((B, D_cap), -BIG, np.int32)
+    exp = []
+    for b in range(B):
+        tl = int(rng.integers(10, 100))
+        ql = int(rng.integers(10, 100))
+        t = rng.integers(0, 4, tl).astype(np.uint8)
+        q = rng.integers(0, 4, ql).astype(np.uint8)
+        ts[b, :tl] = t
+        qs[b, :ql] = q
+        bw = int(rng.choice([-1, 5, 9]))
+        meta[b, :7] = (tl, ql, 1, bw, 0, 0, 1)
+        k[b, 0] = -1
+        st = WfState(); st.reset(t); st.qs = q; st.is_ext = True; st.bw = bw
+        tq = wq = -1
+        while True:
+            na = W.wf_step(st)
+            if na < 0:
+                tq, wq = st.t_end, st.q_end
+                break
+            st.score += 1
+            if st.bw >= 0 and st.score > st.bw:
+                break
+        exp.append((st.score, tq + 1, wq + 1))
+    om, _ = wf_ed_core_pallas_batch(
+        jnp.asarray(ts), jnp.asarray(qs), jnp.asarray(meta), jnp.asarray(k),
+        TL=TL, QL=QL, D_cap=D_cap, interpret=True,
+    )
+    om = np.asarray(om)
+    for b in range(B):
+        hit = int(om[b, 3])
+        got = (
+            int(om[b, 0]),
+            int(om[b, 4]) + 1 if hit else 0,
+            int(om[b, 5]) + 1 if hit else 0,
+        )
+        assert got == exp[b], (b, got, exp[b])
+
+
 def test_native_matches_numpy(rng):
     """The C core (native/wavefront.c) must reproduce the numpy wavefront
     exactly -- score, raw endpoints, and the full (wd, wk) state -- on
