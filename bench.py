@@ -1,21 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: syncmer extraction + k-mer counting throughput (HOT LOOPS 1+2).
+"""Benchmark: full syncasm pipeline + extraction throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: 30 Mbp of synthetic HiFi-like reads (2000 x 15 kb sampled at
-100x from a 300 kb genome with homopolymers), oatk defaults k=1001/s=31.
-The measured span covers FASTA parse -> device closed-syncmer extraction
--> per-read result assembly -> global k-mer counting/id assignment,
-i.e. the same stages as the reference baseline run
-(`syncasm -k 1001 -s 31 -c 1000000 --no-read-ec --unzip-round 0 -t 4`,
-which exits after counting on an empty graph).  Steady-state: the jit
-compile is warmed on the same shapes first (compile-once, stream-many
-is the production regime).
+Headline metric = END-TO-END syncasm throughput (Mbp/s) on 30 Mbp of
+synthetic HiFi-like reads (2000 x 15 kb at 100x from a 300 kb genome),
+oatk defaults k=1001/s=31, EC ON, 3 unzip rounds, c=30 -- the same
+workload as the reference baseline `syncasm -k 1001 -c 30 -t 4`.
+Auxiliary fields report the extraction+counting-only throughput (the
+round-1 headline) and the TPU kernel spot-check result.
 
-Baseline (reference C, 4 threads on this host) is read from
-BASELINE.json["published"]["ref_extract_count_mbps"], measured on the
-fly if absent.
+Protocol: the jit cache is warmed on the exact shapes first
+(compile-once stream-many is the production regime), then best-of-N to
+damp the host<->device relay-tunnel latency variance (BASELINE.md).
+Before timing, a small batch runs through the device kernel and is
+asserted against the host oracle, so tunnel/Mosaic regressions surface
+as a failed bench instead of a wrong number.  After the timed runs the
+output GFA is byte-compared against the reference binary's.
 """
 from __future__ import annotations
 
@@ -34,6 +35,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 DATA = "/tmp/oatk_bench_reads.fa"
 REFBIN = "/root/refbin/syncasm"
 K, S = 1001, 31
+N_RUNS = int(os.environ.get("OATK_BENCH_RUNS", "3"))
 
 
 def ensure_dataset() -> int:
@@ -55,15 +57,40 @@ def ensure_dataset() -> int:
     return sum(len(r) for r in reads)
 
 
-def measure_reference(total_bases: int) -> float:
-    t0 = time.time()
-    subprocess.run(
-        [REFBIN, "-k", str(K), "-s", str(S), "-c", "1000000", "--no-read-ec",
-         "--unzip-round", "0", "-t", "4", "-o", "/tmp/oatk_bench_ref", DATA],
-        capture_output=True,
-    )
-    dt = time.time() - t0
-    return total_bases / 1e6 / dt
+def measure_reference(total_bases: int, full: bool) -> float:
+    args = [REFBIN, "-k", str(K), "-s", str(S), "-t", "4",
+            "-o", "/tmp/oatk_bench_ref_full" if full else "/tmp/oatk_bench_ref"]
+    if full:
+        args += ["-c", "30", "--unzip-round", "3"]
+    else:
+        args += ["-c", "1000000", "--no-read-ec", "--unzip-round", "0"]
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        subprocess.run(args + [DATA], capture_output=True)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return total_bases / 1e6 / best
+
+
+def kernel_spot_check() -> str:
+    """Small-batch device-kernel == host-oracle assertion (pre-timing)."""
+    from oatk_tpu.asm.reads import extract_all_syncmers
+    from oatk_tpu.io.fastx import SeqRecord
+    from genome_sim import random_genome
+
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(4):
+        seq = random_genome(rng, 4000)
+        recs.append(SeqRecord(sid=i, name=f"c{i}", seq=np.frombuffer(seq.encode(), np.uint8)))
+    dev = extract_all_syncmers(recs, K, S, use_device=True)
+    orc = extract_all_syncmers(recs, K, S, use_device=False)
+    for a, b in zip(dev.reads, orc.reads):
+        assert np.array_equal(a.m_pos, b.m_pos), "kernel positions != oracle"
+        assert np.array_equal(a.k_mer, b.k_mer), "kernel hashes != oracle"
+        assert np.array_equal(a.s_mer, b.s_mer), "kernel smers != oracle"
+    return "ok"
 
 
 def main():
@@ -72,39 +99,71 @@ def main():
     baseline_path = os.path.join(REPO, "BASELINE.json")
     with open(baseline_path) as f:
         baseline = json.load(f)
-    ref_mbps = baseline.get("published", {}).get("ref_extract_count_mbps")
-    if not ref_mbps and os.path.exists(REFBIN):
-        ref_mbps = measure_reference(total_bases)
-        baseline.setdefault("published", {})["ref_extract_count_mbps"] = round(ref_mbps, 2)
+    pub = baseline.setdefault("published", {})
+    changed = False
+    if not pub.get("ref_extract_count_mbps") and os.path.exists(REFBIN):
+        pub["ref_extract_count_mbps"] = round(measure_reference(total_bases, False), 2)
+        changed = True
+    if not pub.get("ref_full_pipeline_mbps") and os.path.exists(REFBIN):
+        pub["ref_full_pipeline_mbps"] = round(measure_reference(total_bases, True), 2)
+        changed = True
+    elif os.path.exists(REFBIN) and not os.path.exists("/tmp/oatk_bench_ref_full.utg.final.gfa"):
+        measure_reference(total_bases, True)  # regenerate parity oracle files
+    if changed:
         with open(baseline_path, "w") as f:
             json.dump(baseline, f, indent=2)
+    ref_extract = pub.get("ref_extract_count_mbps")
+    ref_full = pub.get("ref_full_pipeline_mbps")
 
     import oatk_tpu  # noqa: F401
-    from oatk_tpu.asm.pipeline import load_reads
+    from oatk_tpu.asm.pipeline import load_reads, syncasm
     from oatk_tpu.index.syncmer_db import collect_syncmer_db
 
-    # warm the jit cache on the exact shapes (parse once, extract once)
-    load_reads([DATA], K, S)
+    check = kernel_spot_check()
 
-    # steady-state: parse + extract + count; best of 5 to damp the
-    # (highly variable) host<->device tunnel latency
-    best = None
-    for _ in range(5):
+    # ---- extraction + counting (round-1 headline, auxiliary now) ----
+    load_reads([DATA], K, S)  # warm jit cache on the exact shapes
+    best_x = None
+    for _ in range(N_RUNS + 2):
         t0 = time.time()
         read_db = load_reads([DATA], K, S)
         scm_db = collect_syncmer_db(read_db)
         dt = time.time() - t0
         assert scm_db is not None and scm_db.n > 0
-        best = dt if best is None else min(best, dt)
+        best_x = dt if best_x is None else min(best_x, dt)
+    extract_mbps = total_bases / 1e6 / best_x
 
-    mbps = total_bases / 1e6 / best
+    # ---- full pipeline (EC on, 3 unzip rounds) ----
+    best_f = None
+    for i in range(N_RUNS):
+        t0 = time.time()
+        syncasm([DATA], k=K, s=S, min_k_cov=30, do_ec=True, do_unzip=3,
+                out="/tmp/oatk_bench_mine")
+        dt = time.time() - t0
+        best_f = dt if best_f is None else min(best_f, dt)
+    full_mbps = total_bases / 1e6 / best_f
+
+    parity = "unchecked"
+    ref_gfa = "/tmp/oatk_bench_ref_full.utg.final.gfa"
+    if os.path.exists(ref_gfa):
+        a = open(ref_gfa, "rb").read()
+        b = open("/tmp/oatk_bench_mine.utg.final.gfa", "rb").read()
+        parity = "ok" if a == b else "MISMATCH"
+        assert parity == "ok", "bench output differs from reference GFA"
+
     print(
         json.dumps(
             {
-                "metric": "syncmer_extract_count_throughput",
-                "value": round(mbps, 2),
+                "metric": "syncasm_full_pipeline_throughput",
+                "value": round(full_mbps, 2),
                 "unit": "Mbp/s",
-                "vs_baseline": round(mbps / ref_mbps, 3) if ref_mbps else None,
+                "vs_baseline": round(full_mbps / ref_full, 3) if ref_full else None,
+                "extract_count_mbps": round(extract_mbps, 2),
+                "extract_vs_baseline": (
+                    round(extract_mbps / ref_extract, 3) if ref_extract else None
+                ),
+                "kernel_check": check,
+                "gfa_parity": parity,
             }
         )
     )
