@@ -272,6 +272,62 @@ def _kmer_size(scg) -> int:
     return scg._kmer_size
 
 
+def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np.ndarray) -> bool:
+    """Run the batched C corrector (native/ec.c); returns False when
+    unavailable so the caller uses the Python loop."""
+    from .. import native
+
+    if not native.available():
+        return False
+    g = scg.utg
+    g._flush_pending()
+    n_vtx = g.n_vtx
+    seqs = [g.vtx_seq[i] or "" for i in range(n_vtx)]
+    seq_off = np.zeros(n_vtx + 1, np.int64)
+    np.cumsum(np.fromiter((len(s) for s in seqs), np.int64, count=n_vtx), out=seq_off[1:])
+    seq_flat = np.frombuffer("".join(seqs).encode(), np.uint8)
+
+    reads = read_db.reads
+    n_reads = len(reads)
+    moff = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(np.fromiter((r.n for r in reads), np.int64, count=n_reads), out=moff[1:])
+    hoff = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(np.fromiter((r.hoco_l for r in reads), np.int64, count=n_reads), out=hoff[1:])
+    z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
+    kflat = np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n_reads else z64
+    mflat = np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n_reads else z32
+    code_flat = (
+        np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n_reads else z8
+    )
+    hoco_l = np.fromiter((r.hoco_l for r in reads), np.int64, count=n_reads)
+
+    res = native.ec_correct_reads(
+        np.ascontiguousarray(g.idx_p, np.int64),
+        np.ascontiguousarray(g.idx_n, np.int64),
+        np.ascontiguousarray(g.aw, np.uint64),
+        np.ascontiguousarray(g.als, np.int64),
+        np.ascontiguousarray(g.adel, np.uint8),
+        seq_flat, seq_off,
+        np.ascontiguousarray(g.vtx_len, np.int64),
+        np.ascontiguousarray(scg.scm_db.del_, np.uint8),
+        kflat, mflat, moff, code_flat, hoff, hoco_l,
+        read_db.k, max_edist,
+    )
+    if res is None:
+        return False
+    st, out_kmer, out_mpos, out_cut, out_upd = res
+    stats += st
+    smer_all = scg.scm_db.s[(out_kmer >> np.uint64(1)).astype(np.int64)]
+    for r_i, r in enumerate(reads):
+        if not out_upd[r_i]:
+            continue
+        lo, hi = int(out_cut[r_i]), int(out_cut[r_i + 1])
+        r.k_mer = out_kmer[lo:hi].copy()
+        r.m_pos = out_mpos[lo:hi].copy()
+        r.s_mer = smer_all[lo:hi].copy()
+    return True
+
+
 def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     """Rebuild coverage and position lists after correction; syncmers
     left with no forward-strand occurrence are deleted."""
@@ -312,10 +368,11 @@ def read_error_correction(
     find_error_syncmers(scg, err_mer_c, max_err_c, err_arc_c, max_arc_f, True)
 
     stats = np.zeros(11, np.int64)
-    conf = WfState()
-    dfs = _DfsInfo()
-    for r in read_db.reads:
-        _correct_read(r, scg, max_edist, stats, conf, dfs)
+    if not _correct_reads_native(read_db, scg, max_edist, stats):
+        conf = WfState()
+        dfs = _DfsInfo()
+        for r in read_db.reads:
+            _correct_read(r, scg, max_edist, stats, conf, dfs)
 
     update_syncmer_db(read_db, scg.scm_db)
 

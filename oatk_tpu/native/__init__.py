@@ -22,6 +22,7 @@ _SRCS = [
     os.path.join(_HERE, "wavefront.c"),
     os.path.join(_HERE, "consensus.c"),
     os.path.join(_HERE, "align.c"),
+    os.path.join(_HERE, "ec.c"),
 ]
 _lib = None
 _build_failed = False
@@ -100,6 +101,19 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ec_correct_reads.restype = ctypes.c_int64
+        lib.ec_correct_reads.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
         ]
         _lib = lib
     except Exception:
@@ -257,6 +271,46 @@ def find_lcs_native(s_ids, u_ids, offset: int):
         raise MemoryError("find_lcs: allocation failure")
     assert ret >= 0, "find_lcs capacity exceeded"
     return out[: int(ret)]
+
+
+def ec_correct_reads(
+    idx_p, idx_n, aw, als, adel, seq_flat, seq_off, vtx_len, scm_del,
+    kflat, mflat, moff, code_flat, hoff, hoco_l, w: int, max_edist: float,
+):
+    """Batched graph-path error correction (native/ec.c).
+
+    Returns (stats[11], out_kmer, out_mpos, out_cut, out_upd) or None
+    when the native library is unavailable / hits an internal limit
+    (caller falls back to the Python path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_reads = len(moff) - 1
+    cap_out = max(1024, 2 * len(kflat) + 1024)
+    while True:
+        stats = np.zeros(11, np.int64)
+        out_kmer = np.empty(cap_out, np.uint64)
+        out_mpos = np.empty(cap_out, np.uint32)
+        out_cut = np.empty(n_reads + 1, np.int64)
+        out_upd = np.empty(n_reads, np.uint8)
+        ret = lib.ec_correct_reads(
+            idx_p.ctypes.data, idx_n.ctypes.data, len(idx_p),
+            aw.ctypes.data, als.ctypes.data, adel.ctypes.data,
+            seq_flat.ctypes.data, seq_off.ctypes.data, vtx_len.ctypes.data,
+            scm_del.ctypes.data,
+            kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data, n_reads,
+            code_flat.ctypes.data, hoff.ctypes.data, hoco_l.ctypes.data,
+            w, max_edist,
+            stats.ctypes.data,
+            out_kmer.ctypes.data, out_mpos.ctypes.data,
+            out_cut.ctypes.data, out_upd.ctypes.data,
+            cap_out,
+        )
+        if ret == -2:
+            return None  # allocation failure / wavefront overflow: fall back
+        if ret >= 0:
+            return stats, out_kmer[: int(ret)], out_mpos[: int(ret)], out_cut, out_upd
+        cap_out *= 4
 
 
 def pack_rows(codes: np.ndarray, offs: np.ndarray, row0: int, n_rows: int, row_bytes: int):
