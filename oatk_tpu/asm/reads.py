@@ -191,12 +191,11 @@ def load_and_extract(
     Returns None when the native library or the pallas path is not
     applicable (caller falls back to read_fastx + extract_all_syncmers).
     """
-    import gzip
-
     import jax
     import jax.numpy as jnp
 
     from .. import native
+    from ..io.fastx import read_source_bytes
     from ..kernels.syncmer import extract_hoco_packed_pallas
 
     if impl == "auto":
@@ -209,11 +208,7 @@ def load_and_extract(
     total_raw = 0
     sid0 = 0
     for path in paths:
-        with open(path, "rb") as f:
-            magic = f.read(2)
-        op = gzip.open if magic == b"\x1f\x8b" else open
-        with op(path, "rb") as f:
-            data = f.read()
+        data = read_source_bytes(path)
         res = native.parse_fastx_hoco(data)
         if res is None:
             return None

@@ -30,14 +30,30 @@ class SeqRecord:
 
 
 def _open_maybe_gz(path: str):
+    """Transparent open: plain file, gzip, stdin ('-'), or remote
+    http(s)/ftp URL -- the kopen.c analogue (/root/reference/kopen.c).
+    gzip is sniffed from the magic bytes on every source kind."""
     if path == "-":
-        return sys.stdin.buffer
-    fp = open(path, "rb")
-    magic = fp.read(2)
-    fp.seek(0)
+        fp = sys.stdin.buffer
+    elif path.startswith(("http://", "https://", "ftp://")):
+        import urllib.request
+
+        fp = urllib.request.urlopen(path)  # noqa: S310 - explicit user input
+    else:
+        fp = open(path, "rb")
+    if not hasattr(fp, "peek"):
+        fp = io.BufferedReader(fp)
+    magic = fp.peek(2)[:2]
     if magic == b"\x1f\x8b":
         return gzip.open(fp, "rb")
     return fp
+
+
+def read_source_bytes(path: str) -> bytes:
+    """Entire (decompressed) contents of any supported source; used by
+    the fused native parse path."""
+    with _open_maybe_gz(path) as fp:
+        return fp.read()
 
 
 def _iter_fastx(fp, sid0: int) -> Iterator[SeqRecord]:

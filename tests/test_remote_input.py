@@ -1,0 +1,75 @@
+"""Transparent-open input sources (kopen.c analogue): http URL, stdin
+pipe, gz over both, must parse identically to plain file input."""
+import gzip
+import http.server
+import os
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from genome_sim import random_genome, sample_reads, write_reads
+
+
+def _serve(directory):
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(directory), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    return srv, srv.server_address[1]
+
+
+def test_http_and_gz_http_input(tmp_path, rng):
+    g = random_genome(rng, 8000)
+    reads = sample_reads(rng, g, coverage=4, read_len=1500)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+    with open(fa, "rb") as f:
+        gz = gzip.compress(f.read())
+    (tmp_path / "reads.fa.gz").write_bytes(gz)
+
+    srv, port = _serve(tmp_path)
+    try:
+        from oatk_tpu.io.fastx import read_fastx
+
+        base = read_fastx([str(fa)])
+        via_http = read_fastx([f"http://127.0.0.1:{port}/reads.fa"])
+        via_http_gz = read_fastx([f"http://127.0.0.1:{port}/reads.fa.gz"])
+        assert len(base) == len(via_http) == len(via_http_gz)
+        for a, b, c in zip(base, via_http, via_http_gz):
+            assert a.name == b.name == c.name
+            assert np.array_equal(a.seq, b.seq) and np.array_equal(a.seq, c.seq)
+    finally:
+        srv.shutdown()
+
+
+def test_stdin_pipe_syncasm(tmp_path, rng):
+    """`syncasm -` consumes a FASTA piped on stdin and matches the
+    file-input assembly byte-for-byte."""
+    g = random_genome(rng, 15000)
+    reads = sample_reads(rng, g, coverage=10, read_len=2000)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=str(Path(__file__).parent.parent))
+    args = ["-k", "151", "-s", "13", "-c", "3", "--no-read-ec",
+            "--unzip-round", "0"]
+    subprocess.run(
+        [sys.executable, "-m", "oatk_tpu.cli.syncasm", *args,
+         "-o", str(tmp_path / "file"), str(fa)],
+        check=True, capture_output=True, env=env,
+    )
+    with open(fa, "rb") as f:
+        subprocess.run(
+            [sys.executable, "-m", "oatk_tpu.cli.syncasm", *args,
+             "-o", str(tmp_path / "pipe"), "-"],
+            check=True, capture_output=True, env=env, stdin=f,
+        )
+    a = (tmp_path / "file.utg.final.gfa").read_bytes()
+    b = (tmp_path / "pipe.utg.final.gfa").read_bytes()
+    assert a == b and a
