@@ -27,17 +27,13 @@ class _Flats:
     consensus loops; built once per scg_consensus call.  None when the
     native library is unavailable (pure-Python loops used instead)."""
 
-    def __init__(self, read_db: ReadDB, scm_db: SyncmerDB):
+    def __init__(self, read_db: ReadDB, scm_db: SyncmerDB, static=None):
         reads = read_db.reads
         n = len(reads)
         mc = np.fromiter((r.n for r in reads), np.int64, count=n)
         self.moff = np.zeros(n, np.int64)
         if n > 1:
             np.cumsum(mc[:-1], out=self.moff[1:])
-        hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
-        self.hoff = np.zeros(n, np.int64)
-        if n > 1:
-            np.cumsum(hl[:-1], out=self.hoff[1:])
         z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
         self.kflat = (
             np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n else z64
@@ -45,12 +41,23 @@ class _Flats:
         self.mflat = (
             np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n else z32
         )
-        self.code_flat = (
-            np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n else z8
-        )
-        self.rl_flat = (
-            np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False) if n else z32
-        )
+        if static is not None:
+            # hoco streams never mutate (EC splices only the syncmer
+            # arrays): reuse the first build's concatenations
+            self.hoff, self.code_flat, self.rl_flat = static
+        else:
+            hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
+            self.hoff = np.zeros(n, np.int64)
+            if n > 1:
+                np.cumsum(hl[:-1], out=self.hoff[1:])
+            self.code_flat = (
+                np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False)
+                if n else z8
+            )
+            self.rl_flat = (
+                np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False)
+                if n else z32
+            )
         # syncmer occurrence lists flattened (for whole-unitig C emission)
         ns = scm_db.n
         self.mp_off = np.zeros(ns + 1, np.int64)
@@ -67,7 +74,8 @@ class _Flats:
     def build(read_db: ReadDB, scm_db: SyncmerDB):
         """Cached per (read_db, scm_db) contents: EC rewrites reads and
         occurrence lists mid-pipeline, so invalidate on the version
-        counters those mutators bump."""
+        counters those mutators bump.  The hoco byte streams are
+        immutable per ReadDB and survive invalidation."""
         from .. import native
 
         if not native.available():
@@ -76,7 +84,11 @@ class _Flats:
         cached = getattr(read_db, "_flats_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        flats = _Flats(read_db, scm_db)
+        static = None
+        if cached is not None:
+            old = cached[1]
+            static = (old.hoff, old.code_flat, old.rl_flat)
+        flats = _Flats(read_db, scm_db, static)
         read_db._flats_cache = (key, flats)
         return flats
 

@@ -330,21 +330,39 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
 
 def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     """Rebuild coverage and position lists after correction; syncmers
-    left with no forward-strand occurrence are deleted."""
+    left with no forward-strand occurrence are deleted.
+
+    Vectorized: reads are flattened in sid order, so a stable sort by
+    syncmer id yields each id's occurrence list already in the
+    (sid, idx) order the per-read loop produced."""
     n = scm_db.n
-    cov = np.zeros(n, np.int64)
-    c_cov = np.zeros(n, np.int64)
-    pos_lists: list[list[int]] = [[] for _ in range(n)]
-    for r in read_db.reads:
-        for j in range(r.n):
-            k = int(r.k_mer[j]) >> 1
-            mp = int(r.m_pos[j])
-            pos_lists[k].append((r.sid << 32) | (j << 1) | (mp & 1))
-            cov[k] += 1
-            if not (mp & 1):
-                c_cov[k] += 1
+    reads = read_db.reads
+    n_tot = sum(r.n for r in reads)
+    ks = np.empty(n_tot, np.uint64)
+    entry = np.empty(n_tot, np.uint64)
+    off = 0
+    for r in reads:
+        m = r.n
+        if m == 0:
+            continue
+        ks[off : off + m] = r.k_mer >> np.uint64(1)
+        idx = np.arange(m, dtype=np.uint64)
+        entry[off : off + m] = (
+            (np.uint64(r.sid) << np.uint64(32))
+            | (idx << np.uint64(1))
+            | (r.m_pos.astype(np.uint64) & np.uint64(1))
+        )
+        off += m
+    kid = ks.astype(np.int64)
+    cov = np.bincount(kid, minlength=n)
+    fwd = (entry & np.uint64(1)) == 0
+    c_cov = np.bincount(kid[fwd], minlength=n)
+    order = np.argsort(kid, kind="stable")
+    sorted_entries = entry[order]
+    cuts = np.zeros(n + 1, np.int64)
+    np.cumsum(cov, out=cuts[1:])
     scm_db.cov = cov.astype(np.uint32)
-    scm_db.m_pos = [np.array(p, np.uint64) for p in pos_lists]
+    scm_db.m_pos = [sorted_entries[cuts[i] : cuts[i + 1]] for i in range(n)]
     scm_db.del_ = c_cov == 0
     scm_db.version += 1
     read_db.version += 1  # reads were spliced before the rebuild

@@ -29,6 +29,7 @@ def sample_reads(
     len_sd: int = 0,
     err_rate: float = 0.0,
     circular: bool = True,
+    hp_frac: float = 0.0,
 ):
     """Sample reads uniformly (both strands) from a (circular) genome,
     optionally injecting substitution/indel errors at err_rate."""
@@ -43,17 +44,36 @@ def sample_reads(
         if rng.random() < 0.5:
             seq = revcomp(seq)
         if err_rate > 0:
-            seq = inject_errors(rng, seq, err_rate)
+            seq = inject_errors(rng, seq, err_rate, hp_frac)
         reads.append(seq)
     return reads
 
 
-def inject_errors(rng, seq: str, rate: float) -> str:
+def inject_errors(rng, seq: str, rate: float, hp_frac: float = 0.0) -> str:
+    """Inject sequencing errors at per-base `rate`.
+
+    hp_frac: fraction of errors that are homopolymer-length indels
+    (insert a copy of the current base / delete a base equal to its
+    neighbor).  Real HiFi errors are dominated by hp-run-length noise,
+    which homopolymer compression absorbs -- hp_frac ~0.85 models that;
+    the default 0 keeps the harsher legacy uniform profile used by the
+    existing seeded parity tests."""
     out = []
     for c in seq:
         r = rng.random()
         if r >= rate:
             out.append(c)
+            continue
+        if rng.random() < hp_frac:
+            # hoco-invisible homopolymer length error
+            if rng.random() < 0.5:
+                out.append(c)
+                out.append(c)  # lengthen the run
+            elif out and out[-1] == c:
+                pass  # shorten the run (skip c)
+            else:
+                out.append(c)
+                out.append(c)
             continue
         kind = rng.integers(3)
         if kind == 0:  # substitution
