@@ -38,7 +38,7 @@ def _load():
             cc = os.environ.get("CC", "cc")
             tmp = _SO + ".tmp"
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", *_SRCS, "-o", tmp],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", *_SRCS, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
@@ -93,6 +93,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64,
         ]
@@ -110,7 +111,7 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
@@ -214,10 +215,19 @@ def scm_consensus_fill(
     )
 
 
+def n_threads_default() -> int:
+    env = os.environ.get("OATK_TPU_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, os.cpu_count() or 1))
+
+
 def align_batch(
     uid, upos, spos, aoff, n_scm, min_score, ulen, arc_key, arc_aln,
+    n_threads: int | None = None,
 ):
-    """Batched read->graph fragment chaining (native/align.c).
+    """Batched read->graph fragment chaining (native/align.c), run on a
+    work-stealing thread pool over reads (kt_for analogue).
 
     Anchors pre-sorted per read by (uid, spos, upos), reads delimited by
     aoff.  Returns (frags[N,6] i64, chain_cut, read_cut, max_score) or
@@ -225,6 +235,8 @@ def align_batch(
     lib = _load()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = n_threads_default()
     n_reads = len(aoff) - 1
     cap_frag = max(4096, 4 * len(uid) + 64)
     cap_chain = max(1024, 2 * n_reads + 64)
@@ -238,6 +250,7 @@ def align_batch(
             aoff.ctypes.data, n_reads,
             n_scm.ctypes.data, min_score.ctypes.data, ulen.ctypes.data,
             arc_key.ctypes.data, arc_aln.ctypes.data, len(arc_key),
+            n_threads,
             out_frag.ctypes.data, chain_cut.ctypes.data,
             read_cut.ctypes.data, max_score.ctypes.data,
             cap_frag, cap_chain,
@@ -276,6 +289,7 @@ def find_lcs_native(s_ids, u_ids, offset: int):
 def ec_correct_reads(
     idx_p, idx_n, aw, als, adel, seq_flat, seq_off, vtx_len, scm_del,
     kflat, mflat, moff, code_flat, hoff, hoco_l, w: int, max_edist: float,
+    n_threads: int | None = None,
 ):
     """Batched graph-path error correction (native/ec.c).
 
@@ -285,6 +299,8 @@ def ec_correct_reads(
     lib = _load()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = n_threads_default()
     n_reads = len(moff) - 1
     cap_out = max(1024, 2 * len(kflat) + 1024)
     while True:
@@ -300,7 +316,7 @@ def ec_correct_reads(
             scm_del.ctypes.data,
             kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data, n_reads,
             code_flat.ctypes.data, hoff.ctypes.data, hoco_l.ctypes.data,
-            w, max_edist,
+            w, ctypes.c_double(max_edist), n_threads,
             stats.ctypes.data,
             out_kmer.ctypes.data, out_mpos.ctypes.data,
             out_cut.ctypes.data, out_upd.ctypes.data,

@@ -9,9 +9,17 @@
  * Python implementations remain as fallbacks and as the oracle for the
  * randomized equivalence tests.
  *
+ * Reads are independent, so the batch runs on a dynamic work-stealing
+ * thread pool (the kt_for analogue, /root/reference/kthread.c:48-65;
+ * reference threads the same stage at alignment.c:636-676).  Results
+ * land in per-read slots and merge in read order, so the output is
+ * bit-identical to the single-threaded run.
+ *
  * Reference behavior: /root/reference/alignment.c:159-691 (chaining),
  * /root/reference/syncasm.c:1750-1832 (LCS blocks).
  */
+#include <pthread.h>
+#include <stdatomic.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -75,37 +83,267 @@ static int frag_cmp(const void *pa, const void *pb) {
     return a->orig < b->orig ? -1 : (a->orig > b->orig ? 1 : 0);
 }
 
+/* ---------------- per-read result slot ---------------- */
+
+typedef struct {
+    i64 n_chain, n_frag, max_score;
+    i64 *chain_len;  /* [n_chain] */
+    i64 *frag6;      /* [n_frag * 6] */
+} rres_t;
+
+/* growable i64 buffer */
+typedef struct { i64 *p; i64 n, cap; } ibuf_t;
+
+static int ib_push(ibuf_t *b, i64 v) {
+    if (b->n == b->cap) {
+        i64 nc = b->cap ? b->cap * 2 : 256;
+        i64 *np = (i64 *)realloc(b->p, nc * sizeof(i64));
+        if (!np) return -1;
+        b->p = np; b->cap = nc;
+    }
+    b->p[b->n++] = v;
+    return 0;
+}
+
 /* ---------------- backtrace (multi-optimal) ---------------- */
 
 typedef struct {
     const fragctx_t *c;
     i64 *acc; i64 n_acc;
-    /* chain emission */
-    i64 *chain_frag;   /* flat fragment indices */
-    i64 *chain_cut;    /* boundaries */
-    i64 n_chain, n_cf;
-    i64 cap_cf, cap_chain;
-    int overflow;
+    ibuf_t chain_frag;   /* flat fragment indices */
+    ibuf_t chain_cut;    /* boundaries (chain_cut.p[0] = 0) */
+    int oom;
 } bt_t;
 
 static void backtrace(bt_t *bt, i64 node) {
-    if (bt->overflow) return;
+    if (bt->oom) return;
     bt->acc[bt->n_acc++] = node;
     i64 h = bt->c->frags[node].prev_head;
     if (h < 0) {
-        /* emit reversed acc as one chain */
-        if (bt->n_chain + 1 >= bt->cap_chain ||
-            bt->n_cf + bt->n_acc > bt->cap_cf) { bt->overflow = 1; return; }
         for (i64 i = bt->n_acc - 1; i >= 0; i--)
-            bt->chain_frag[bt->n_cf++] = bt->acc[i];
-        bt->chain_cut[++bt->n_chain] = bt->n_cf;
+            if (ib_push(&bt->chain_frag, bt->acc[i]) < 0) { bt->oom = 1; return; }
+        if (ib_push(&bt->chain_cut, bt->chain_frag.n) < 0) { bt->oom = 1; return; }
     } else {
         for (; h >= 0; h = bt->c->pool[h].next) {
             backtrace(bt, bt->c->pool[h].to);
             bt->n_acc--;
-            if (bt->overflow) return;
+            if (bt->oom) return;
         }
     }
+}
+
+/* ---------------- shared job + worker scratch ---------------- */
+
+typedef struct {
+    const i64 *uid_a, *upos_a, *spos_a, *aoff;
+    i64 n_reads;
+    const i64 *n_scm, *min_score, *ulen;
+    const u64 *arc_key;
+    const i64 *arc_aln;
+    i64 n_arc;
+    rres_t *slots;
+    atomic_llong next;
+    atomic_int err;
+} job_t;
+
+typedef struct {
+    i64 *nxt; unsigned char *used; frag_t *frags; i64 *pos_v; i64 *acc;
+    fragctx_t ctx;
+    bt_t bt;
+    i64 max_m;
+} scratch_t;
+
+static int align_one(job_t *jb, scratch_t *sc, i64 r) {
+    rres_t *res = &jb->slots[r];
+    res->n_chain = 0; res->n_frag = 0; res->max_score = 0;
+    res->chain_len = NULL; res->frag6 = NULL;
+    i64 a0 = jb->aoff[r], a1 = jb->aoff[r + 1];
+    i64 m = a1 - a0;
+    if (m == 0) return 0;
+    const i64 *uid = jb->uid_a + a0, *upos = jb->upos_a + a0, *spos = jb->spos_a + a0;
+    i64 *nxt = sc->nxt;
+    unsigned char *used = sc->used;
+    frag_t *frags = sc->frags;
+    i64 *pos_v = sc->pos_v;
+    memset(used, 0, m);
+    for (i64 i = 0; i < m; i++) nxt[i] = -1;
+
+    /* ---- fragment construction ---- */
+    i64 mf = 0;
+    sc->ctx.frags = frags;
+    sc->ctx.n_pool = 0;
+    i64 j = 0;
+    while (j < m) {
+        i64 u = uid[j], p = j;
+        while (p < m && uid[p] == u) p++;
+        i64 npos = 0;
+        pos_v[npos++] = j;
+        for (i64 t = j + 1; t < p; t++)
+            if (spos[t] != spos[pos_v[npos - 1]]) pos_v[npos++] = t;
+        pos_v[npos] = p;
+        for (i64 k = 0; k + 2 <= npos; k++) {
+            i64 s1 = pos_v[k], s2 = pos_v[k + 1];
+            while (s1 < pos_v[k + 1]) {
+                while (s2 < pos_v[k + 2] && upos[s2] <= upos[s1]) s2++;
+                if (s2 < pos_v[k + 2] && upos[s2] > upos[s1]) {
+                    nxt[s1] = s2;
+                    used[s2] = 1;
+                }
+                s1++;
+            }
+        }
+        for (i64 k = j; k < p; k++) {
+            if (used[k]) continue;
+            i64 s_cnt = 1, u_gap = 0, s_gap = 0, t = k;
+            while (nxt[t] >= 0) {
+                i64 n2 = nxt[t];
+                i64 du = upos[n2] - upos[t]; if (du < 0) du = -du;
+                i64 ds = spos[n2] - spos[t]; if (ds < 0) ds = -ds;
+                u_gap += du - 1;
+                s_gap += ds - 1;
+                s_cnt++;
+                t = n2;
+            }
+            if (s_cnt == 1) continue;
+            i64 gap = u_gap > s_gap ? u_gap : s_gap;
+            if (gap < 0) gap = 0;
+            i64 score = s_cnt - gap;
+            if (score >= 0) {
+                frag_t *f = &frags[mf];
+                f->uid = u; f->u_beg = upos[k]; f->u_end = upos[t];
+                f->s_beg = spos[k]; f->s_end = spos[t];
+                f->s_cnt = s_cnt; f->score0 = score; f->score = score;
+                f->prev_head = -1; f->orig = mf;
+                mf++;
+                used[k] = 1;
+                for (t = k; nxt[t] >= 0; ) { t = nxt[t]; used[t] = 1; }
+            }
+        }
+        for (i64 k = j; k < p; k++) {
+            if (!used[k] && nxt[k] < 0) {
+                frag_t *f = &frags[mf];
+                f->uid = u; f->u_beg = upos[k]; f->u_end = upos[k];
+                f->s_beg = spos[k]; f->s_end = spos[k];
+                f->s_cnt = 1; f->score0 = 1; f->score = 1;
+                f->prev_head = -1; f->orig = mf;
+                mf++;
+            }
+        }
+        j = p;
+    }
+    if (mf == 0) return 0;
+
+    qsort(frags, mf, sizeof(frag_t), frag_cmp);
+    sc->ctx.n_pool = 0;
+    for (i64 i = 0; i < mf; i++) frags[i].prev_head = -1;
+
+    /* ---- chaining across arcs ---- */
+    for (i64 a = 0; a < mf; a++) {
+        frag_t *f = &frags[a];
+        i64 pend = f->s_end;
+        if (jb->ulen[f->uid >> 1] - f->u_end - 1 > 0) continue;
+        i64 score = f->score;
+        for (i64 b = a + 1; b < mf; b++) {
+            frag_t *f1 = &frags[b];
+            if (f1->u_beg > 0) continue;
+            i64 aln = arc_lookup(jb->arc_key, jb->arc_aln, jb->n_arc,
+                                 ((u64)f->uid << 32) | (u64)f1->uid);
+            if (aln < 0) continue;
+            i64 u_ovl = aln < pend + 1 ? aln : pend + 1;
+            i64 p1 = f1->s_beg;
+            if (p1 > pend + 1) break;
+            if (p1 + u_ovl != pend + 1) continue;
+            i64 score1 = score + f1->score0 - u_ovl;
+            if (score1 <= score || score1 < f1->score ||
+                (score1 == f1->score && f1->prev_head < 0))
+                continue;
+            if (score1 > f1->score) {
+                f1->score = score1;
+                f1->prev_head = -1;
+            }
+            if (push_prev(&sc->ctx, b, a) < 0) return -2;
+        }
+    }
+
+    i64 max_score = frags[0].score;
+    for (i64 i = 1; i < mf; i++)
+        if (frags[i].score > max_score) max_score = frags[i].score;
+    res->max_score = max_score;
+    if (max_score < jb->min_score[r]) return 0;
+
+    /* ---- multi-optimal backtrace + coverage filter ---- */
+    bt_t *bt = &sc->bt;
+    bt->c = &sc->ctx;
+    bt->acc = sc->acc;
+    bt->chain_frag.n = 0;
+    bt->chain_cut.n = 0;
+    bt->oom = 0;
+    if (ib_push(&bt->chain_cut, 0) < 0) return -2;
+    for (i64 a = 0; a < mf; a++) {
+        if (frags[a].score == max_score) {
+            bt->n_acc = 0;
+            backtrace(bt, a);
+        }
+        if (bt->oom) return -2;
+    }
+
+    ibuf_t keep_len = {0}, keep_frag = {0};
+    i64 nch = bt->chain_cut.n - 1;
+    for (i64 c = 0; c < nch; c++) {
+        i64 c0 = bt->chain_cut.p[c], c1 = bt->chain_cut.p[c + 1];
+        i64 cov = 0;
+        for (i64 t = c0; t < c1; t++) cov += frags[bt->chain_frag.p[t]].s_cnt;
+        if (10 * cov < 9 * jb->n_scm[r]) continue;
+        if (ib_push(&keep_len, c1 - c0) < 0) goto oom;
+        for (i64 t = c0; t < c1; t++) {
+            frag_t *f = &frags[bt->chain_frag.p[t]];
+            if (ib_push(&keep_frag, f->uid) < 0 || ib_push(&keep_frag, f->u_beg) < 0 ||
+                ib_push(&keep_frag, f->u_end) < 0 || ib_push(&keep_frag, f->s_beg) < 0 ||
+                ib_push(&keep_frag, f->s_end) < 0 || ib_push(&keep_frag, f->s_cnt) < 0)
+                goto oom;
+        }
+    }
+    res->n_chain = keep_len.n;
+    res->n_frag = keep_frag.n / 6;
+    res->chain_len = keep_len.p;
+    res->frag6 = keep_frag.p;
+    return 0;
+oom:
+    free(keep_len.p); free(keep_frag.p);
+    return -2;
+}
+
+static void *worker(void *arg) {
+    job_t *jb = (job_t *)arg;
+    /* per-worker scratch sized to the largest read */
+    i64 max_m = 0;
+    for (i64 r = 0; r < jb->n_reads; r++) {
+        i64 m = jb->aoff[r + 1] - jb->aoff[r];
+        if (m > max_m) max_m = m;
+    }
+    scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
+    sc.max_m = max_m;
+    sc.nxt = (i64 *)malloc((max_m ? max_m : 1) * sizeof(i64));
+    sc.used = (unsigned char *)malloc(max_m ? max_m : 1);
+    sc.frags = (frag_t *)malloc((max_m ? max_m : 1) * sizeof(frag_t));
+    sc.pos_v = (i64 *)malloc((max_m + 2) * sizeof(i64));
+    sc.acc = (i64 *)malloc((max_m + 1) * sizeof(i64));
+    if (!sc.nxt || !sc.used || !sc.frags || !sc.pos_v || !sc.acc) {
+        atomic_store(&jb->err, 2);
+        goto done;
+    }
+    for (;;) {
+        i64 r = atomic_fetch_add(&jb->next, 1);
+        if (r >= jb->n_reads || atomic_load(&jb->err)) break;
+        int rc = align_one(jb, &sc, r);
+        if (rc < 0) { atomic_store(&jb->err, 2); break; }
+    }
+done:
+    free(sc.nxt); free(sc.used); free(sc.frags); free(sc.pos_v); free(sc.acc);
+    free(sc.ctx.pool);
+    free(sc.bt.chain_frag.p); free(sc.bt.chain_cut.p);
+    return NULL;
 }
 
 /* ---------------- main batched entry ----------------
@@ -121,6 +359,7 @@ i64 align_batch(
     const i64 *n_scm, const i64 *min_score,
     const i64 *ulen,
     const u64 *arc_key, const i64 *arc_aln, i64 n_arc,
+    i64 n_threads,
     /* outputs */
     i64 *out_frag,      /* [cap_frag * 6] uid,u_beg,u_end,s_beg,s_end,s_cnt */
     i64 *out_chain_cut, /* [cap_chain+1] frag boundaries (global) */
@@ -128,186 +367,64 @@ i64 align_batch(
     i64 *out_max_score, /* [n_reads] */
     i64 cap_frag, i64 cap_chain)
 {
-    i64 max_m = 0;
+    job_t jb;
+    jb.uid_a = uid_a; jb.upos_a = upos_a; jb.spos_a = spos_a; jb.aoff = aoff;
+    jb.n_reads = n_reads;
+    jb.n_scm = n_scm; jb.min_score = min_score; jb.ulen = ulen;
+    jb.arc_key = arc_key; jb.arc_aln = arc_aln; jb.n_arc = n_arc;
+    jb.slots = (rres_t *)calloc(n_reads ? n_reads : 1, sizeof(rres_t));
+    if (!jb.slots) return -2;
+    atomic_init(&jb.next, 0);
+    atomic_init(&jb.err, 0);
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 32) n_threads = 32;
+    if (n_threads == 1) {
+        worker(&jb);
+    } else {
+        pthread_t tids[32];
+        i64 spawned = 0;
+        for (i64 t = 0; t < n_threads; t++) {
+            if (pthread_create(&tids[t], NULL, worker, &jb) != 0) break;
+            spawned++;
+        }
+        if (spawned == 0) worker(&jb);
+        for (i64 t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    }
+
+    i64 ret;
+    if (atomic_load(&jb.err)) { ret = -2; goto cleanup; }
+
+    /* ---- ordered merge ---- */
+    {
+        i64 total_frag = 0, total_chain = 0;
+        out_read_cut[0] = 0;
+        out_chain_cut[0] = 0;
+        ret = 0;
+        for (i64 r = 0; r < n_reads; r++) {
+            rres_t *res = &jb.slots[r];
+            out_max_score[r] = res->max_score;
+            if (total_chain + res->n_chain > cap_chain ||
+                total_frag + res->n_frag > cap_frag) { ret = -1; break; }
+            memcpy(out_frag + total_frag * 6, res->frag6,
+                   (size_t)res->n_frag * 6 * sizeof(i64));
+            for (i64 c = 0; c < res->n_chain; c++) {
+                total_chain++;
+                out_chain_cut[total_chain] =
+                    out_chain_cut[total_chain - 1] + res->chain_len[c];
+            }
+            total_frag += res->n_frag;
+            out_read_cut[r + 1] = total_chain;
+        }
+        if (ret == 0) ret = total_frag;
+    }
+cleanup:
     for (i64 r = 0; r < n_reads; r++) {
-        i64 m = aoff[r + 1] - aoff[r];
-        if (m > max_m) max_m = m;
+        free(jb.slots[r].chain_len);
+        free(jb.slots[r].frag6);
     }
-    i64 *nxt = (i64 *)malloc(max_m * sizeof(i64));
-    unsigned char *used = (unsigned char *)malloc(max_m ? max_m : 1);
-    frag_t *frags = (frag_t *)malloc(max_m * sizeof(frag_t));
-    i64 *pos_v = (i64 *)malloc((max_m + 2) * sizeof(i64));
-    i64 *acc = (i64 *)malloc((max_m + 1) * sizeof(i64));
-    i64 *cchain_frag = (i64 *)malloc(cap_frag * sizeof(i64));
-    i64 *cchain_cut = (i64 *)malloc((cap_chain + 1) * sizeof(i64));
-    if (!nxt || !used || !frags || !pos_v || !acc || !cchain_frag || !cchain_cut) {
-        free(nxt); free(used); free(frags); free(pos_v); free(acc);
-        free(cchain_frag); free(cchain_cut);
-        return -2;
-    }
-    fragctx_t ctx = {frags, NULL, 0, 0};
-
-    i64 total_frag = 0, total_chain = 0;
-    out_read_cut[0] = 0;
-    out_chain_cut[0] = 0;
-    int err = 0;
-
-    for (i64 r = 0; r < n_reads && !err; r++) {
-        out_max_score[r] = 0;
-        i64 a0 = aoff[r], a1 = aoff[r + 1];
-        i64 m = a1 - a0;
-        if (m == 0) { out_read_cut[r + 1] = total_chain; continue; }
-        const i64 *uid = uid_a + a0, *upos = upos_a + a0, *spos = spos_a + a0;
-        memset(used, 0, m);
-        for (i64 i = 0; i < m; i++) nxt[i] = -1;
-
-        /* ---- fragment construction ---- */
-        i64 mf = 0;
-        ctx.n_pool = 0;
-        i64 j = 0;
-        while (j < m) {
-            i64 u = uid[j], p = j;
-            while (p < m && uid[p] == u) p++;
-            /* distinct-spos group starts */
-            i64 npos = 0;
-            pos_v[npos++] = j;
-            for (i64 t = j + 1; t < p; t++)
-                if (spos[t] != spos[pos_v[npos - 1]]) pos_v[npos++] = t;
-            pos_v[npos] = p;
-            for (i64 k = 0; k + 2 <= npos; k++) {
-                i64 s1 = pos_v[k], s2 = pos_v[k + 1];
-                while (s1 < pos_v[k + 1]) {
-                    while (s2 < pos_v[k + 2] && upos[s2] <= upos[s1]) s2++;
-                    if (s2 < pos_v[k + 2] && upos[s2] > upos[s1]) {
-                        nxt[s1] = s2;
-                        used[s2] = 1;
-                    }
-                    s1++;
-                }
-            }
-            /* chain walk from unmarked heads */
-            for (i64 k = j; k < p; k++) {
-                if (used[k]) continue;
-                i64 s_cnt = 1, u_gap = 0, s_gap = 0, t = k;
-                while (nxt[t] >= 0) {
-                    i64 n2 = nxt[t];
-                    i64 du = upos[n2] - upos[t]; if (du < 0) du = -du;
-                    i64 ds = spos[n2] - spos[t]; if (ds < 0) ds = -ds;
-                    u_gap += du - 1;
-                    s_gap += ds - 1;
-                    s_cnt++;
-                    t = n2;
-                }
-                if (s_cnt == 1) continue;
-                i64 gap = u_gap > s_gap ? u_gap : s_gap;
-                if (gap < 0) gap = 0;
-                i64 score = s_cnt - gap;
-                if (score >= 0) {
-                    frag_t *f = &frags[mf];
-                    f->uid = u; f->u_beg = upos[k]; f->u_end = upos[t];
-                    f->s_beg = spos[k]; f->s_end = spos[t];
-                    f->s_cnt = s_cnt; f->score0 = score; f->score = score;
-                    f->prev_head = -1; f->orig = mf;
-                    mf++;
-                    used[k] = 1;
-                    for (t = k; nxt[t] >= 0; ) { t = nxt[t]; used[t] = 1; }
-                }
-            }
-            /* singletons */
-            for (i64 k = j; k < p; k++) {
-                if (!used[k] && nxt[k] < 0) {
-                    frag_t *f = &frags[mf];
-                    f->uid = u; f->u_beg = upos[k]; f->u_end = upos[k];
-                    f->s_beg = spos[k]; f->s_end = spos[k];
-                    f->s_cnt = 1; f->score0 = 1; f->score = 1;
-                    f->prev_head = -1; f->orig = mf;
-                    mf++;
-                }
-            }
-            j = p;
-        }
-        if (mf == 0) { out_read_cut[r + 1] = total_chain; continue; }
-
-        qsort(frags, mf, sizeof(frag_t), frag_cmp);
-        /* prev indices reference post-sort positions, so reset pool */
-        ctx.n_pool = 0;
-        for (i64 i = 0; i < mf; i++) frags[i].prev_head = -1;
-
-        /* ---- chaining across arcs ---- */
-        for (i64 a = 0; a < mf; a++) {
-            frag_t *f = &frags[a];
-            i64 pend = f->s_end;
-            if (ulen[f->uid >> 1] - f->u_end - 1 > 0) continue;
-            i64 score = f->score;
-            for (i64 b = a + 1; b < mf; b++) {
-                frag_t *f1 = &frags[b];
-                if (f1->u_beg > 0) continue;
-                i64 aln = arc_lookup(arc_key, arc_aln, n_arc,
-                                     ((u64)f->uid << 32) | (u64)f1->uid);
-                if (aln < 0) continue;
-                i64 u_ovl = aln < pend + 1 ? aln : pend + 1;
-                i64 p1 = f1->s_beg;
-                if (p1 > pend + 1) break;
-                if (p1 + u_ovl != pend + 1) continue;
-                i64 score1 = score + f1->score0 - u_ovl;
-                if (score1 <= score || score1 < f1->score ||
-                    (score1 == f1->score && f1->prev_head < 0))
-                    continue;
-                if (score1 > f1->score) {
-                    f1->score = score1;
-                    f1->prev_head = -1;
-                }
-                if (push_prev(&ctx, b, a) < 0) { err = 2; break; }
-            }
-            if (err) break;
-        }
-        if (err) break;
-
-        i64 max_score = frags[0].score;
-        for (i64 i = 1; i < mf; i++)
-            if (frags[i].score > max_score) max_score = frags[i].score;
-        out_max_score[r] = max_score;
-        if (max_score < min_score[r]) { out_read_cut[r + 1] = total_chain; continue; }
-
-        /* ---- multi-optimal backtrace into scratch, then cov filter ---- */
-        bt_t bt = {&ctx, acc, 0, cchain_frag, cchain_cut, 0, 0,
-                   cap_frag, cap_chain, 0};
-        bt.chain_cut[0] = 0;
-        for (i64 a = 0; a < mf; a++) {
-            if (frags[a].score == max_score) {
-                bt.n_acc = 0;
-                backtrace(&bt, a);
-            }
-            if (bt.overflow) break;
-        }
-        if (bt.overflow) { err = 1; break; }
-
-        for (i64 c = 0; c < bt.n_chain; c++) {
-            i64 c0 = bt.chain_cut[c], c1 = bt.chain_cut[c + 1];
-            i64 cov = 0;
-            for (i64 t = c0; t < c1; t++) cov += frags[bt.chain_frag[t]].s_cnt;
-            /* keep when cov/n_scm >= 0.9  <=>  10*cov >= 9*n_scm */
-            if (10 * cov < 9 * n_scm[r]) continue;
-            if (total_chain + 1 >= cap_chain || total_frag + (c1 - c0) > cap_frag) {
-                err = 1; break;
-            }
-            for (i64 t = c0; t < c1; t++) {
-                frag_t *f = &frags[bt.chain_frag[t]];
-                i64 *o = out_frag + total_frag * 6;
-                o[0] = f->uid; o[1] = f->u_beg; o[2] = f->u_end;
-                o[3] = f->s_beg; o[4] = f->s_end; o[5] = f->s_cnt;
-                total_frag++;
-            }
-            out_chain_cut[++total_chain] = total_frag;
-        }
-        out_read_cut[r + 1] = total_chain;
-    }
-
-    free(nxt); free(used); free(frags); free(pos_v); free(acc);
-    free(cchain_frag); free(cchain_cut); free(ctx.pool);
-    if (err == 2) return -2;
-    if (err) return -1;
-    return total_frag;
+    free(jb.slots);
+    return ret;
 }
 
 /* ---------------- LCS match blocks ----------------
@@ -328,7 +445,6 @@ i64 find_lcs(
     while (start <= s_end && start <= u_end && s_ids[s_end] == u_ids[u_end]) {
         s_end--; u_end--;
     }
-    /* raw blocks before merging: head, middle units (reversed), tail */
     if (start > 0) {
         if (nb >= cap_blocks) return -1;
         out_blocks[nb * 2] = offset; out_blocks[nb * 2 + 1] = start; nb++;
@@ -346,7 +462,6 @@ i64 find_lcs(
                 else Li[jj] = Lp[jj] > Li[jj - 1] ? Lp[jj] : Li[jj - 1];
             }
         }
-        /* backtrace collects unit blocks in reverse; store then reverse */
         i64 nb0 = nb;
         i64 i = sn, jj = un;
         while (i > 0 && jj > 0) {
@@ -363,7 +478,6 @@ i64 find_lcs(
             }
         }
         free(L);
-        /* reverse the unit-block run [nb0, nb) */
         for (i64 x = nb0, y = nb - 1; x < y; x++, y--) {
             i64 t0 = out_blocks[x * 2], t1 = out_blocks[x * 2 + 1];
             out_blocks[x * 2] = out_blocks[y * 2];
@@ -377,7 +491,6 @@ i64 find_lcs(
         out_blocks[nb * 2 + 1] = s_n - s_end - 1;
         nb++;
     }
-    /* merge adjacent */
     i64 mg = 0;
     for (i64 x = 0; x < nb; x++) {
         if (mg > 0 &&

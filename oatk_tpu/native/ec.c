@@ -251,6 +251,204 @@ static void hoco_dna(const u8 *codes, i64 pos, i64 l, int rev, u8 *out) {
     }
 }
 
+/* ---------------- threaded batch driver ----------------
+ *
+ * Reads are independent; a dynamic work-stealing pool (kt_for analogue,
+ * /root/reference/kthread.c:48-65; the reference threads EC at
+ * syncerr.c:882) fills per-read result slots which merge in read order,
+ * so output and stats are identical to a single-threaded run. */
+#include <pthread.h>
+#include <stdatomic.h>
+
+typedef struct { i64 n; i64 *ck; i64 *cm; u8 upd; } ec_slot_t;
+
+typedef struct {
+    const i64 *idx_p, *idx_n; i64 n_vtx2;
+    const u64 *aw; const i64 *als; const u8 *adel;
+    const u8 *seq_flat; const i64 *seq_off; const i64 *vtx_len;
+    const u8 *scm_del;
+    const u64 *kflat; const u32 *mflat; const i64 *moff; i64 n_reads;
+    const u8 *code_flat; const i64 *hoff; const i64 *hoco_l;
+    i64 w; double max_edist;
+    i64 max_hoco;
+    ec_slot_t *slots;
+    i64 stats[32][11]; /* per-worker */
+    atomic_llong next;
+    atomic_int err;
+} ec_job_t;
+
+static int ec_one(ec_job_t *jb, ctx_t *c, u8 *ts_buf, i64 *stats, i64 r,
+                  ibuf_t *ck, ibuf_t *cm) {
+    const u64 *k_mer = jb->kflat + jb->moff[r];
+    const u32 *m_pos = jb->mflat + jb->moff[r];
+    i64 n_scm = jb->moff[r + 1] - jb->moff[r];
+    const u8 *codes = jb->code_flat + jb->hoff[r];
+    i64 hl = jb->hoco_l[r];
+    i64 w = jb->w;
+    ck->n = 0; cm->n = 0;
+    int updated = 1;
+    i64 beg = -1;
+
+    for (;;) {
+        i64 beg_pos = (beg < 1) ? 0 : ((i64)(m_pos[beg - 1] >> 1) + w);
+        beg_pos += MIN_ERR_SEQ_LEN;
+        i64 end = beg + 1;
+        while (end < n_scm) {
+            u64 km = k_mer[end];
+            if (!jb->scm_del[km >> 1] && !(km & 1) &&
+                (i64)(m_pos[end] >> 1) >= beg_pos)
+                break;
+            end++;
+        }
+
+        if (beg >= 0 || end < n_scm) {
+            i64 beg_utg, end_utg, l;
+            int rv;
+            if (beg < 0) {
+                beg = end;
+                beg_utg = (i64)((k_mer[beg] & ~(u64)1) |
+                                ((m_pos[beg] & 1) ? 0 : 1));
+                beg_pos = 0;
+                end_utg = -1;
+                l = (i64)(m_pos[beg] >> 1);
+                rv = 1;
+            } else {
+                beg -= 1;
+                beg_utg = (i64)((k_mer[beg] & ~(u64)1) | (m_pos[beg] & 1));
+                beg_pos = (i64)(m_pos[beg] >> 1) + w;
+                if (end >= n_scm) {
+                    end_utg = -1;
+                    l = hl - beg_pos;
+                } else {
+                    end_utg = (i64)((k_mer[end] & ~(u64)1) | (m_pos[end] & 1));
+                    l = (i64)(m_pos[end] >> 1) - beg_pos;
+                }
+                rv = 0;
+            }
+
+            int err_c1;
+            if (l >= MIN_ERR_SEQ_LEN) {
+                hoco_dna(codes, beg_pos, l, rv, ts_buf);
+                i64 bw = (i64)ceil(l * jb->max_edist);
+                if (bw < MIN_ERR_BASE) bw = MIN_ERR_BASE;
+                wf_t *wf = &c->wf;
+                wf->ts = ts_buf; wf->tl = l; wf->bw = bw;
+                wf->score = 0; wf->t_end = 0; wf->q_end = 0;
+                wf->d0 = 0; wf->n = 1;
+                i64 need = 2 * bw + 16;
+                if (need > wf->kcap) {
+                    i64 *nk = (i64 *)realloc(wf->k, need * sizeof(i64));
+                    if (!nk) return -2;
+                    wf->k = nk; wf->kcap = need;
+                }
+                wf->k[0] = -1;
+                err_c1 = ec_path_search(c, beg_utg, end_utg);
+                if (c->oom) return -2;
+                if (end_utg == -1) { stats[0]++; stats[1 + err_c1]++; }
+                else { stats[5]++; stats[6 + err_c1]++; }
+            } else {
+                err_c1 = EC_FAILURE;
+                stats[10]++;
+            }
+
+            if (err_c1 == EC_SUCCESS) {
+                i64 n = c->dfs.opt_path.n;
+                const i64 *op = c->dfs.opt_path.p;
+                if (rv) {
+                    for (i64 jx = n - 1; jx > 0; --jx) {
+                        if (ib_push(ck, (i64)((op[jx] & ~(i64)1) | 1)) < 0 ||
+                            ib_push(cm, (i64)(0xFFFFFFFFu ^ (u32)(op[jx] & 1))) < 0)
+                            return -2;
+                    }
+                } else {
+                    for (i64 jx = 1; jx < n - 1; ++jx) {
+                        if (ib_push(ck, (i64)((op[jx] & ~(i64)1) | 1)) < 0 ||
+                            ib_push(cm, (i64)(0xFFFFFFFEu | (u32)(op[jx] & 1))) < 0)
+                            return -2;
+                    }
+                    if (end_utg == -1 && n > 1) {
+                        if (ib_push(ck, (i64)((op[n - 1] & ~(i64)1) | 1)) < 0 ||
+                            ib_push(cm, (i64)(0xFFFFFFFEu | (u32)(op[n - 1] & 1))) < 0)
+                            return -2;
+                    }
+                }
+            } else {
+                if (rv) {
+                    for (i64 x = 0; x < beg; ++x) {
+                        if (ib_push(ck, (i64)k_mer[x]) < 0 ||
+                            ib_push(cm, (i64)m_pos[x]) < 0) return -2;
+                    }
+                } else if (beg + 1 < n_scm) {
+                    for (i64 x = beg + 1; x < end; ++x) {
+                        if (ib_push(ck, (i64)k_mer[x]) < 0 ||
+                            ib_push(cm, (i64)m_pos[x]) < 0) return -2;
+                    }
+                }
+            }
+        } else {
+            updated = 0;
+        }
+
+        /* next bad syncmer (k_mer[end] check kept reference-faithful) */
+        beg = end + 1;
+        while (beg < n_scm) {
+            if (jb->scm_del[k_mer[beg] >> 1] || (k_mer[end] & 1))
+                break;
+            beg++;
+        }
+        if (beg > n_scm) break;
+        for (i64 x = end; x < beg; ++x) {
+            if (ib_push(ck, (i64)k_mer[x]) < 0 ||
+                ib_push(cm, (i64)m_pos[x]) < 0) return -2;
+        }
+    }
+
+    ec_slot_t *sl = &jb->slots[r];
+    sl->upd = (u8)updated;
+    sl->n = 0;
+    if (updated && ck->n) {
+        sl->ck = (i64 *)malloc(ck->n * sizeof(i64));
+        sl->cm = (i64 *)malloc(cm->n * sizeof(i64));
+        if (!sl->ck || !sl->cm) return -2;
+        memcpy(sl->ck, ck->p, ck->n * sizeof(i64));
+        memcpy(sl->cm, cm->p, cm->n * sizeof(i64));
+        sl->n = ck->n;
+    }
+    return 0;
+}
+
+typedef struct { ec_job_t *jb; i64 wid; } ec_warg_t;
+
+static void *ec_worker(void *arg) {
+    ec_warg_t *wa = (ec_warg_t *)arg;
+    ec_job_t *jb = wa->jb;
+    ctx_t c;
+    memset(&c, 0, sizeof(c));
+    c.idx_p = jb->idx_p; c.idx_n = jb->idx_n; c.n_vtx2 = jb->n_vtx2;
+    c.aw = jb->aw; c.als = jb->als; c.adel = jb->adel;
+    c.seq_flat = jb->seq_flat; c.seq_off = jb->seq_off; c.vtx_len = jb->vtx_len;
+    c.scm_del = jb->scm_del;
+    u8 *ts_buf = (u8 *)malloc(jb->max_hoco ? jb->max_hoco : 1);
+    ibuf_t ck = {0}, cm = {0};
+    if (!ts_buf) { atomic_store(&jb->err, 2); goto done; }
+    for (;;) {
+        i64 r = atomic_fetch_add(&jb->next, 1);
+        if (r >= jb->n_reads || atomic_load(&jb->err)) break;
+        if (ec_one(jb, &c, ts_buf, jb->stats[wa->wid], r, &ck, &cm) < 0) {
+            atomic_store(&jb->err, 2);
+            break;
+        }
+    }
+done:
+    free(ts_buf);
+    free(ck.p); free(cm.p);
+    free(c.wf.k);
+    free(c.dfs.c_seq.p); free(c.dfs.opt_seq.p);
+    free(c.dfs.c_path.p); free(c.dfs.opt_path.p);
+    free(c.snap_arena);
+    return NULL;
+}
+
 /* returns total emitted (kmer,mpos) count, -1 = out capacity, -2 = alloc */
 i64 ec_correct_reads(
     const i64 *idx_p, const i64 *idx_n, i64 n_vtx2,
@@ -259,177 +457,69 @@ i64 ec_correct_reads(
     const u8 *scm_del,
     const u64 *kflat, const u32 *mflat, const i64 *moff, i64 n_reads,
     const u8 *code_flat, const i64 *hoff, const i64 *hoco_l,
-    i64 w, double max_edist,
+    i64 w, double max_edist, i64 n_threads,
     i64 *stats,
     u64 *out_kmer, u32 *out_mpos, i64 *out_cut, u8 *out_upd,
     i64 cap_out)
 {
     COMP['A'] = 'T'; COMP['C'] = 'G'; COMP['G'] = 'C'; COMP['T'] = 'A';
-    ctx_t c;
-    memset(&c, 0, sizeof(c));
-    c.idx_p = idx_p; c.idx_n = idx_n; c.n_vtx2 = n_vtx2;
-    c.aw = aw; c.als = als; c.adel = adel;
-    c.seq_flat = seq_flat; c.seq_off = seq_off; c.vtx_len = vtx_len;
-    c.scm_del = scm_del;
-
-    i64 max_hoco = 0;
+    ec_job_t *jb = (ec_job_t *)calloc(1, sizeof(ec_job_t));
+    if (!jb) return -2;
+    jb->idx_p = idx_p; jb->idx_n = idx_n; jb->n_vtx2 = n_vtx2;
+    jb->aw = aw; jb->als = als; jb->adel = adel;
+    jb->seq_flat = seq_flat; jb->seq_off = seq_off; jb->vtx_len = vtx_len;
+    jb->scm_del = scm_del;
+    jb->kflat = kflat; jb->mflat = mflat; jb->moff = moff; jb->n_reads = n_reads;
+    jb->code_flat = code_flat; jb->hoff = hoff; jb->hoco_l = hoco_l;
+    jb->w = w; jb->max_edist = max_edist;
+    jb->max_hoco = 0;
     for (i64 r = 0; r < n_reads; ++r)
-        if (hoco_l[r] > max_hoco) max_hoco = hoco_l[r];
-    u8 *ts_buf = (u8 *)malloc(max_hoco ? max_hoco : 1);
-    if (!ts_buf) return -2;
+        if (hoco_l[r] > jb->max_hoco) jb->max_hoco = hoco_l[r];
+    jb->slots = (ec_slot_t *)calloc(n_reads ? n_reads : 1, sizeof(ec_slot_t));
+    if (!jb->slots) { free(jb); return -2; }
+    atomic_init(&jb->next, 0);
+    atomic_init(&jb->err, 0);
 
-    ibuf_t ck = {0}, cm = {0};
-    i64 total = 0;
-    out_cut[0] = 0;
-    i64 rc = 0;
-
-    for (i64 r = 0; r < n_reads && !rc; ++r) {
-        const u64 *k_mer = kflat + moff[r];
-        const u32 *m_pos = mflat + moff[r];
-        i64 n_scm = moff[r + 1] - moff[r];
-        const u8 *codes = code_flat + hoff[r];
-        i64 hl = hoco_l[r];
-        ck.n = 0; cm.n = 0;
-        int updated = 1;
-        i64 beg = -1;
-
-        for (;;) {
-            i64 beg_pos = (beg < 1) ? 0 : ((i64)(m_pos[beg - 1] >> 1) + w);
-            beg_pos += MIN_ERR_SEQ_LEN;
-            i64 end = beg + 1;
-            while (end < n_scm) {
-                u64 km = k_mer[end];
-                if (!scm_del[km >> 1] && !(km & 1) &&
-                    (i64)(m_pos[end] >> 1) >= beg_pos)
-                    break;
-                end++;
-            }
-
-            if (beg >= 0 || end < n_scm) {
-                i64 beg_utg, end_utg, l;
-                int rv;
-                if (beg < 0) {
-                    beg = end;
-                    beg_utg = (i64)((k_mer[beg] & ~(u64)1) |
-                                    ((m_pos[beg] & 1) ? 0 : 1));
-                    beg_pos = 0;
-                    end_utg = -1;
-                    l = (i64)(m_pos[beg] >> 1);
-                    rv = 1;
-                } else {
-                    beg -= 1;
-                    beg_utg = (i64)((k_mer[beg] & ~(u64)1) | (m_pos[beg] & 1));
-                    beg_pos = (i64)(m_pos[beg] >> 1) + w;
-                    if (end >= n_scm) {
-                        end_utg = -1;
-                        l = hl - beg_pos;
-                    } else {
-                        end_utg = (i64)((k_mer[end] & ~(u64)1) | (m_pos[end] & 1));
-                        l = (i64)(m_pos[end] >> 1) - beg_pos;
-                    }
-                    rv = 0;
-                }
-
-                int err_c1;
-                if (l >= MIN_ERR_SEQ_LEN) {
-                    hoco_dna(codes, beg_pos, l, rv, ts_buf);
-                    i64 bw = (i64)ceil(l * max_edist);
-                    if (bw < MIN_ERR_BASE) bw = MIN_ERR_BASE;
-                    /* conf.reset */
-                    wf_t *wf = &c.wf;
-                    wf->ts = ts_buf; wf->tl = l; wf->bw = bw;
-                    wf->score = 0; wf->t_end = 0; wf->q_end = 0;
-                    wf->d0 = 0; wf->n = 1;
-                    i64 need = 2 * bw + 16;
-                    if (need > wf->kcap) {
-                        i64 *nk = (i64 *)realloc(wf->k, need * sizeof(i64));
-                        if (!nk) { rc = -2; break; }
-                        wf->k = nk; wf->kcap = need;
-                    }
-                    wf->k[0] = -1;
-                    err_c1 = ec_path_search(&c, beg_utg, end_utg);
-                    if (c.oom) { rc = -2; break; }
-                    if (end_utg == -1) { stats[0]++; stats[1 + err_c1]++; }
-                    else { stats[5]++; stats[6 + err_c1]++; }
-                } else {
-                    err_c1 = EC_FAILURE;
-                    stats[10]++;
-                }
-
-                if (err_c1 == EC_SUCCESS) {
-                    i64 n = c.dfs.opt_path.n;
-                    const i64 *op = c.dfs.opt_path.p;
-                    if (rv) {
-                        for (i64 jx = n - 1; jx > 0; --jx) {
-                            if (ib_push(&ck, (i64)((op[jx] & ~(i64)1) | 1)) < 0 ||
-                                ib_push(&cm, (i64)(0xFFFFFFFFu ^ (u32)(op[jx] & 1))) < 0) {
-                                rc = -2; break;
-                            }
-                        }
-                    } else {
-                        for (i64 jx = 1; jx < n - 1; ++jx) {
-                            if (ib_push(&ck, (i64)((op[jx] & ~(i64)1) | 1)) < 0 ||
-                                ib_push(&cm, (i64)(0xFFFFFFFEu | (u32)(op[jx] & 1))) < 0) {
-                                rc = -2; break;
-                            }
-                        }
-                        if (!rc && end_utg == -1 && n > 1) {
-                            if (ib_push(&ck, (i64)((op[n - 1] & ~(i64)1) | 1)) < 0 ||
-                                ib_push(&cm, (i64)(0xFFFFFFFEu | (u32)(op[n - 1] & 1))) < 0)
-                                rc = -2;
-                        }
-                    }
-                } else {
-                    if (rv) {
-                        for (i64 x = 0; x < beg; ++x) {
-                            if (ib_push(&ck, (i64)k_mer[x]) < 0 ||
-                                ib_push(&cm, (i64)m_pos[x]) < 0) { rc = -2; break; }
-                        }
-                    } else if (beg + 1 < n_scm) {
-                        for (i64 x = beg + 1; x < end; ++x) {
-                            if (ib_push(&ck, (i64)k_mer[x]) < 0 ||
-                                ib_push(&cm, (i64)m_pos[x]) < 0) { rc = -2; break; }
-                        }
-                    }
-                }
-                if (rc) break;
-            } else {
-                updated = 0;
-            }
-
-            /* next bad syncmer (k_mer[end] check kept reference-faithful) */
-            beg = end + 1;
-            while (beg < n_scm) {
-                if (scm_del[k_mer[beg] >> 1] || (k_mer[end] & 1))
-                    break;
-                beg++;
-            }
-            if (beg > n_scm) break;
-            for (i64 x = end; x < beg; ++x) {
-                if (ib_push(&ck, (i64)k_mer[x]) < 0 ||
-                    ib_push(&cm, (i64)m_pos[x]) < 0) { rc = -2; break; }
-            }
-            if (rc) break;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 32) n_threads = 32;
+    ec_warg_t wargs[32];
+    if (n_threads == 1) {
+        wargs[0].jb = jb; wargs[0].wid = 0;
+        ec_worker(&wargs[0]);
+    } else {
+        pthread_t tids[32];
+        i64 spawned = 0;
+        for (i64 t = 0; t < n_threads; t++) {
+            wargs[t].jb = jb; wargs[t].wid = t;
+            if (pthread_create(&tids[t], NULL, ec_worker, &wargs[t]) != 0) break;
+            spawned++;
         }
-        if (rc) break;
-
-        out_upd[r] = (u8)updated;
-        if (updated) {
-            if (total + ck.n > cap_out) { rc = -1; break; }
-            for (i64 x = 0; x < ck.n; ++x) {
-                out_kmer[total + x] = (u64)ck.p[x];
-                out_mpos[total + x] = (u32)cm.p[x];
-            }
-            total += ck.n;
-        }
-        out_cut[r + 1] = total;
+        if (spawned == 0) { wargs[0].jb = jb; wargs[0].wid = 0; ec_worker(&wargs[0]); }
+        for (i64 t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
     }
 
-    free(ts_buf);
-    free(ck.p); free(cm.p);
-    free(c.wf.k);
-    free(c.dfs.c_seq.p); free(c.dfs.opt_seq.p);
-    free(c.dfs.c_path.p); free(c.dfs.opt_path.p);
-    free(c.snap_arena);
+    i64 rc = atomic_load(&jb->err) ? -2 : 0;
+    i64 total = 0;
+    out_cut[0] = 0;
+    if (!rc) {
+        for (i64 t = 0; t < 32; t++)
+            for (int s = 0; s < 11; s++) stats[s] += jb->stats[t][s];
+        for (i64 r = 0; r < n_reads; ++r) {
+            ec_slot_t *sl = &jb->slots[r];
+            out_upd[r] = sl->upd;
+            if (sl->upd) {
+                if (total + sl->n > cap_out) { rc = -1; break; }
+                for (i64 x = 0; x < sl->n; ++x) {
+                    out_kmer[total + x] = (u64)sl->ck[x];
+                    out_mpos[total + x] = (u32)sl->cm[x];
+                }
+                total += sl->n;
+            }
+            out_cut[r + 1] = total;
+        }
+    }
+    for (i64 r = 0; r < n_reads; ++r) { free(jb->slots[r].ck); free(jb->slots[r].cm); }
+    free(jb->slots);
+    free(jb);
     return rc ? rc : total;
 }
