@@ -230,38 +230,45 @@ def _align_one(
 
 def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray):
     """Anchor arrays for the gated reads, concatenated and sorted per
-    read by (uid, spos, upos) -- the exact order _align_one works in."""
+    read by (uid, spos, upos) -- the exact order _align_one works in.
+    Fully vectorized: one index expansion + one lexsort over every
+    gated read's occurrences."""
     idx = scg.idx
-    uid_l, upos_l, spos_l, rid_l = [], [], [], []
-    for gi, sid in enumerate(sids):
-        r = read_db.reads[sid]
-        s_arr = (r.k_mer >> np.uint64(1)).astype(np.int64)
-        lo = idx.start[s_arr]
-        cnt = idx.start[s_arr + 1] - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            continue
-        j_rep = np.repeat(np.arange(r.n, dtype=np.int64), cnt)
-        off0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-        o_idx = np.repeat(lo - off0, cnt) + np.arange(tot, dtype=np.int64)
-        u = idx.uid[o_idx]
-        p = idx.pos[o_idx]
-        rj = (r.m_pos.astype(np.int64) & 1)[j_rep]
-        t_rev = idx.rev[o_idx] ^ rj
-        uid_l.append((u << 1) | t_rev)
-        upos_l.append(np.where(t_rev == 1, ulen[u] - p - 1, p))
-        spos_l.append(j_rep)
-        rid_l.append(np.full(tot, gi, np.int64))
-    if not uid_l:
+    G = len(sids)
+    reads = read_db.reads
+    ns = np.fromiter((reads[s].n for s in sids), np.int64, count=G)
+    total = int(ns.sum())
+    if total == 0:
         z = np.zeros(0, np.int64)
-        return z, z, z, np.zeros(len(sids) + 1, np.int64)
-    uid = np.concatenate(uid_l)
-    upos = np.concatenate(upos_l)
-    spos = np.concatenate(spos_l)
-    rid = np.concatenate(rid_l)
+        return z, z, z, np.zeros(G + 1, np.int64)
+    kflat = np.concatenate([reads[s].k_mer for s in sids])
+    mlow = np.concatenate([reads[s].m_pos for s in sids]).astype(np.int64) & 1
+    base = np.zeros(G + 1, np.int64)
+    np.cumsum(ns, out=base[1:])
+    rid_e = np.repeat(np.arange(G, dtype=np.int64), ns)
+    j_e = np.arange(total, dtype=np.int64) - base[rid_e]
+
+    s_arr = (kflat >> np.uint64(1)).astype(np.int64)
+    lo = idx.start[s_arr]
+    cnt = idx.start[s_arr + 1] - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros(G + 1, np.int64)
+    off0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    o_idx = np.repeat(lo - off0, cnt) + np.arange(tot, dtype=np.int64)
+    u = idx.uid[o_idx]
+    p = idx.pos[o_idx]
+    rj = np.repeat(mlow, cnt)
+    t_rev = idx.rev[o_idx] ^ rj
+    uid = (u << 1) | t_rev
+    upos = np.where(t_rev == 1, ulen[u] - p - 1, p)
+    spos = np.repeat(j_e, cnt)
+    rid = np.repeat(rid_e, cnt)
+
     order = np.lexsort((upos, spos, uid, rid))
     uid, upos, spos, rid = uid[order], upos[order], spos[order], rid[order]
-    aoff = np.searchsorted(rid, np.arange(len(sids) + 1, dtype=np.int64)).astype(np.int64)
+    aoff = np.searchsorted(rid, np.arange(G + 1, dtype=np.int64)).astype(np.int64)
     return (
         np.ascontiguousarray(uid, np.int64),
         np.ascontiguousarray(upos, np.int64),
