@@ -39,6 +39,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_rows(n: int, bsz: int) -> int:
+    """Pad a chunk's row count to the next power of two (capped at the
+    full chunk size) so XLA compiles only O(log) batch shapes and the
+    final partial chunk reuses a cached program instead of recompiling;
+    on the latency-bound tunnel, fewer/stabler dispatches dominate."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return min(p, bsz)
+
+
 def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
     """Decode the kernel's single-transfer [3, max_out+1] int64 result:
     row0 = flat_idx<<1|z (slot max_out = n_sel), row1 = smer payload,
@@ -58,7 +69,7 @@ def extract_all_syncmers(
     w: int,
     s: int,
     use_device: bool = True,
-    batch_bases: int = 8 << 20,
+    batch_bases: int = 32 << 20,
     impl: str = "auto",
 ) -> ReadDB:
     """Run syncmer extraction for all reads.
@@ -109,7 +120,7 @@ def extract_all_syncmers(
         bsz = max(1, batch_bases // Lp)
         for start in range(0, len(idxs), bsz):
             chunk = idxs[start : start + bsz]
-            B = len(chunk)
+            B = _pad_rows(len(chunk), bsz)
             max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
             if impl == "pallas":
                 packed = np.zeros((B, Lp // 4), dtype=np.uint8)
@@ -182,7 +193,7 @@ def load_and_extract(
     w: int,
     s: int,
     max_data: int = 0,
-    batch_bases: int = 8 << 20,
+    batch_bases: int = 32 << 20,
     impl: str = "auto",
 ) -> ReadDB | None:
     """Fused native load + device extraction: C parser/hoco/packer feeds
@@ -209,7 +220,7 @@ def load_and_extract(
     sid0 = 0
     for path in paths:
         data = read_source_bytes(path)
-        res = native.parse_fastx_hoco(data)
+        res = native.parse_fastx_hoco_mt(data)
         if res is None:
             return None
         names, rawlen, offs, codes, rl, isn = res
@@ -236,7 +247,7 @@ def load_and_extract(
             bsz = max(1, batch_bases // Lp)
             for start in range(0, len(idxs), bsz):
                 chunk = idxs[start : start + bsz]
-                B = len(chunk)
+                B = _pad_rows(len(chunk), bsz)
                 max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
                 # contiguous chunks pack natively; gather rows per index
                 packed = np.zeros((B, Lp // 4), np.uint8)

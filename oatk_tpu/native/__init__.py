@@ -166,6 +166,57 @@ def parse_fastx_hoco(data: bytes):
     return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
 
 
+def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
+    """Threaded FASTA parse+hoco: the byte buffer splits at record
+    boundaries ('\\n>' is unambiguous in FASTA) and ctypes releases the
+    GIL during each C call, so segments parse in parallel.  FASTQ (where
+    '@' can open a quality line) falls back to the single-thread parser.
+    Same output contract as :func:`parse_fastx_hoco`."""
+    if _load() is None:
+        return None
+    if n_threads is None:
+        n_threads = n_threads_default()
+    if n_threads <= 1 or len(data) < (4 << 20) or not data.startswith(b">"):
+        return parse_fastx_hoco(data)
+    # split points at record starts
+    cuts = [0]
+    step = len(data) // n_threads
+    for t in range(1, n_threads):
+        p = data.find(b"\n>", max(cuts[-1], t * step))
+        if p < 0:
+            break
+        cuts.append(p + 1)
+    cuts.append(len(data))
+    segs = [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
+    if len(segs) == 1:
+        return parse_fastx_hoco(data)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(segs)) as ex:
+        parts = list(ex.map(parse_fastx_hoco, segs))
+    if any(p is None for p in parts):
+        return parse_fastx_hoco(data)
+    names = []
+    for p in parts:
+        names.extend(p[0])
+    rawlen = np.concatenate([p[1] for p in parts])
+    codes = np.concatenate([p[3] for p in parts])
+    rlv = np.concatenate([p[4] for p in parts])
+    isn = np.concatenate([p[5] for p in parts])
+    offs = np.empty(len(names) + 1, np.int64)
+    offs[0] = 0
+    pos = 0
+    base = 0
+    for p in parts:
+        seg_offs = p[2]
+        n = len(p[0])
+        offs[pos + 1 : pos + n + 1] = seg_offs[1:] + base
+        base += seg_offs[-1]
+        pos += n
+    return names, rawlen, offs, codes, rlv, isn
+
+
 def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:
     """Run the wavefront core natively; see native/wavefront.c.
 
