@@ -182,24 +182,77 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
     for ra in ra_db:
         by_read.setdefault(ra.sid, []).append(ra)
 
+    from .. import native
+
+    use_native = native.available()
+    if use_native:
+        va_flat = np.concatenate(
+            [g.vtx_a[i] if g.vtx_a[i] is not None else np.zeros(0, np.uint64)
+             for i in range(n_vtx)]
+        ).astype(np.uint64, copy=False)
+        va_off = np.zeros(n_vtx + 1, np.int64)
+        np.cumsum(
+            np.fromiter(
+                (len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0 for i in range(n_vtx)),
+                np.int64, count=n_vtx,
+            ),
+            out=va_off[1:],
+        )
+
     mas = []
     for sid, alns in by_read.items():
-        mas.append(_make_ma_blocks(scg, read_db.reads[sid], alns))
+        if use_native:
+            read = read_db.reads[sid]
+            scm = np.ascontiguousarray(read.k_mer >> np.uint64(1), np.int64)
+            rows = []
+            cut = [0]
+            for ra in alns:
+                for f in ra.frags:
+                    rows.append((f.uid, f.u_beg, f.u_end, f.s_beg, f.s_end, 0))
+                cut.append(len(rows))
+            frag6 = np.asarray(rows, np.int64).reshape(len(rows), 6)
+            aln_cut = np.asarray(cut, np.int64)
+            nm, um = native.ma_blocks_native(scm, frag6, aln_cut, va_flat, va_off)
+            mas.append((nm, um))
+        else:
+            mas.append(_make_ma_blocks(scg, read_db.reads[sid], alns))
+
+    # flatten blocks once: EM accumulation order is preserved (reads in
+    # dict order, blocks in order, members left-to-right), and bincount
+    # accumulates sequentially in that same flat order, so the float
+    # rounding matches the reference's per-block loops exactly
+    nm_flat_l, u_flat_l, bid_l = [], [], []
+    nb_total = 0
+    for n_match, u_match in mas:
+        for nm, us in zip(n_match, u_match):
+            usl = [int(u) for u in us] if not isinstance(us, np.ndarray) else us
+            nm_flat_l.append(int(nm))
+            u_flat_l.extend(int(u) for u in usl)
+            bid_l.extend([nb_total] * len(usl))
+            nb_total += 1
+    nm_b = np.asarray(nm_flat_l, np.float64)
+    u_flat = np.asarray(u_flat_l, np.int64)
+    bid = np.asarray(bid_l, np.int64)
+    nlen_arr = np.fromiter(
+        (max(1, len(g.vtx_a[i]) if g.vtx_a[i] is not None else 1) for i in range(n_vtx)),
+        np.float64, count=n_vtx,
+    )
 
     # round 2: EM over multi-alignment blocks
     for _ in range(EM_MAX_ITER):
-        covs = np.zeros(n_vtx)
-        for n_match, u_match in mas:
-            for nm, us in zip(n_match, u_match):
-                tot = sum(avg[u] for u in us)
-                if tot == 0.0:
-                    continue
-                for u in us:
-                    covs[u] += avg[u] / tot * nm
+        if nb_total:
+            au = avg[u_flat]
+            tot_b = np.bincount(bid, weights=au, minlength=nb_total)
+            tb = tot_b[bid]
+            ok = tb != 0.0
+            w = np.zeros(len(u_flat))
+            w[ok] = au[ok] / tb[ok] * nm_b[bid[ok]]
+            covs = np.bincount(u_flat, weights=w, minlength=n_vtx)
+        else:
+            covs = np.zeros(n_vtx)
         diff = 0.0
         for i in range(n_vtx):
-            nlen = len(g.vtx_a[i]) if g.vtx_a[i] is not None else 1
-            c = covs[i] / max(1, nlen)
+            c = covs[i] / nlen_arr[i]
             diff += abs(c - avg[i])
             avg[i] = c
         if diff < DBL_EPSILON:

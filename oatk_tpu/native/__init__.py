@@ -103,6 +103,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ma_blocks.restype = ctypes.c_int64
+        lib.ma_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.ec_correct_reads.restype = ctypes.c_int64
         lib.ec_correct_reads.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -318,6 +325,33 @@ def align_batch(
             )
         cap_frag *= 4
         cap_chain *= 4
+
+
+def ma_blocks_native(scm, frag6, aln_cut, va_flat, va_off):
+    """Multi-alignment blocks for one read (native/align.c ma_blocks).
+
+    Returns (n_match[i64 nb], uids[nb, n_aln]) or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_aln = len(aln_cut) - 1
+    cap = 64 + 2 * len(scm)
+    while True:
+        out_nm = np.empty(cap, np.int64)
+        out_u = np.empty((cap, max(1, n_aln)), np.int64)
+        ret = lib.ma_blocks(
+            scm.ctypes.data, len(scm),
+            frag6.ctypes.data, aln_cut.ctypes.data, n_aln,
+            va_flat.ctypes.data, va_off.ctypes.data,
+            out_nm.ctypes.data, out_u.ctypes.data, cap,
+        )
+        if ret == -2:
+            raise MemoryError("ma_blocks: allocation failure")
+        if ret >= 0:
+            nb = int(ret)
+            return out_nm[:nb], out_u[:nb]
+        cap *= 4
 
 
 def find_lcs_native(s_ids, u_ids, offset: int):

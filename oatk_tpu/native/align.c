@@ -427,6 +427,147 @@ cleanup:
     return ret;
 }
 
+/* ---------------- multi-alignment blocks (coverage EM input) --------
+ *
+ * Port of coverage.py _make_ma_blocks for one read: per-alignment LCS
+ * block lists (via find_lcs below) then the synchronized merge walk.
+ * frag6 rows are (uid, u_beg, u_end, s_beg, s_end, s_cnt) as emitted by
+ * align_batch; aln_cut delimits alignments.  Outputs n_match[] and the
+ * uid matrix [n_blocks x n_aln].  Returns n_blocks, -1 on capacity,
+ * -2 on alloc failure. */
+i64 find_lcs(const i64 *, i64, const i64 *, i64, i64, i64 *, i64);
+
+i64 ma_blocks(
+    const i64 *scm, i64 n_scm_read,
+    const i64 *frag6, const i64 *aln_cut, i64 n_aln,
+    const u64 *va_flat, const i64 *va_off,
+    i64 *out_nmatch, i64 *out_uids, i64 cap_blocks)
+{
+    if (n_aln == 0) return 0;
+    /* per-alignment LCS block lists */
+    i64 **blk = (i64 **)calloc(n_aln, sizeof(i64 *));
+    i64 *nblk = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 *u_tmp = NULL, u_cap = 0;
+    i64 ret = -2;
+    if (!blk || !nblk) goto out;
+    for (i64 a = 0; a < n_aln; a++) {
+        i64 f0 = aln_cut[a], f1 = aln_cut[a + 1];
+        i64 cap = 8;
+        for (i64 f = f0; f < f1; f++)
+            cap += 2 * (frag6[f * 6 + 4] - frag6[f * 6 + 3] + 2)
+                 + 2 * (frag6[f * 6 + 2] - frag6[f * 6 + 1] + 2);
+        blk[a] = (i64 *)malloc(cap * 2 * sizeof(i64));
+        if (!blk[a]) goto out;
+        i64 nb = 0;
+        for (i64 f = f0; f < f1; f++) {
+            i64 uid = frag6[f * 6 + 0];
+            i64 ub = frag6[f * 6 + 1], ue = frag6[f * 6 + 2];
+            i64 sb = frag6[f * 6 + 3], se = frag6[f * 6 + 4];
+            i64 un = ue - ub + 1;
+            if (un > u_cap) {
+                i64 *nu = (i64 *)realloc(u_tmp, un * sizeof(i64));
+                if (!nu) goto out;
+                u_tmp = nu; u_cap = un;
+            }
+            const u64 *ua = va_flat + va_off[uid >> 1] + ub;
+            if (uid & 1) {
+                for (i64 t = 0; t < un; t++)
+                    u_tmp[t] = (i64)(ua[un - 1 - t] >> 1);
+            } else {
+                for (i64 t = 0; t < un; t++)
+                    u_tmp[t] = (i64)(ua[t] >> 1);
+            }
+            i64 got = find_lcs(scm + sb, se - sb + 1, u_tmp, un, sb,
+                               blk[a] + nb * 2, cap - nb);
+            if (got < 0) { ret = got; goto out; }
+            /* merge with previous frag's trailing block (python
+             * extends one list then merges adjacent lazily -- replicate
+             * by merging across the frag boundary) */
+            if (nb > 0 && got > 0 &&
+                blk[a][(nb - 1) * 2] + blk[a][(nb - 1) * 2 + 1] == blk[a][nb * 2]) {
+                /* python's _find_lcs merges only within one call; the
+                 * outer extend keeps boundary blocks separate */
+            }
+            nb += got;
+        }
+        nblk[a] = nb;
+    }
+
+    /* synchronized merge walk */
+    i64 *lcsb = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 *frgs = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 *begs = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 *lens = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 *uids = (i64 *)calloc(n_aln, sizeof(i64));
+    i64 nout = 0;
+    if (!lcsb || !frgs || !begs || !lens || !uids) {
+        free(lcsb); free(frgs); free(begs); free(lens); free(uids);
+        goto out;
+    }
+#define SHIFT(i, ok) do { \
+    if (lcsb[i] >= nblk[i]) { ok = 0; } else { \
+        begs[i] = blk[i][lcsb[i] * 2]; \
+        lens[i] = blk[i][lcsb[i] * 2 + 1]; \
+        while (frag6[(aln_cut[i] + frgs[i]) * 6 + 4] < begs[i]) frgs[i]++; \
+        uids[i] = frag6[(aln_cut[i] + frgs[i]) * 6 + 0] >> 1; \
+        ok = 1; } } while (0)
+    int alive = 1;
+    for (i64 i = 0; i < n_aln && alive; i++) {
+        int ok;
+        if (nblk[i] == 0) { alive = 0; break; }
+        SHIFT(i, ok);
+        if (!ok) alive = 0;
+    }
+    while (alive) {
+        i64 s_beg = begs[0];
+        for (i64 i = 1; i < n_aln; i++) if (begs[i] > s_beg) s_beg = begs[i];
+        i64 m_ext = lens[0] - s_beg + begs[0];
+        for (i64 i = 1; i < n_aln; i++) {
+            i64 e = lens[i] - s_beg + begs[i];
+            if (e < m_ext) m_ext = e;
+        }
+        if (m_ext > 0) {
+            if (nout >= cap_blocks) {
+                ret = -1;
+                free(lcsb); free(frgs); free(begs); free(lens); free(uids);
+                goto out;
+            }
+            out_nmatch[nout] = m_ext;
+            for (i64 i = 0; i < n_aln; i++)
+                out_uids[nout * n_aln + i] = uids[i];
+            nout++;
+            int done = 0;
+            for (i64 i = 0; i < n_aln; i++) {
+                i64 ext = lens[i] - s_beg + begs[i];
+                if (ext == m_ext) {
+                    lcsb[i]++;
+                    int ok;
+                    SHIFT(i, ok);
+                    if (!ok) { done = 1; break; }
+                } else {
+                    begs[i] = s_beg + m_ext;
+                    lens[i] = ext - m_ext;
+                }
+            }
+            if (done) break;
+        } else {
+            i64 imin = 0;
+            for (i64 i = 1; i < n_aln; i++) if (begs[i] < begs[imin]) imin = i;
+            lcsb[imin]++;
+            int ok;
+            SHIFT(imin, ok);
+            if (!ok) break;
+        }
+    }
+#undef SHIFT
+    free(lcsb); free(frgs); free(begs); free(lens); free(uids);
+    ret = nout;
+out:
+    for (i64 a = 0; a < n_aln; a++) free(blk[a]);
+    free(blk); free(nblk); free(u_tmp);
+    return ret;
+}
+
 /* ---------------- LCS match blocks ----------------
  *
  * Port of coverage.py _find_lcs: head/tail trim, O(sn*un) LCS DP on the

@@ -60,6 +60,69 @@ def test_native_align_equals_python(seed, monkeypatch):
     _ra_equal(ra_native_u, ra_py_u)
 
 
+def test_native_ma_blocks_equals_python():
+    """Native ma_blocks (LCS + synchronized merge walk) == the Python
+    _make_ma_blocks, including the multi-alignment (n>1) merge branches,
+    on randomized synthetic alignments."""
+    from types import SimpleNamespace
+
+    from oatk_tpu import native
+    from oatk_tpu.asm import coverage as COV
+    from oatk_tpu.asm.align import RaFrag, ReadAln
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31337)
+    for case in range(200):
+        n_utg = int(rng.integers(2, 6))
+        vtx_a = [
+            (rng.integers(0, 30, int(rng.integers(5, 40))).astype(np.uint64) << np.uint64(1))
+            | rng.integers(0, 2, 1).astype(np.uint64)[0]
+            for _ in range(n_utg)
+        ]
+        n_scm = int(rng.integers(5, 40))
+        kmer = rng.integers(0, 30, n_scm).astype(np.uint64) << np.uint64(1)
+        read = SimpleNamespace(k_mer=kmer)
+        g = SimpleNamespace(vtx_a=vtx_a)
+        scg = SimpleNamespace(utg=g)
+        n_aln = int(rng.integers(1, 4))
+        alns = []
+        for _ in range(n_aln):
+            nf = int(rng.integers(1, 4))
+            cuts = np.sort(rng.choice(np.arange(1, n_scm), size=min(nf - 1, n_scm - 2),
+                                      replace=False)) if nf > 1 else np.zeros(0, np.int64)
+            bounds = [0, *[int(c) for c in cuts], n_scm - 1]
+            frags = []
+            for f in range(len(bounds) - 1):
+                sb = bounds[f] + (1 if f else 0)
+                se = bounds[f + 1]
+                if sb > se:
+                    sb = se
+                u = int(rng.integers(n_utg))
+                un = len(vtx_a[u])
+                ub = int(rng.integers(un))
+                ue = min(un - 1, ub + (se - sb) + int(rng.integers(0, 3)))
+                frags.append(RaFrag((u << 1) | int(rng.integers(2)), ub, ue, sb, se))
+            alns.append(ReadAln(0, frags))
+        # native path
+        va_flat = np.concatenate(vtx_a).astype(np.uint64, copy=False)
+        va_off = np.zeros(n_utg + 1, np.int64)
+        np.cumsum(np.fromiter((len(a) for a in vtx_a), np.int64, count=n_utg),
+                  out=va_off[1:])
+        scm_arr = np.ascontiguousarray(kmer >> np.uint64(1), np.int64)
+        rows, cut = [], [0]
+        for ra in alns:
+            for f in ra.frags:
+                rows.append((f.uid, f.u_beg, f.u_end, f.s_beg, f.s_end, 0))
+            cut.append(len(rows))
+        frag6 = np.asarray(rows, np.int64).reshape(len(rows), 6)
+        aln_cut = np.asarray(cut, np.int64)
+        nm_c, um_c = native.ma_blocks_native(scm_arr, frag6, aln_cut, va_flat, va_off)
+        nm_p, um_p = COV._make_ma_blocks(scg, read, alns)
+        assert list(nm_c) == list(nm_p), (case, list(nm_c), nm_p)
+        assert [list(r) for r in um_c] == [list(r) for r in um_p], case
+
+
 def test_native_lcs_equals_python(monkeypatch):
     from oatk_tpu import native
     from oatk_tpu.asm import coverage as COV
