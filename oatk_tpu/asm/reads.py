@@ -39,6 +39,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bucket_len(L: int) -> int:
+    """Padded row length for a read: powers of two up to 4096, then
+    multiples of 4096.  Finer than pure powers of two above 4k, which
+    cuts padded upload bytes ~25% for typical HiFi length spreads while
+    keeping the number of compiled shapes small."""
+    if L <= 512:
+        return 512
+    if L <= 4096:
+        return 1 << int(np.ceil(np.log2(L)))
+    return _round_up(L, 4096)
+
+
 def _pad_rows(n: int, bsz: int) -> int:
     """Pad a chunk's row count to the next power of two (capped at the
     full chunk size) so XLA compiles only O(log) batch shapes and the
@@ -110,7 +122,7 @@ def extract_all_syncmers(
     buckets: dict[int, list[int]] = {}
     for i, rec in enumerate(records):
         L = max(len(hoco[i][0]) if impl == "pallas" else len(rec.seq), w + 4)
-        Lp = max(512, 1 << int(np.ceil(np.log2(L))))
+        Lp = _bucket_len(L)
         buckets.setdefault(Lp, []).append(i)
 
     # dispatch all chunks first (uploads/compute pipeline through the
@@ -239,7 +251,7 @@ def load_and_extract(
         buckets: dict[int, list[int]] = {}
         for i in range(keep):
             L = max(int(hoco_l[i]), w + 4)
-            Lp = max(512, 1 << int(np.ceil(np.log2(L))))
+            Lp = _bucket_len(L)
             buckets.setdefault(Lp, []).append(i)
 
         pending = []
