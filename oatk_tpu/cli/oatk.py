@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("--weak-cross", type=float, default=0.3)
     p.add_argument("--unzip-round", type=int, default=3)
     p.add_argument("--no-read-ec", action="store_true")
+    p.add_argument(
+        "--shards", type=int, default=0,
+        help="shard extraction+counting over this many mesh devices [off]",
+    )
     # annotation
     p.add_argument("-m", dest="mito_db", default=None)
     p.add_argument("-p", dest="pltd_db", default=None)
@@ -96,7 +100,7 @@ def main(argv=None):
             args.files, k=args.k, s=args.s, min_k_cov=args.c, min_a_cov_f=args.a,
             bubble_size=args.max_bubble, tip_size=args.max_tip, weak_cross=args.weak_cross,
             do_ec=not args.no_read_ec, do_unzip=args.unzip_round, max_data=args.D,
-            out=outpref, verbose=args.verbose,
+            out=outpref, verbose=args.verbose, shards=args.shards,
         )
         if scg_meta.scg is None:
             sys.stderr.write("[E::main] syncasm assembly program failed\n")
