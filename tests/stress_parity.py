@@ -34,7 +34,8 @@ def one_case(seed: int, tmp: Path) -> str:
         cov = float(rng.integers(8, 25))
         rl = int(rng.integers(1200, 4000))
         err = float(rng.choice([0.0, 0.0, 0.001, 0.003]))
-        reads += sample_reads(rng, g, cov, rl, err_rate=err)
+        hp = float(rng.choice([0.0, 0.85]))
+        reads += sample_reads(rng, g, cov, rl, err_rate=err, hp_frac=hp)
     rng.shuffle(reads)
     fa = tmp / "reads.fa"
     write_reads(str(fa), reads)
@@ -42,6 +43,7 @@ def one_case(seed: int, tmp: Path) -> str:
     do_ec = bool(rng.random() < 0.5)
     unzip = int(rng.choice([0, 3]))
     c = int(rng.choice([2, 3, 4]))
+    shards = int(rng.choice([0, 0, 5, 8]))
 
     args = [str(REFBIN / "syncasm"), "-k", str(k), "-s", str(s), "-c", str(c),
             "-o", str(tmp / "ref")]
@@ -53,10 +55,11 @@ def one_case(seed: int, tmp: Path) -> str:
     from oatk_tpu.asm.pipeline import syncasm
 
     syncasm([str(fa)], k=k, s=s, min_k_cov=c, do_ec=do_ec, do_unzip=unzip,
-            out=str(tmp / "mine"))
+            out=str(tmp / "mine"), shards=shards)
     _assert_gfa_equal(tmp / "ref.utg.gfa", tmp / "mine.utg.gfa")
     _assert_gfa_equal(tmp / "ref.utg.final.gfa", tmp / "mine.utg.final.gfa")
-    return f"k={k} s={s} c={c} ec={int(do_ec)} unzip={unzip} reads={len(reads)}"
+    return (f"k={k} s={s} c={c} ec={int(do_ec)} unzip={unzip} "
+            f"shards={shards} reads={len(reads)}")
 
 
 def main():
