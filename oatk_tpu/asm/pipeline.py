@@ -64,6 +64,30 @@ def syncasm(
     verbose: int = 0,
     shards: int = 0,
 ) -> SyncasmResult:
+    import contextlib
+    import os as _os
+
+    prof_dir = _os.environ.get("OATK_TPU_PROFILE")
+    prof_ctx = contextlib.nullcontext()
+    if prof_dir:
+        # opt-in structured tracing (SURVEY §5): a TensorBoard-loadable
+        # device+host trace of the whole run; kept off the -v stderr
+        # path, which stays byte-identical to the reference
+        import jax as _jax
+
+        prof_ctx = _jax.profiler.trace(prof_dir)
+    with prof_ctx:
+        return _syncasm_impl(
+            files, k, s, min_k_cov, min_a_cov_f, bubble_size, tip_size,
+            weak_cross, do_ec, do_unzip, max_data, out, use_device, verbose,
+            shards,
+        )
+
+
+def _syncasm_impl(
+    files, k, s, min_k_cov, min_a_cov_f, bubble_size, tip_size, weak_cross,
+    do_ec, do_unzip, max_data, out, use_device, verbose, shards,
+) -> SyncasmResult:
     collector = None
     if shards > 1:
         # multi-chip path: data-parallel extraction + hash-range-routed
