@@ -164,15 +164,36 @@ def _compact_indices(flat_sel: jnp.ndarray, max_out: int) -> jnp.ndarray:
     """Ascending indices of set flags, padded with flat_sel.size.
 
     Drop-in for ``jnp.nonzero(flat_sel, size=max_out, fill_value=N)``,
-    but ~27x faster on TPU: XLA's nonzero lowering (cumsum + scatter)
-    serializes, while a flat i32 sort of position-or-sentinel keys rides
-    the vector units (0.11s -> sort vs 3.0s -> nonzero at 33M flags)."""
-    n = flat_sel.size
-    idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(flat_sel, idx, jnp.int32(n))
-    out = lax.sort(key)[:max_out]
-    if n < max_out:
-        out = jnp.pad(out, (0, max_out - n), constant_values=n)
+    but far faster on TPU: XLA's nonzero lowering (cumsum + scatter)
+    serializes (3.0 s at 33M flags).  A flat i32 sort of
+    position-or-sentinel keys fixed that (0.11 s); sorting each row
+    independently and stitching rows with an offset gather cuts the
+    sort span from B*L to L (log^2 factor ~3x, better locality) while
+    producing the identical globally-ascending order (rows concatenate
+    in ascending flat-index blocks)."""
+    if flat_sel.ndim == 1:
+        n = flat_sel.size
+        idx = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(flat_sel, idx, jnp.int32(n))
+        out = lax.sort(key)[:max_out]
+        if n < max_out:
+            out = jnp.pad(out, (0, max_out - n), constant_values=n)
+        return out
+    B, L = flat_sel.shape
+    n = B * L
+    pos = jnp.arange(L, dtype=jnp.int32)
+    key = jnp.where(flat_sel, pos[None, :], jnp.int32(L))
+    row_sorted = lax.sort(key, dimension=1)  # per-row selected-first
+    cnt = jnp.sum(flat_sel, axis=1, dtype=jnp.int32)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+    i = jnp.arange(max_out, dtype=jnp.int32)
+    row = jnp.clip(
+        jnp.searchsorted(offs, i, side="right").astype(jnp.int32) - 1, 0, B - 1
+    )
+    j = i - offs[row]
+    valid = i < offs[B]
+    p = row_sorted[row, jnp.clip(j, 0, L - 1)]
+    out = jnp.where(valid, row * L + p, jnp.int32(n))
     return out
 
 
@@ -184,9 +205,9 @@ def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
     q = w - s + 1
     mask = np.uint64((1 << (2 * s)) - 1)
 
-    flat_sel = (sel_code != 0).reshape(-1)
-    n_sel = jnp.sum(flat_sel, dtype=jnp.int32)
-    flat_idx = _compact_indices(flat_sel, max_out)
+    sel_mask = sel_code != 0
+    n_sel = jnp.sum(sel_mask, dtype=jnp.int32)
+    flat_idx = _compact_indices(sel_mask, max_out)
     valid = flat_idx < B * L
     sel_b = (flat_idx // L).astype(jnp.int32)
     sel_p = (flat_idx % L).astype(jnp.int32)
@@ -423,9 +444,8 @@ def extract_syncmers_batch(
     smer_payload = jnp.where(open_, S, shift_l(S, q - 1) ^ 1)
 
     # ---- flatten selected ----
-    flat_sel = selected.reshape(-1)
-    n_sel = jnp.sum(flat_sel, dtype=jnp.int32)
-    flat_idx = _compact_indices(flat_sel, max_out)
+    n_sel = jnp.sum(selected, dtype=jnp.int32)
+    flat_idx = _compact_indices(selected, max_out)
     valid = flat_idx < B * L
     sel_b = (flat_idx // L).astype(jnp.int32)
     sel_p = (flat_idx % L).astype(jnp.int32)
