@@ -219,7 +219,7 @@ def load_and_extract(
 
     from .. import native
     from ..io.fastx import read_source_bytes
-    from ..kernels.syncmer import extract_hoco_packed_pallas
+    from ..kernels.syncmer import extract_hoco_fused_pallas
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -278,9 +278,13 @@ def load_and_extract(
                 n_cap = _round_up(max(64, len(n_pos)), 1024)
                 n_arr = np.full(n_cap, B * Lp, np.int32)
                 n_arr[: len(n_pos)] = n_pos
-                out = extract_hoco_packed_pallas(
-                    jnp.asarray(packed), jnp.asarray(hl), jnp.asarray(n_arr),
-                    w, s, max_out, interpret=interpret,
+                # one blob = one tunnel transfer (latency-bound wire)
+                blob = np.concatenate(
+                    [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
+                )
+                out = extract_hoco_fused_pallas(
+                    jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
+                    interpret=interpret,
                 )
                 pending.append((chunk, B, Lp, max_out, out))
 

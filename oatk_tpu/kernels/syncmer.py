@@ -288,6 +288,10 @@ def extract_hoco_packed_pallas(
 ):
     """Pallas fast path from 2-bit packed hoco codes (minimal transfer:
     0.25 B/base up the wire; N positions shipped sparsely)."""
+    return _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret)
+
+
+def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
     from .syncmer_pallas import syncmer_select_pallas
 
     B, L4 = packed.shape
@@ -301,6 +305,32 @@ def extract_hoco_packed_pallas(
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
     hoco_c = jnp.where(codes < 4, codes, 0).astype(jnp.uint8)
     return _selected_details(hoco_c, None, sel, w, s, max_out)
+
+
+@partial(jax.jit, static_argnames=("B", "Lp", "n_cap", "w", "s", "max_out", "interpret"))
+def extract_hoco_fused_pallas(
+    blob: jnp.ndarray,  # [B*Lp//4 + 4*B + 4*n_cap] uint8: packed | hl(i32) | n_pos(i32)
+    B: int,
+    Lp: int,
+    n_cap: int,
+    w: int,
+    s: int,
+    max_out: int,
+    interpret: bool = False,
+):
+    """Single-transfer variant of :func:`extract_hoco_packed_pallas`: the
+    2-bit packed codes, per-read hoco lengths and sparse N positions
+    ship as ONE uint8 blob (the relay tunnel is latency-bound, so one
+    upload beats three), unpacked on device with bitcasts."""
+    np_ = B * Lp // 4
+    packed = blob[:np_].reshape(B, Lp // 4)
+    hl = lax.bitcast_convert_type(
+        blob[np_ : np_ + 4 * B].reshape(B, 4), jnp.int32
+    ).reshape(B)
+    n_pos = lax.bitcast_convert_type(
+        blob[np_ + 4 * B : np_ + 4 * B + 4 * n_cap].reshape(n_cap, 4), jnp.int32
+    ).reshape(n_cap)
+    return _extract_hoco_packed_impl(packed, hl, n_pos, w, s, max_out, interpret)
 
 
 @partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))

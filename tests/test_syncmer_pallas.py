@@ -63,3 +63,35 @@ def test_extract_all_pallas_impl(rng, w, s):
         np.testing.assert_array_equal(got.m_pos, ora.m_pos)
         np.testing.assert_array_equal(got.s_mer, ora.s_mer)
         np.testing.assert_array_equal(got.k_mer, ora.k_mer)
+
+
+def test_fused_blob_equals_packed_inputs(rng):
+    """The single-transfer blob variant (packed|hl|n_pos in one uint8
+    upload) must produce identical results to the three-array path."""
+    import jax.numpy as jnp
+
+    from oatk_tpu.kernels.oracle import pack_hoco
+    from oatk_tpu.kernels.syncmer import (
+        extract_hoco_fused_pallas,
+        extract_hoco_packed_pallas,
+    )
+
+    B, Lp, w, s = 5, 1024, 51, 11
+    codes = rng.integers(0, 4, (B, Lp)).astype(np.uint8)
+    hl = rng.integers(200, Lp, B).astype(np.int32)
+    packed = np.zeros((B, Lp // 4), np.uint8)
+    for b in range(B):
+        packed[b] = pack_hoco(codes[b])
+    n_cap = 64
+    n_arr = np.full(n_cap, B * Lp, np.int32)
+    n_arr[:4] = [5, 777, 1030, 2050]
+    max_out = 2048
+    a = extract_hoco_packed_pallas(
+        jnp.asarray(packed), jnp.asarray(hl), jnp.asarray(n_arr),
+        w, s, max_out, interpret=True,
+    )
+    blob = np.concatenate([packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)])
+    b_ = extract_hoco_fused_pallas(
+        jnp.asarray(blob), B, Lp, n_cap, w, s, max_out, interpret=True,
+    )
+    assert np.array_equal(np.asarray(a["packed"]), np.asarray(b_["packed"]))
