@@ -62,11 +62,11 @@ def _dget(x) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("w", "s", "max_out", "bucket_cap", "mesh"),
+    static_argnames=("w", "s", "max_out", "bucket_cap", "mesh", "impl"),
     donate_argnums=(3, 4, 5, 6),
 )
 def _sharded_extract_route_step(
-    seq,  # [D, b, L] uint8 ASCII, read-sharded
+    seq,  # [D, b, L] uint8: ASCII (impl='jnp') or hoco codes 0-5 (impl='pallas')
     lens,  # [D, b] int32
     sids,  # [D, b] int64 global read ids
     hbuf,  # [D, cap] uint64 carry: owned hashes (U64_MAX = empty)
@@ -78,6 +78,7 @@ def _sharded_extract_route_step(
     max_out: int,
     bucket_cap: int,
     mesh,
+    impl: str = "jnp",
 ):
     """One sharded extract + route + append step (jit, collectives on ICI).
 
@@ -89,7 +90,7 @@ def _sharded_extract_route_step(
     from jax import lax
     from jax.sharding import PartitionSpec as P
 
-    from ..kernels.syncmer import extract_syncmers_batch
+    from ..kernels.syncmer import extract_hoco_batch_pallas, extract_syncmers_batch
 
     D = mesh.devices.size
     ax = mesh.axis_names[0]
@@ -101,7 +102,15 @@ def _sharded_extract_route_step(
         hb, lb = hb[0], lb[0]
         n0, dropped = nb[0], dr[0]
 
-        out = extract_syncmers_batch(seq_l, lens_l, w, s, max_out, return_hoco=False)
+        if impl == "pallas":
+            # per-chip VMEM selection kernel over host-precompressed hoco
+            # codes (the real-TPU production path; 'interpret' on CPU)
+            out = extract_hoco_batch_pallas(
+                seq_l, w, s, max_out,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            out = extract_syncmers_batch(seq_l, lens_l, w, s, max_out, return_hoco=False)
         khash = out["sel_khash"].astype(jnp.uint64)
         valid = out["valid"]
         sel_b = out["sel_b"]  # sorted ascending; == B for invalid lanes
@@ -212,6 +221,7 @@ class ShardedSyncmerCollector:
     s: int
     shard_cap: int  # per-shard data capacity (occurrences owned)
     bucket_cap: int  # per-(shard, dest) routing capacity per step
+    impl: str = "jnp"  # inner extractor: 'jnp' (ASCII) | 'pallas' (hoco codes)
     _state: tuple | None = field(default=None, repr=False)
     n_steps: int = 0
 
@@ -251,6 +261,7 @@ class ShardedSyncmerCollector:
             max_out=max_out,
             bucket_cap=self.bucket_cap,
             mesh=self.mesh,
+            impl=self.impl,
         )
         self._state = (hbuf, lbuf, nbuf, ndrop)
         self.n_steps += 1
@@ -305,6 +316,7 @@ def load_and_extract_sharded(
     mesh,
     max_data: int = 0,
     batch_bases: int = 8 << 20,
+    impl: str = "auto",
 ):
     """Multi-chip analogue of :func:`oatk_tpu.asm.reads.load_and_extract`:
     reads stream through the mesh in length-bucketed batches, extraction
@@ -317,10 +329,14 @@ def load_and_extract_sharded(
     stage order: sr_db_stat runs on raw hashes before
     collect_syncmer_from_reads rewrites them, run_syncasm.c:88-103).
     """
+    import jax as _jax
+
     from ..asm.reads import ReadDB, _round_up, _unpack_packed
     from ..io.fastx import read_fastx
     from ..kernels.oracle import ReadSyncmers, hoco_compress_np
 
+    if impl == "auto":
+        impl = "pallas" if _jax.default_backend() == "tpu" else "jnp"
     D = mesh.devices.size
     records = read_fastx(paths, max_data)
     db = ReadDB(k=w, s=s)
@@ -335,7 +351,7 @@ def load_and_extract_sharded(
 
     buckets: dict[int, list[int]] = {}
     for i, rec in enumerate(records):
-        L = max(len(rec.seq), w + 4)
+        L = max(len(hoco[i][0]) if impl == "pallas" else len(rec.seq), w + 4)
         Lp = max(512, 1 << int(np.ceil(np.log2(L))))
         buckets.setdefault(Lp, []).append(i)
 
@@ -357,17 +373,32 @@ def load_and_extract_sharded(
     if plan:
         collector = ShardedSyncmerCollector(
             mesh=mesh, w=w, s=s, shard_cap=shard_cap,
-            bucket_cap=max(p[3] for p in plan),
+            bucket_cap=max(p[3] for p in plan), impl=impl,
         )
     for Lp, chunk, B, max_out in plan:
-            seq = np.zeros((B, Lp), dtype=np.uint8)
             lens = np.zeros(B, dtype=np.int32)
             sids = np.zeros(B, dtype=np.int64)
-            for bi, ri in enumerate(chunk):
-                sq = records[ri].seq
-                seq[bi, : len(sq)] = sq
-                lens[bi] = len(sq)
-                sids[bi] = records[ri].sid
+            if impl == "pallas":
+                # hoco codes 0-3 (+4 ambiguous, 5 pad): 1 B/hoco base and
+                # no device-side recompression; the per-chip pallas VMEM
+                # kernel consumes these directly
+                seq = np.full((B, Lp), 5, dtype=np.uint8)
+                for bi, ri in enumerate(chunk):
+                    code, _, is_n = hoco[ri]
+                    row = code.astype(np.uint8, copy=True)
+                    if is_n.any():
+                        row = row.copy()
+                        row[is_n] = 4
+                    seq[bi, : len(row)] = row
+                    lens[bi] = len(row)
+                    sids[bi] = records[ri].sid
+            else:
+                seq = np.zeros((B, Lp), dtype=np.uint8)
+                for bi, ri in enumerate(chunk):
+                    sq = records[ri].seq
+                    seq[bi, : len(sq)] = sq
+                    lens[bi] = len(sq)
+                    sids[bi] = records[ri].sid
             packed = collector.add_batch(seq, lens, sids, max_out)
 
             bpd = B // D

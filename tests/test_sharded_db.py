@@ -86,6 +86,28 @@ def test_sharded_syncasm_gfa_parity(tmp_path, n_shards):
         assert ref == mine, f"{suff} differs under shards={n_shards}"
 
 
+def test_sharded_pallas_inner_matches_host(tmp_path):
+    """The TPU-production inner extractor (per-chip pallas VMEM kernel
+    over host-precompressed hoco codes, interpret mode here) must yield
+    the same DB as the host path."""
+    fa = _write_dataset(tmp_path, seed=42, glen=15000, cov=8, rl=2000)
+
+    from oatk_tpu.asm.pipeline import load_reads
+    from oatk_tpu.dist.sharded_db import load_and_extract_sharded
+    from oatk_tpu.dist.sharding import make_mesh
+    from oatk_tpu.index.syncmer_db import collect_syncmer_db
+
+    db1 = load_reads([str(fa)], 151, 13, 0, True)
+    scm1 = collect_syncmer_db(db1)
+    db2, coll = load_and_extract_sharded([str(fa)], 151, 13, make_mesh(8), impl="pallas")
+    scm2 = coll.build(db2)
+    assert scm1.n == scm2.n
+    assert np.array_equal(scm1.h, scm2.h)
+    assert np.array_equal(scm1.cov, scm2.cov)
+    for a, b in zip(scm1.m_pos, scm2.m_pos):
+        assert np.array_equal(a, b)
+
+
 def test_sharded_multifile_and_empty_shards(tmp_path):
     """Multiple input files and a shard count exceeding the interesting
     hash ranges still reproduce the host path."""
