@@ -221,6 +221,47 @@ def test_pallas_batched(rng):
         assert got == exp[b], (b, got, exp[b])
 
 
+def test_ec_through_pallas_backend(rng, monkeypatch):
+    """Full error correction driven by the Pallas wavefront kernel
+    (OATK_TPU_WF_BACKEND=pallas path) must splice reads identically to
+    the default path."""
+    import os
+    import tempfile
+
+    import oatk_tpu.kernels.wavefront as W
+    from genome_sim import random_genome, sample_reads, write_reads
+    from oatk_tpu import native
+    from oatk_tpu.asm import ec as EC
+    from oatk_tpu.asm.consensus import scg_consensus
+    from oatk_tpu.asm.pipeline import load_reads
+    from oatk_tpu.asm.scg import make_syncmer_graph
+    from oatk_tpu.index.syncmer_db import collect_syncmer_db
+
+    g = random_genome(rng, 9000)
+    reads = sample_reads(rng, g, coverage=10, read_len=1600, err_rate=0.003)
+    td = tempfile.mkdtemp()
+    fa = os.path.join(td, "r.fa")
+    write_reads(fa, reads)
+
+    def run(backend):
+        rd = load_reads([fa], 151, 13, 0, True)
+        scm = collect_syncmer_db(rd)
+        scg = make_syncmer_graph(rd, scm, 0, 0.0)
+        scg_consensus(rd, scg, hoco_seq=True, save_seq=True, fo=None)
+        monkeypatch.setattr(W, "WF_BACKEND", backend)
+        # force the per-read python EC loop so wf_ed_core is the engine
+        monkeypatch.setattr(EC, "_correct_reads_native", lambda *a, **k: False)
+        EC.read_error_correction(rd, scg, 0.02, 2, 20, 2, 0.35, 0)
+        monkeypatch.undo()
+        return rd
+
+    rd_pallas = run("pallas")
+    rd_default = run("auto")
+    for r1, r2 in zip(rd_pallas.reads, rd_default.reads):
+        assert np.array_equal(r1.k_mer, r2.k_mer)
+        assert np.array_equal(r1.m_pos, r2.m_pos)
+
+
 def test_native_matches_numpy(rng):
     """The C core (native/wavefront.c) must reproduce the numpy wavefront
     exactly -- score, raw endpoints, and the full (wd, wk) state -- on
