@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 DATA = "/tmp/oatk_bench_reads.fa"
 REFBIN = "/root/refbin/syncasm"
 K, S = 1001, 31
-N_RUNS = int(os.environ.get("OATK_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("OATK_BENCH_RUNS", "5"))
 
 
 def ensure_dataset() -> int:
