@@ -259,21 +259,32 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
             break
 
     # round 3: redistribute syncmer counts weighted by utg coverage
+    # (vectorized: every (unitig, position) holds exactly one syncmer, so
+    # the per-syncmer scatter has no collisions; per-syncmer occurrence
+    # lists are far below numpy's pairwise-summation block size, so the
+    # bincount segment totals reproduce the loop's float rounding)
     idx = scg.idx
-    C = [np.zeros(len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0) for i in range(n_vtx)]
-    for s in range(scg.scm_db.n):
-        sl = idx.occ(s)
-        if sl.start == sl.stop:
-            continue
-        occ_u = idx.uid[sl.start : sl.stop]
-        occ_p = idx.pos[sl.start : sl.stop]
-        tot = float(np.sum(avg[occ_u]))
-        if tot < DBL_EPSILON:
-            continue
-        for u, p in zip(occ_u, occ_p):
-            C[u][p] = avg[u] / tot * float(scg.scm_db.cov[s])
+    vlen = np.fromiter(
+        (len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0 for i in range(n_vtx)),
+        np.int64, count=n_vtx,
+    )
+    voff = np.zeros(n_vtx + 1, np.int64)
+    np.cumsum(vlen, out=voff[1:])
+    cflat = np.zeros(int(voff[-1]))
+    if len(idx.scm):
+        scm_all = idx.scm.astype(np.int64)
+        uid_all = idx.uid.astype(np.int64)
+        pos_all = idx.pos.astype(np.int64)
+        au = avg[uid_all]
+        tot_s = np.bincount(scm_all, weights=au, minlength=scg.scm_db.n)
+        ts = tot_s[scm_all]
+        ok = ts >= DBL_EPSILON
+        cov_s = scg.scm_db.cov.astype(np.float64)[scm_all]
+        val = np.zeros(len(scm_all))
+        val[ok] = au[ok] / ts[ok] * cov_s[ok]
+        cflat[voff[uid_all[ok]] + pos_all[ok]] = val[ok]
     for i in range(n_vtx):
-        avg[i] = max(1.0, average_iqr(C[i]))
+        avg[i] = max(1.0, average_iqr(cflat[voff[i] : voff[i + 1]]))
         g.vtx_cov[i] = int(avg[i])
 
 
