@@ -287,15 +287,12 @@ def _utg_avg_cov(scg: Scg, i: int) -> float:
     utg = scg.utg
     if utg.vtx_del[i]:
         return 0.0
-    a = utg.vtx_a[i]
-    covs = np.zeros(len(a), float)
-    for j, x in enumerate(a):
-        s = int(x) >> 1
-        if scg.idx.n_occ(s) == 1:
-            covs[j] = float(scg.scm_db.cov[s])
-    sel = covs[covs > 0]
+    s = (np.asarray(utg.vtx_a[i], np.uint64) >> np.uint64(1)).astype(np.int64)
+    nocc = scg.idx.start[s + 1] - scg.idx.start[s]
+    cov = scg.scm_db.cov[s].astype(np.float64)
+    sel = cov[(nocc == 1) & (cov > 0)]
     if len(sel) == 0:
-        sel = np.array([float(scg.scm_db.cov[int(x) >> 1]) for x in a])
+        sel = cov
     return average_iqr(sel)
 
 
