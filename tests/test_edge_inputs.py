@@ -1,0 +1,86 @@
+"""Degenerate-input parity: empty/short/all-N/homopolymer reads must
+drive syncasm to the same outputs (or same empty results) as the
+reference binary."""
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from genome_sim import random_genome
+from test_syncasm_parity import _assert_gfa_equal
+
+REFBIN = Path("/root/refbin")
+
+
+def _run_pair(tmp_path, fa_text, k=51, s=11, c=1):
+    fa = tmp_path / "reads.fa"
+    fa.write_text(fa_text)
+    cp = subprocess.run(
+        [str(REFBIN / "syncasm"), "-k", str(k), "-s", str(s), "-c", str(c),
+         "--no-read-ec", "--unzip-round", "0", "-o", str(tmp_path / "ref"), str(fa)],
+        capture_output=True,
+    )
+    from oatk_tpu.asm.pipeline import syncasm
+
+    try:
+        syncasm([str(fa)], k=k, s=s, min_k_cov=c, do_ec=False, do_unzip=0,
+                out=str(tmp_path / "mine"))
+        mine_ok = True
+    except SystemExit:
+        mine_ok = False
+    return cp.returncode, mine_ok, tmp_path
+
+
+def test_reads_shorter_than_k(tmp_path, rng):
+    body = "".join(f">r{i}\n{random_genome(rng, 30)}\n" for i in range(5))
+    ref_rc, _, wd = _run_pair(tmp_path, body)
+    # reference survives with an empty assembly; so must we
+    if (wd / "ref.utg.final.gfa").exists() and (wd / "mine.utg.final.gfa").exists():
+        _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_all_n_reads(tmp_path):
+    body = ">r0\n" + "N" * 500 + "\n>r1\n" + "N" * 300 + "\n"
+    ref_rc, _, wd = _run_pair(tmp_path, body)
+    if (wd / "ref.utg.final.gfa").exists() and (wd / "mine.utg.final.gfa").exists():
+        _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_homopolymer_only_reads(tmp_path):
+    body = ">r0\n" + "A" * 2000 + "\n>r1\n" + "ACGT" * 500 + "\n"
+    ref_rc, _, wd = _run_pair(tmp_path, body)
+    if (wd / "ref.utg.final.gfa").exists() and (wd / "mine.utg.final.gfa").exists():
+        _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_mixed_degenerate_with_real(tmp_path, rng):
+    g = random_genome(rng, 8000)
+    src = g + g
+    parts = [">deg0\nNNNNN\n>deg1\nAAAA\n"]
+    for i in range(40):
+        st = int(rng.integers(8000))
+        parts.append(f">r{i}\n{src[st:st+1500]}\n")
+    parts.append(">deg2\n" + "N" * 100 + "\n")
+    ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=151, s=13, c=2)
+    assert ref_rc == 0
+    _assert_gfa_equal(wd / "ref.utg.gfa", wd / "mine.utg.gfa")
+    _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_lowercase_and_u_bases(tmp_path, rng):
+    """Lower-case bases and U fold like the reference's seq_nt4 table."""
+    g = random_genome(rng, 6000)
+    src = g + g
+    parts = []
+    for i in range(30):
+        st = int(rng.integers(6000))
+        seq = src[st : st + 1200]
+        if i % 3 == 0:
+            seq = seq.lower()
+        elif i % 3 == 1:
+            seq = seq.replace("T", "U")
+        parts.append(f">r{i}\n{seq}\n")
+    ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=101, s=13, c=2)
+    assert ref_rc == 0
+    _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
