@@ -35,12 +35,15 @@ import os as _os
 # concatenations, read batches), so this single switch dominates
 # end-to-end wall clock.  Runtime switch (not the NUMPY_MADVISE_HUGEPAGE
 # env var) so it works regardless of import order.
-try:
-    from numpy._core.multiarray import _set_madvise_hugepage as _smh
-except ImportError:  # pragma: no cover - numpy < 2
-    from numpy.core.multiarray import _set_madvise_hugepage as _smh
 if _os.environ.get("OATK_TPU_HUGEPAGE", "0") != "1":
-    _smh(False)
+    try:
+        try:
+            from numpy._core.multiarray import _set_madvise_hugepage as _smh
+        except ImportError:  # pragma: no cover - numpy < 2
+            from numpy.core.multiarray import _set_madvise_hugepage as _smh
+        _smh(False)
+    except Exception:  # pragma: no cover - private symbol moved/removed
+        pass  # purely a perf tweak; never block the import
 
 _cache_dir = _os.environ.get("OATK_TPU_CACHE", "/tmp/oatk_tpu_jax_cache")
 # CPU-only runs skip the cache: XLA:CPU persists AOT code whose machine

@@ -276,7 +276,12 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
     """Run the batched C corrector (native/ec.c); returns False when
     unavailable so the caller uses the Python loop."""
     from .. import native
+    from ..kernels import wavefront as _wf
 
+    if _wf.WF_BACKEND != "auto":
+        # an explicit wavefront backend (pallas / numpy) must actually
+        # drive EC: route through the Python loop + wf_ed_core
+        return False
     if not native.available():
         return False
     g = scg.utg
@@ -289,17 +294,28 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
 
     reads = read_db.reads
     n_reads = len(reads)
-    moff = np.zeros(n_reads + 1, np.int64)
-    np.cumsum(np.fromiter((r.n for r in reads), np.int64, count=n_reads), out=moff[1:])
-    hoff = np.zeros(n_reads + 1, np.int64)
-    np.cumsum(np.fromiter((r.hoco_l for r in reads), np.int64, count=n_reads), out=hoff[1:])
-    z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
-    kflat = np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n_reads else z64
-    mflat = np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n_reads else z32
-    code_flat = (
-        np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n_reads else z8
-    )
     hoco_l = np.fromiter((r.hoco_l for r in reads), np.int64, count=n_reads)
+    from .consensus import _Flats
+
+    flats = _Flats.build(read_db, scg.scm_db)
+    if flats is not None:
+        # the consensus pass running just before EC caches exactly these
+        # concatenations; reuse instead of re-materializing them
+        kflat, mflat = flats.kflat, flats.mflat
+        code_flat = flats.code_flat
+        moff = np.append(flats.moff, len(kflat))
+        hoff = np.append(flats.hoff, len(code_flat))
+    else:
+        moff = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(np.fromiter((r.n for r in reads), np.int64, count=n_reads), out=moff[1:])
+        hoff = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(hoco_l, out=hoff[1:])
+        z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
+        kflat = np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n_reads else z64
+        mflat = np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n_reads else z32
+        code_flat = (
+            np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n_reads else z8
+        )
 
     res = native.ec_correct_reads(
         np.ascontiguousarray(g.idx_p, np.int64),

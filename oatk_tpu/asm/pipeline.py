@@ -109,7 +109,17 @@ def _syncasm_impl(
         min_k_cov = het * 10 if het > 0 else hom * 10
         log_info(f"set minimum kmer coverage as {min_k_cov}", func="syncasm")
 
-    scm_db = collector.build(read_db) if collector is not None else collect_syncmer_db(read_db)
+    if collector is not None:
+        try:
+            scm_db = collector.build(read_db)
+        except RuntimeError as e:
+            # capacity overflow on a skewed hash distribution: the host
+            # path has everything it needs in read_db, so fall back to
+            # the single-process sort rather than aborting the assembly
+            log_info(f"sharded merge fell back to host sort: {e}", func="syncasm")
+            scm_db = collect_syncmer_db(read_db)
+    else:
+        scm_db = collect_syncmer_db(read_db)
     if scm_db is None:
         log_error("no syncmers collected", func="syncasm")
         return SyncasmResult(read_db, None, None)

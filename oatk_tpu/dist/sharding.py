@@ -29,6 +29,12 @@ from ..kernels.syncmer import extract_syncmers_batch
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} shards but only {len(devs)} device(s) "
+                f"are visible (set XLA_FLAGS=--xla_force_host_platform_device_count "
+                f"for virtual CPU meshes)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

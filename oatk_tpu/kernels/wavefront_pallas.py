@@ -211,7 +211,11 @@ def wf_ed_core_pallas(st, interpret: bool = True) -> bool:
     tl, ql = len(st.ts), len(st.qs)
     TL = max(128, _round_up(tl + 1, 128))
     QL = max(128, _round_up(ql + 1, 128))
-    if tl > 4096 or ql > 4096:
+    # the next-mismatch table is (TL+QL+1) x (TL+1) int32; cap sequence
+    # lengths so it stays a few MB of VMEM (512 -> ~2.1 MB) and larger
+    # blocks fall back to the host cores instead of blowing the Mosaic
+    # allocation on real hardware
+    if tl > 512 or ql > 512:
         return False
     D_cap = TL + QL + 4
     n = len(st.wk)
