@@ -87,5 +87,12 @@ def main(argv=None):
     return 0
 
 
+def _console() -> int:
+    """console_scripts entry point."""
+    import sys as _sys
+
+    return int(main(_sys.argv[1:]) or 0)
+
+
 if __name__ == "__main__":
     sys.exit(main())
