@@ -289,12 +289,17 @@ def load_and_extract(
                 pending.append((chunk, B, Lp, max_out, out))
 
         reads: list = [None] * keep
+        isn_b = isn.astype(bool)
         for chunk, B, Lp, max_out, out in pending:
             pk = np.asarray(jax.device_get(out["packed"]))
             n_sel = int(pk[0, max_out])
             assert n_sel <= max_out, "syncmer capacity overflow"
             sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
             cuts = np.searchsorted(sel_b, np.arange(B + 1))
+            # whole-chunk field computation, then per-read views
+            mpos_all = (sel_p.astype(np.uint32) << 1) | sel_z.astype(np.uint32)
+            smer_all = sel_smer.astype(np.uint64)
+            kmer_all = sel_kh.copy()
             for bi, ri in enumerate(chunk):
                 lo, hi = cuts[bi], cuts[bi + 1]
                 o0, o1 = int(offs[ri]), int(offs[ri + 1])
@@ -304,13 +309,10 @@ def load_and_extract(
                     hoco_l=o1 - o0,
                     hoco_code=codes[o0:o1],
                     ho_rl=rl[o0:o1],
-                    is_n=isn[o0:o1].astype(bool),
-                    m_pos=(
-                        (sel_p[lo:hi].astype(np.uint32) << 1)
-                        | sel_z[lo:hi].astype(np.uint32)
-                    ),
-                    s_mer=sel_smer[lo:hi].astype(np.uint64),
-                    k_mer=sel_kh[lo:hi].copy(),
+                    is_n=isn_b[o0:o1],
+                    m_pos=mpos_all[lo:hi],
+                    s_mer=smer_all[lo:hi],
+                    k_mer=kmer_all[lo:hi],
                 )
         db.reads.extend(reads)
         sid0 += keep
