@@ -324,7 +324,11 @@ def _quantile_sorted(a: np.ndarray, q: float) -> float:
 
 def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=None):
     """Compute unitig consensus sequences, lengths, coverages and arc
-    overlap lengths; optionally emit GFA."""
+    overlap lengths; optionally emit GFA.
+
+    With the native library, all vertices (and all arcs) are processed
+    in single batched C calls -- per-call ctypes dispatch dominated
+    large unfiltered graphs otherwise."""
     utg = scg.utg
     scm_db = scg.scm_db
     w = read_db.k
@@ -332,48 +336,122 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     flats = _Flats.build(read_db, scm_db)
     if fo:
         fo.write("H\tVN:Z:1.0\n")
-    for i in range(utg.n_vtx):
-        if utg.vtx_del[i]:
-            continue
-        chunks: list[bytes] = []
-        l = unitig_consensus(read_db, scm_db, utg.vtx_a[i], chunks, hoco_seq, flats)
-        seq = b"".join(chunks).decode()
-        assert len(seq) == l
-        cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
-        utg.vtx_cov[i] = int(cov)
-        utg.vtx_len[i] = l
-        if save_seq:
-            utg.vtx_seq[i] = seq
-        if fo:
-            fo.write(
-                f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
+
+    n_vtx = utg.n_vtx
+    batched = flats is not None and n_vtx > 0
+    if batched:
+        from .. import native
+
+        va_flat = (
+            np.concatenate([np.asarray(utg.vtx_a[i], np.uint64) for i in range(n_vtx)])
+            if n_vtx else np.zeros(0, np.uint64)
+        )
+        va_off = np.zeros(n_vtx + 1, np.int64)
+        np.cumsum(
+            np.fromiter((len(utg.vtx_a[i]) for i in range(n_vtx)), np.int64, count=n_vtx),
+            out=va_off[1:],
+        )
+        live = (~np.asarray(utg.vtx_del[:n_vtx], bool)).astype(np.uint8)
+        # window-sum bound covers hoco emission; dna run-length expansion
+        # beyond the 2x margin regrows
+        cap = max(4096, 2 * int(va_off[-1]) * w)
+        while True:
+            buf = np.empty(cap, np.uint8)
+            cuts = np.empty(n_vtx + 1, np.int64)
+            ret = native.utg_consensus_emit_batch(
+                va_flat, va_off, live, w, hoco_seq,
+                flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
+                flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
+                buf, cuts,
             )
+            if ret >= 0:
+                break
+            cap *= 4
+        for i in range(n_vtx):
+            if utg.vtx_del[i]:
+                continue
+            seq = buf[cuts[i] : cuts[i + 1]].tobytes().decode()
+            l = len(seq)
+            cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
+            utg.vtx_cov[i] = int(cov)
+            utg.vtx_len[i] = l
+            if save_seq:
+                utg.vtx_seq[i] = seq
+            if fo:
+                fo.write(
+                    f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
+                )
+    else:
+        for i in range(n_vtx):
+            if utg.vtx_del[i]:
+                continue
+            chunks: list[bytes] = []
+            l = unitig_consensus(read_db, scm_db, utg.vtx_a[i], chunks, hoco_seq, flats)
+            seq = b"".join(chunks).decode()
+            assert len(seq) == l
+            cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
+            utg.vtx_cov[i] = int(cov)
+            utg.vtx_len[i] = l
+            if save_seq:
+                utg.vtx_seq[i] = seq
+            if fo:
+                fo.write(
+                    f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
+                )
 
     utg._flush_pending()
-    for ai in range(len(utg.av)):
+    n_arc = len(utg.av)
+    als_batch = None
+    if batched and n_arc:
+        vtx_len_arr = np.asarray(utg.vtx_len[:n_vtx], np.int64)
+        als_batch = np.full(n_arc, -1, np.int64)
+        scratch_cap = max(4096, 4 * w * 64)
+        while True:
+            scratch = np.empty(scratch_cap, np.uint8)
+            ret = native.arc_overlap_batch(
+                np.ascontiguousarray(utg.av, np.uint64),
+                np.ascontiguousarray(utg.aw, np.uint64),
+                np.ascontiguousarray(utg.aln, np.int64),
+                np.ascontiguousarray(utg.adel, np.uint8),
+                np.ascontiguousarray(utg.acomp, np.uint8),
+                va_flat, va_off, vtx_len_arr, w, hoco_seq,
+                flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
+                flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
+                scratch, als_batch,
+            )
+            if ret >= 0:
+                break
+            scratch_cap *= 4
+
+    for ai in range(n_arc):
         if utg.adel[ai] or utg.acomp[ai]:
             continue
         v, t = int(utg.av[ai]), int(utg.aw[ai])
-        ln = int(utg.aln[ai])
-        if ln > 0:
-            a = utg.vtx_a[v >> 1]
-            sub = a[:ln] if (v & 1) else a[len(a) - ln :]
-            chunks = []
-            l = unitig_consensus(read_db, scm_db, sub, chunks, hoco_seq, flats)
+        if als_batch is not None:
+            l = int(als_batch[ai])
         else:
-            a = utg.vtx_a[v >> 1]
-            z = v & 1
-            vv = int(a[0] if z else a[-1]) ^ z
-            a2 = utg.vtx_a[t >> 1]
-            z2 = t & 1
-            tt = int(a2[-1] if z2 else a2[0]) ^ z2
-            l = calc_syncmer_overlap(read_db, scm_db, vv >> 1, vv & 1, tt >> 1, tt & 1, flats)
-            if l < w:
+            ln = int(utg.aln[ai])
+            if ln > 0:
+                a = utg.vtx_a[v >> 1]
+                sub = a[:ln] if (v & 1) else a[len(a) - ln :]
                 chunks = []
-                l = syncmer_consensus(read_db, scm_db, vv >> 1, vv & 1, l, chunks, hoco_seq, flats)
+                l = unitig_consensus(read_db, scm_db, sub, chunks, hoco_seq, flats)
             else:
-                l = 0
-        l = min(l, utg.vtx_len[v >> 1], utg.vtx_len[t >> 1])
+                a = utg.vtx_a[v >> 1]
+                z = v & 1
+                vv = int(a[0] if z else a[-1]) ^ z
+                a2 = utg.vtx_a[t >> 1]
+                z2 = t & 1
+                tt = int(a2[-1] if z2 else a2[0]) ^ z2
+                l = calc_syncmer_overlap(read_db, scm_db, vv >> 1, vv & 1, tt >> 1, tt & 1, flats)
+                if l < w:
+                    chunks = []
+                    l = syncmer_consensus(
+                        read_db, scm_db, vv >> 1, vv & 1, l, chunks, hoco_seq, flats
+                    )
+                else:
+                    l = 0
+            l = min(l, utg.vtx_len[v >> 1], utg.vtx_len[t >> 1])
         utg.als[ai] = l
         ci = utg.comp_arc_idx(ai)
         if ci is not None:

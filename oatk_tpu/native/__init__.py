@@ -79,6 +79,27 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.utg_consensus_emit_batch.restype = ctypes.c_int64
+        lib.utg_consensus_emit_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.arc_overlap_batch.restype = ctypes.c_int64
+        lib.arc_overlap_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.scm_consensus_fill.restype = ctypes.c_int64
         lib.scm_consensus_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -248,6 +269,40 @@ def utg_consensus_emit(
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
         len(code_flat), out.ctypes.data, len(out),
+    )
+
+
+def utg_consensus_emit_batch(
+    va_flat, va_off, live, w: int, hoco_seq: bool, mp_flat, mp_off,
+    kflat, mflat, moff, code_flat, rl_flat, hoff, out, cuts,
+) -> int:
+    lib = _load()
+    return lib.utg_consensus_emit_batch(
+        va_flat.ctypes.data, va_off.ctypes.data,
+        live.ctypes.data, len(live),
+        w, 1 if hoco_seq else 0,
+        mp_flat.ctypes.data, mp_off.ctypes.data,
+        kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
+        code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        len(code_flat), out.ctypes.data, len(out), cuts.ctypes.data,
+    )
+
+
+def arc_overlap_batch(
+    av, aw, aln, adel, acomp, va_flat, va_off, vtx_len, w: int,
+    hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
+    code_flat, rl_flat, hoff, scratch, out_als,
+) -> int:
+    lib = _load()
+    return lib.arc_overlap_batch(
+        av.ctypes.data, aw.ctypes.data, aln.ctypes.data,
+        adel.ctypes.data, acomp.ctypes.data, len(av),
+        va_flat.ctypes.data, va_off.ctypes.data, vtx_len.ctypes.data,
+        w, 1 if hoco_seq else 0,
+        mp_flat.ctypes.data, mp_off.ctypes.data,
+        kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
+        code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        len(code_flat), scratch.ctypes.data, len(scratch), out_als.ctypes.data,
     )
 
 

@@ -205,3 +205,110 @@ full:
     free(pos); free(base); free(totrl);
     return -1;
 }
+
+/* Batched whole-graph consensus: one call emits every live vertex's
+ * consensus back-to-back into `out` with per-vertex cuts, removing the
+ * per-vertex Python/ctypes dispatch that dominated large graphs.
+ * Returns total emitted length, -1 if out_cap too small. */
+int64_t utg_consensus_emit_batch(
+    const uint64_t *va_flat, const int64_t *va_off,
+    const uint8_t *live, int64_t n_vtx,
+    int64_t w, int64_t hoco_seq,
+    const uint64_t *mp_flat, const int64_t *mp_off,
+    const uint64_t *kflat, const uint32_t *mflat, const int64_t *moff,
+    const uint8_t *code_flat, const uint32_t *rl_flat,
+    const int64_t *hoff, int64_t hoco_total,
+    uint8_t *out, int64_t out_cap, int64_t *cuts)
+{
+    int64_t outp = 0;
+    cuts[0] = 0;
+    for (int64_t i = 0; i < n_vtx; ++i) {
+        if (live[i]) {
+            int64_t got = utg_consensus_emit(
+                va_flat + va_off[i], va_off[i + 1] - va_off[i], w, hoco_seq,
+                mp_flat, mp_off, kflat, mflat, moff,
+                code_flat, rl_flat, hoff, hoco_total,
+                out + outp, out_cap - outp);
+            if (got < 0) return -1;
+            outp += got;
+        }
+        cuts[i + 1] = outp;
+    }
+    return outp;
+}
+
+/* Batched arc overlap-length computation: mirrors the arc loop of
+ * asm/consensus.py scg_consensus (ln>0 => sub-unitig consensus length;
+ * else boundary-syncmer overlap mode, + single-window consensus length
+ * when the overlap is < w).  out_als[ai] = computed l for processed
+ * arcs, untouched otherwise.  Returns 0, or -1 when scratch_cap is too
+ * small for a sub-unitig emission (caller regrows). */
+int64_t arc_overlap_batch(
+    const uint64_t *av, const uint64_t *aw, const int64_t *aln,
+    const uint8_t *adel, const uint8_t *acomp, int64_t n_arc,
+    const uint64_t *va_flat, const int64_t *va_off, const int64_t *vtx_len,
+    int64_t w, int64_t hoco_seq,
+    const uint64_t *mp_flat, const int64_t *mp_off,
+    const uint64_t *kflat, const uint32_t *mflat, const int64_t *moff,
+    const uint8_t *code_flat, const uint32_t *rl_flat,
+    const int64_t *hoff, int64_t hoco_total,
+    uint8_t *scratch, int64_t scratch_cap,
+    int64_t *out_als)
+{
+    uint8_t *base = (uint8_t *)malloc(w);
+    int64_t *totrl = (int64_t *)malloc(w * sizeof(int64_t));
+    if (!base || !totrl) { free(base); free(totrl); return -1; }
+    for (int64_t ai = 0; ai < n_arc; ++ai) {
+        if (adel[ai] || acomp[ai]) continue;
+        int64_t v = (int64_t)av[ai], t = (int64_t)aw[ai];
+        int64_t ln = aln[ai];
+        int64_t l;
+        const uint64_t *a = va_flat + va_off[v >> 1];
+        int64_t na = va_off[(v >> 1) + 1] - va_off[v >> 1];
+        if (ln > 0) {
+            const uint64_t *sub = (v & 1) ? a : a + (na - ln);
+            l = utg_consensus_emit(sub, ln, w, hoco_seq,
+                                   mp_flat, mp_off, kflat, mflat, moff,
+                                   code_flat, rl_flat, hoff, hoco_total,
+                                   scratch, scratch_cap);
+            if (l < 0) { free(base); free(totrl); return -1; }
+        } else {
+            int64_t z = v & 1;
+            int64_t vv = (int64_t)(z ? a[0] : a[na - 1]) ^ z;
+            const uint64_t *a2 = va_flat + va_off[t >> 1];
+            int64_t na2 = va_off[(t >> 1) + 1] - va_off[t >> 1];
+            int64_t z2 = t & 1;
+            int64_t tt = (int64_t)(z2 ? a2[na2 - 1] : a2[0]) ^ z2;
+            int64_t m1 = vv >> 1, rc1 = vv & 1, m2 = tt >> 1, rc2 = tt & 1;
+            l = scm_overlap_mode(mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
+                                 mp_flat + mp_off[m2], mp_off[m2 + 1] - mp_off[m2],
+                                 rc1, rc2, kflat, mflat, moff);
+            if (l < w) {
+                /* syncmer_consensus(vv>>1, vv&1, beg=l) emitted length */
+                int64_t beg = l, bl = 0;
+                if (beg < 0) { bl = -beg; beg = 0; }
+                int64_t win = w - beg;
+                bl += win;
+                memset(totrl, 0, win * sizeof(int64_t));
+                int64_t m_seq = scm_consensus_fill(
+                    mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
+                    rc1, beg, win,
+                    kflat, mflat, moff, code_flat, rl_flat, hoff,
+                    !hoco_seq, hoco_total, base, totrl);
+                if (m_seq > 0 && !hoco_seq) {
+                    for (int64_t j = 0; j < win; ++j)
+                        bl += (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
+                }
+                l = bl;
+            } else {
+                l = 0;
+            }
+        }
+        int64_t lv = vtx_len[v >> 1], lt = vtx_len[t >> 1];
+        if (l > lv) l = lv;
+        if (l > lt) l = lt;
+        out_als[ai] = l;
+    }
+    free(base); free(totrl);
+    return 0;
+}
