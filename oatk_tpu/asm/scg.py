@@ -126,10 +126,37 @@ def make_syncmer_graph(
             & ~dels[uv0 >> 1]
             & ~dels[uv1 >> 1]
         )
-        for v0, v1, c in zip(uv0[ok], uv1[ok], counts[ok]):
-            g.add_arc(int(v0), int(v1), 0, 0, cov=int(c))
-            if (int(v1) ^ 1) != int(v0) or (int(v0) ^ 1) != int(v1):
-                g.add_arc(int(v1) ^ 1, int(v0) ^ 1, 0, 0, cov=int(c), comp=1)
+        # bulk arc creation (fwd + complement interleaved in loop order;
+        # palindromic pairs skip the duplicate complement)
+        s0, s1, sc = uv0[ok], uv1[ok], counts[ok]
+        has_comp = ((s1 ^ 1) != s0) | ((s0 ^ 1) != s1)
+        rows = 1 + has_comp.astype(np.int64)
+        off = np.zeros(len(s0), np.int64)
+        np.cumsum(rows[:-1], out=off[1:])
+        total = int(rows.sum())
+        av = np.empty(total, np.uint64)
+        aw = np.empty(total, np.uint64)
+        acov = np.empty(total, np.int64)
+        acomp = np.zeros(total, bool)
+        av[off] = s0.astype(np.uint64)
+        aw[off] = s1.astype(np.uint64)
+        acov[off] = sc
+        co = off[has_comp] + 1
+        av[co] = (s1[has_comp] ^ 1).astype(np.uint64)
+        aw[co] = (s0[has_comp] ^ 1).astype(np.uint64)
+        acov[co] = sc[has_comp]
+        acomp[co] = True
+        g._flush_pending()
+        from ..graph.asmg import UINT64_MAX as _U64
+
+        g.av = np.concatenate([g.av, av])
+        g.aw = np.concatenate([g.aw, aw])
+        g.aln = np.concatenate([g.aln, np.zeros(total, np.int64)])
+        g.als = np.concatenate([g.als, np.zeros(total, np.int64)])
+        g.acov = np.concatenate([g.acov, acov])
+        g.adel = np.concatenate([g.adel, np.zeros(total, bool)])
+        g.acomp = np.concatenate([g.acomp, acomp])
+        g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
     g.finalize(True)
     scg = Scg(scm_db=scm_db, utg=g)
     scg.rebuild_index()
