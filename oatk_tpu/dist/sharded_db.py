@@ -331,27 +331,57 @@ def load_and_extract_sharded(
     """
     import jax as _jax
 
+    from .. import native as _native
     from ..asm.reads import ReadDB, _round_up, _unpack_packed
-    from ..io.fastx import read_fastx
+    from ..io.fastx import read_fastx, read_source_bytes
     from ..kernels.oracle import ReadSyncmers, hoco_compress_np
 
     if impl == "auto":
         impl = "pallas" if _jax.default_backend() == "tpu" else "jnp"
     D = mesh.devices.size
-    records = read_fastx(paths, max_data)
+    seq_of = None
+    if impl == "pallas" and _native.available() and max_data == 0:
+        # production parse path: threaded native FASTA/hoco (the python
+        # reader dominated large sharded runs)
+        names_l, hoco = [], []
+        total_bases = 0
+        for path in paths:
+            res = _native.parse_fastx_hoco_mt(read_source_bytes(path))
+            if res is None:
+                break
+            names, rawlen, offs, codes, rlv, isn = res
+            isn_b = isn.astype(bool)
+            for i in range(len(names)):
+                o0, o1 = int(offs[i]), int(offs[i + 1])
+                hoco.append((codes[o0:o1], rlv[o0:o1], isn_b[o0:o1]))
+            names_l.extend(names)
+            total_bases += int(rawlen.sum())
+        else:
+            res = True
+        if res is None:
+            records = read_fastx(paths, max_data)
+            names_l = [r.name for r in records]
+            hoco = [hoco_compress_np(r.seq) for r in records]
+            seq_of = [r.seq for r in records]
+            total_bases = sum(len(r.seq) for r in records)
+    else:
+        records = read_fastx(paths, max_data)
+        names_l = [r.name for r in records]
+        hoco = [hoco_compress_np(r.seq) for r in records]
+        seq_of = [r.seq for r in records]
+        total_bases = sum(len(r.seq) for r in records)
+    n_records = len(hoco)
     db = ReadDB(k=w, s=s)
-    db.reads = [None] * len(records)  # type: ignore
-    hoco = [hoco_compress_np(rec.seq) for rec in records]
+    db.reads = [None] * n_records  # type: ignore
 
     # rough global occurrence bound for the carry capacity: ~1 syncmer
     # per (w-s)/3 hoco bases, doubled for skew across hash ranges
-    total_bases = sum(len(rec.seq) for rec in records)
     est = int(total_bases / max(4, (w - s) // 3)) + 1024
     shard_cap = _round_up(2 * est // D + 4096, 1024)
 
     buckets: dict[int, list[int]] = {}
-    for i, rec in enumerate(records):
-        L = max(len(hoco[i][0]) if impl == "pallas" else len(rec.seq), w + 4)
+    for i in range(n_records):
+        L = max(len(hoco[i][0]) if impl == "pallas" else len(seq_of[i]), w + 4)
         Lp = max(512, 1 << int(np.ceil(np.log2(L))))
         buckets.setdefault(Lp, []).append(i)
 
@@ -387,18 +417,17 @@ def load_and_extract_sharded(
                     code, _, is_n = hoco[ri]
                     row = code.astype(np.uint8, copy=True)
                     if is_n.any():
-                        row = row.copy()
                         row[is_n] = 4
                     seq[bi, : len(row)] = row
                     lens[bi] = len(row)
-                    sids[bi] = records[ri].sid
+                    sids[bi] = ri
             else:
                 seq = np.zeros((B, Lp), dtype=np.uint8)
                 for bi, ri in enumerate(chunk):
-                    sq = records[ri].seq
+                    sq = seq_of[ri]
                     seq[bi, : len(sq)] = sq
                     lens[bi] = len(sq)
-                    sids[bi] = records[ri].sid
+                    sids[bi] = ri
             packed = collector.add_batch(seq, lens, sids, max_out)
 
             bpd = B // D
@@ -420,8 +449,8 @@ def load_and_extract_sharded(
                     lo, hi = cuts[bl], cuts[bl + 1]
                     code, ho_rl, is_n = hoco[ri]
                     db.reads[ri] = ReadSyncmers(
-                        sid=records[ri].sid,
-                        name=records[ri].name,
+                        sid=ri,
+                        name=names_l[ri],
                         hoco_l=len(code),
                         hoco_code=code,
                         ho_rl=ho_rl,
