@@ -375,9 +375,14 @@ def load_and_extract_sharded(
     db.reads = [None] * n_records  # type: ignore
 
     # rough global occurrence bound for the carry capacity: ~1 syncmer
-    # per (w-s)/3 hoco bases, doubled for skew across hash ranges
+    # per (w-s)/3 hoco bases, doubled for skew across hash ranges;
+    # OATK_TPU_SHARD_CAP_SCALE widens it for pathological distributions
+    # (overflow otherwise falls back to the host sort, see pipeline)
+    import os as _os
+
+    scale = float(_os.environ.get("OATK_TPU_SHARD_CAP_SCALE", "1.0"))
     est = int(total_bases / max(4, (w - s) // 3)) + 1024
-    shard_cap = _round_up(2 * est // D + 4096, 1024)
+    shard_cap = _round_up(int(2 * scale * est) // D + 4096, 1024)
 
     buckets: dict[int, list[int]] = {}
     for i in range(n_records):
