@@ -101,14 +101,12 @@ def _syncasm_impl(
     else:
         read_db = load_reads(files, k, s, max_data, use_device)
     log_info(f"collected syncmers from {read_db.n} target sequence(s)", func="syncasm")
-    read_db_stat(read_db, sys.stderr, verbose)
-
-    if min_k_cov == 0:
-        st = read_db.stats
-        het, hom = st.get("kmer_peak_het", -1), st.get("kmer_peak_hom", -1)
-        min_k_cov = het * 10 if het > 0 else hom * 10
-        log_info(f"set minimum kmer coverage as {min_k_cov}", func="syncasm")
-
+    # DB collection runs before the (silent-output-independent) stat
+    # pass: the stat's k-mer grouping then counts dense syncmer ids via
+    # bincount instead of re-sorting raw 64-bit hashes.  The printed
+    # stats are identical either way -- they depend only on the count
+    # multiset, which the hash->id rewrite preserves (locked by the
+    # -v stderr byte-parity tests).
     if collector is not None:
         try:
             scm_db = collector.build(read_db)
@@ -120,6 +118,14 @@ def _syncasm_impl(
             scm_db = collect_syncmer_db(read_db)
     else:
         scm_db = collect_syncmer_db(read_db)
+    read_db_stat(read_db, sys.stderr, verbose)
+
+    if min_k_cov == 0:
+        st = read_db.stats
+        het, hom = st.get("kmer_peak_het", -1), st.get("kmer_peak_hom", -1)
+        min_k_cov = het * 10 if het > 0 else hom * 10
+        log_info(f"set minimum kmer coverage as {min_k_cov}", func="syncasm")
+
     if scm_db is None:
         log_error("no syncmers collected", func="syncasm")
         return SyncasmResult(read_db, None, None)

@@ -301,7 +301,15 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     dist = np.concatenate(dists) if dists else np.zeros(0, np.int64)
 
     _, s_counts = np.unique(smer, return_counts=True)
-    _, k_counts = np.unique(kmer, return_counts=True)
+    kmax = int(kmer.max()) if len(kmer) else 0
+    if kmax < 4 * len(kmer):
+        # post-collection the values are dense syncmer ids (assigned in
+        # hash order, so value order == the hash order np.unique gave):
+        # O(n) bincount replaces the 64-bit sort
+        bc = np.bincount(kmer.astype(np.int64), minlength=kmax + 1)
+        k_counts = bc[bc > 0]
+    else:
+        _, k_counts = np.unique(kmer, return_counts=True)
     s_ctab = _KhCtab()
     for c in s_counts.tolist():
         s_ctab.put1(int(c))
