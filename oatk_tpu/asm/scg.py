@@ -110,9 +110,17 @@ def make_syncmer_graph(
 
     cv0, cv1 = _read_adjacent_pairs(read_db)
     if len(cv0):
-        key = np.stack([cv0, cv1])
-        order = np.lexsort((cv1, cv0))
-        k0, k1 = cv0[order], cv1[order]
+        hi = max(int(cv0.max()), int(cv1.max())) if len(cv0) else 0
+        if hi < (1 << 32):
+            # post-collection vertex ids are small: one packed-u64 sort
+            # replaces the two-key lexsort over all adjacent pairs
+            packed = (cv0 << np.uint64(32)) | cv1
+            packed.sort(kind="stable")
+            k0 = packed >> np.uint64(32)
+            k1 = packed & np.uint64(0xFFFFFFFF)
+        else:
+            order = np.lexsort((cv1, cv0))
+            k0, k1 = cv0[order], cv1[order]
         new = np.concatenate([[True], (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])])
         starts = np.flatnonzero(new)
         counts = np.diff(np.concatenate([starts, [len(k0)]]))
