@@ -1,9 +1,23 @@
 """Randomized syncasm+pathfinder parity stress sweep (not part of the
 fast suite; run manually: python tests/stress_parity.py [n_iters])."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
 import subprocess
 import sys
 import tempfile
 from pathlib import Path
+
+import jax
+
+import jax._src.xla_bridge as _xb
+
+jax.config.update("jax_platforms", "cpu")
+_xb._backend_factories.pop("axon", None)
 
 import numpy as np
 
