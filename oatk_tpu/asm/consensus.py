@@ -367,6 +367,10 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             if ret >= 0:
                 break
             cap *= 4
+        if save_seq:
+            # raw emission buffer for native EC (skips str round trips)
+            utg._seq_buf = buf[: int(ret)].copy()
+            utg._seq_cuts = cuts.copy()
         for i in range(n_vtx):
             if utg.vtx_del[i]:
                 continue

@@ -287,10 +287,17 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
     g = scg.utg
     g._flush_pending()
     n_vtx = g.n_vtx
-    seqs = [g.vtx_seq[i] or "" for i in range(n_vtx)]
-    seq_off = np.zeros(n_vtx + 1, np.int64)
-    np.cumsum(np.fromiter((len(s) for s in seqs), np.int64, count=n_vtx), out=seq_off[1:])
-    seq_flat = np.frombuffer("".join(seqs).encode(), np.uint8)
+    buf = getattr(g, "_seq_buf", None)
+    cuts = getattr(g, "_seq_cuts", None)
+    if buf is not None and cuts is not None and len(cuts) == n_vtx + 1:
+        # consensus pass cached its raw emission buffer: no str round trip
+        seq_flat = buf
+        seq_off = cuts
+    else:
+        seqs = [g.vtx_seq[i] or "" for i in range(n_vtx)]
+        seq_off = np.zeros(n_vtx + 1, np.int64)
+        np.cumsum(np.fromiter((len(s) for s in seqs), np.int64, count=n_vtx), out=seq_off[1:])
+        seq_flat = np.frombuffer("".join(seqs).encode(), np.uint8)
 
     reads = read_db.reads
     n_reads = len(reads)

@@ -276,6 +276,8 @@ class Asmg:
 
     def clean_consensus(self):
         self.als[:] = 0
+        self._seq_buf = None  # invalidate the raw-emission cache
+        self._seq_cuts = None
         for i in range(self.n_vtx):
             self.vtx_seq[i] = None
             self.vtx_len[i] = 0
