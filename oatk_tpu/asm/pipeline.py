@@ -89,10 +89,12 @@ def _syncasm_impl(
     do_ec, do_unzip, max_data, out, use_device, verbose, shards,
 ) -> SyncasmResult:
     collector = None
-    if shards > 1:
+    if shards >= 1:
         # multi-chip path: data-parallel extraction + hash-range-routed
         # occurrence sharding over a device mesh (dist/sharded_db.py);
-        # produces a byte-identical SyncmerDB to the host path
+        # produces a byte-identical SyncmerDB to the host path.
+        # shards=1 keeps the global occurrence sort on the device (the
+        # host lexsort dominates single-chip runs at large scale).
         from ..dist.sharded_db import load_and_extract_sharded
         from ..dist.sharding import make_mesh
 

@@ -56,7 +56,7 @@ def test_sharded_db_identical_to_host(tmp_path):
         assert np.array_equal(r1.k_mer, r2.k_mer)
 
 
-@pytest.mark.parametrize("n_shards", [8, 5])
+@pytest.mark.parametrize("n_shards", [8, 5, 1])
 def test_sharded_syncasm_gfa_parity(tmp_path, n_shards):
     """Full syncasm with EC + unzip on the mesh: byte-identical GFA vs the
     reference binary (non-power-of-two shard count exercises the clamped
