@@ -80,16 +80,19 @@ class _Flats:
 
         if not native.available():
             return None
-        key = (id(scm_db), getattr(read_db, "version", 0), getattr(scm_db, "version", 0))
+        key = (getattr(read_db, "version", 0), getattr(scm_db, "version", 0))
         cached = getattr(read_db, "_flats_cache", None)
-        if cached is not None and cached[0] == key:
+        # hold the scm_db reference in the cache and compare identity --
+        # a bare id() key could false-hit after the old DB is collected
+        # and a new one reuses its address
+        if cached is not None and cached[0] == key and cached[2] is scm_db:
             return cached[1]
         static = None
         if cached is not None:
             old = cached[1]
             static = (old.hoff, old.code_flat, old.rl_flat)
         flats = _Flats(read_db, scm_db, static)
-        read_db._flats_cache = (key, flats)
+        read_db._flats_cache = (key, flats, scm_db)
         return flats
 
 
@@ -371,20 +374,22 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             # raw emission buffer for native EC (skips str round trips)
             utg._seq_buf = buf[: int(ret)].copy()
             utg._seq_cuts = cuts.copy()
+        need_str = save_seq or fo is not None
         for i in range(n_vtx):
             if utg.vtx_del[i]:
                 continue
-            seq = buf[cuts[i] : cuts[i + 1]].tobytes().decode()
-            l = len(seq)
+            l = int(cuts[i + 1] - cuts[i])
             cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
             utg.vtx_cov[i] = int(cov)
             utg.vtx_len[i] = l
-            if save_seq:
-                utg.vtx_seq[i] = seq
-            if fo:
-                fo.write(
-                    f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
-                )
+            if need_str:
+                seq = buf[cuts[i] : cuts[i + 1]].tobytes().decode()
+                if save_seq:
+                    utg.vtx_seq[i] = seq
+                if fo:
+                    fo.write(
+                        f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
+                    )
     else:
         for i in range(n_vtx):
             if utg.vtx_del[i]:

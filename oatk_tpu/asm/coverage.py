@@ -260,9 +260,11 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
 
     # round 3: redistribute syncmer counts weighted by utg coverage
     # (vectorized: every (unitig, position) holds exactly one syncmer, so
-    # the per-syncmer scatter has no collisions; per-syncmer occurrence
-    # lists are far below numpy's pairwise-summation block size, so the
-    # bincount segment totals reproduce the loop's float rounding)
+    # the per-syncmer scatter has no collisions).  Float-order invariant:
+    # the reference C sums each syncmer's occurrence weights SEQUENTIALLY
+    # (syncasm.c:2031-2033) and bincount accumulates sequentially too;
+    # np.sum would NOT match for >=8 elements (numpy unrolls into 8-way
+    # accumulators) -- do not "simplify" back to per-slice np.sum
     idx = scg.idx
     vlen = np.fromiter(
         (len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0 for i in range(n_vtx)),

@@ -89,6 +89,9 @@ def _syncasm_impl(
     do_ec, do_unzip, max_data, out, use_device, verbose, shards,
 ) -> SyncasmResult:
     collector = None
+    if shards >= 1 and not use_device:
+        log_info("--cpu disables the device mesh; ignoring --shards", func="syncasm")
+        shards = 0
     if shards >= 1:
         # multi-chip path: data-parallel extraction + hash-range-routed
         # occurrence sharding over a device mesh (dist/sharded_db.py);

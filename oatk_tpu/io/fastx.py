@@ -29,6 +29,37 @@ class SeqRecord:
         return len(self.seq)
 
 
+class _Prefixed(io.RawIOBase):
+    """Raw stream replaying a consumed prefix before the wrapped stream
+    (lets the gzip magic be read exactly even on pipes/sockets where
+    peek() may return fewer bytes than asked)."""
+
+    def __init__(self, prefix: bytes, fp):
+        self._p = prefix
+        self._fp = fp
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if self._p:
+            n = min(len(b), len(self._p))
+            b[:n] = self._p[:n]
+            self._p = self._p[n:]
+            return n
+        data = self._fp.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self):
+        try:
+            self._fp.close()
+        finally:
+            super().close()
+
+
 def _open_maybe_gz(path: str):
     """Transparent open: plain file, gzip, stdin ('-'), or remote
     http(s)/ftp URL -- the kopen.c analogue (/root/reference/kopen.c).
@@ -41,12 +72,18 @@ def _open_maybe_gz(path: str):
         fp = urllib.request.urlopen(path)  # noqa: S310 - explicit user input
     else:
         fp = open(path, "rb")
-    if not hasattr(fp, "peek"):
-        fp = io.BufferedReader(fp)
-    magic = fp.peek(2)[:2]
+    # read exactly 2 magic bytes (peek() may return short on pipes),
+    # then replay them through a prefixed stream
+    magic = b""
+    while len(magic) < 2:
+        chunk = fp.read(2 - len(magic))
+        if not chunk:
+            break
+        magic += chunk
+    chained = io.BufferedReader(_Prefixed(magic, fp))
     if magic == b"\x1f\x8b":
-        return gzip.open(fp, "rb")
-    return fp
+        return gzip.open(chained, "rb")
+    return chained
 
 
 def read_source_bytes(path: str) -> bytes:

@@ -204,7 +204,15 @@ def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
         return None
     if n_threads is None:
         n_threads = n_threads_default()
-    if n_threads <= 1 or len(data) < (4 << 20) or not data.startswith(b">"):
+    # thread only pure FASTA: '\n@' never occurs in FASTA (headers are
+    # '>', sequence lines hold bases), but marks FASTQ records whose
+    # quality lines could alias a '\n>' split point
+    if (
+        n_threads <= 1
+        or len(data) < (4 << 20)
+        or not data.startswith(b">")
+        or b"\n@" in data
+    ):
         return parse_fastx_hoco(data)
     # split points at record starts
     cuts = [0]
