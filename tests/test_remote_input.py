@@ -47,6 +47,54 @@ def test_http_and_gz_http_input(tmp_path, rng):
         srv.shutdown()
 
 
+def test_gz_over_stdin_pipe(tmp_path, rng):
+    """gzip data on a pipe (no seek; short peek) must decompress: the
+    magic bytes are read exactly and replayed through a prefixed
+    stream."""
+    import io as _io
+
+    g = random_genome(rng, 6000)
+    reads = sample_reads(rng, g, coverage=4, read_len=1200)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+    gz = gzip.compress(fa.read_bytes())
+
+    class OneBytePipe(_io.RawIOBase):
+        """Worst case: every raw read returns a single byte."""
+
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            if self.pos >= len(self.data):
+                return 0
+            b[0] = self.data[self.pos]
+            self.pos += 1
+            return 1
+
+    from oatk_tpu.io import fastx as FX
+
+    base = FX.read_fastx([str(fa)])
+    # drive the sniffing logic directly on the 1-byte pipe
+    fp = _io.BufferedReader(OneBytePipe(gz), buffer_size=1)
+    magic = b""
+    while len(magic) < 2:
+        chunk = fp.read(2 - len(magic))
+        if not chunk:
+            break
+        magic += chunk
+    assert magic == b"\x1f\x8b"
+    chained = _io.BufferedReader(FX._Prefixed(magic, fp))
+    records = list(FX._iter_fastx(gzip.open(chained, "rb"), 0))
+    assert len(records) == len(base)
+    for a, b in zip(records, base):
+        assert a.name == b.name and np.array_equal(a.seq, b.seq)
+
+
 def test_stdin_pipe_syncasm(tmp_path, rng):
     """`syncasm -` consumes a FASTA piped on stdin and matches the
     file-input assembly byte-for-byte."""
