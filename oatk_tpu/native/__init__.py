@@ -87,6 +87,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.arc_overlap_batch.restype = ctypes.c_int64
@@ -283,8 +284,11 @@ def utg_consensus_emit(
 def utg_consensus_emit_batch(
     va_flat, va_off, live, w: int, hoco_seq: bool, mp_flat, mp_off,
     kflat, mflat, moff, code_flat, rl_flat, hoff, out, cuts,
+    n_threads: int | None = None,
 ) -> int:
     lib = _load()
+    if n_threads is None:
+        n_threads = n_threads_default()
     return lib.utg_consensus_emit_batch(
         va_flat.ctypes.data, va_off.ctypes.data,
         live.ctypes.data, len(live),
@@ -292,7 +296,8 @@ def utg_consensus_emit_batch(
         mp_flat.ctypes.data, mp_off.ctypes.data,
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
-        len(code_flat), out.ctypes.data, len(out), cuts.ctypes.data,
+        len(code_flat), n_threads,
+        out.ctypes.data, len(out), cuts.ctypes.data,
     )
 
 

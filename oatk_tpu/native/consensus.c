@@ -209,7 +209,47 @@ full:
 /* Batched whole-graph consensus: one call emits every live vertex's
  * consensus back-to-back into `out` with per-vertex cuts, removing the
  * per-vertex Python/ctypes dispatch that dominated large graphs.
- * Returns total emitted length, -1 if out_cap too small. */
+ * Vertices are independent, so contiguous ranges run on a small thread
+ * pool with private buffers merged in order (output identical to the
+ * sequential loop).  Returns total emitted length, -1 if out_cap too
+ * small, -2 on allocation failure. */
+#include <pthread.h>
+
+typedef struct {
+    const uint64_t *va_flat; const int64_t *va_off;
+    const uint8_t *live;
+    int64_t w, hoco_seq;
+    const uint64_t *mp_flat; const int64_t *mp_off;
+    const uint64_t *kflat; const uint32_t *mflat; const int64_t *moff;
+    const uint8_t *code_flat; const uint32_t *rl_flat;
+    const int64_t *hoff; int64_t hoco_total;
+    int64_t v0, v1;
+    int64_t *vlen;      /* per-vertex emitted length */
+    uint8_t *buf; int64_t buf_cap, emitted;
+    int err;
+} cons_range_t;
+
+static void *cons_worker(void *arg) {
+    cons_range_t *r = (cons_range_t *)arg;
+    for (int64_t i = r->v0; i < r->v1; ++i) {
+        if (!r->live[i]) { r->vlen[i] = 0; continue; }
+        for (;;) {
+            int64_t got = utg_consensus_emit(
+                r->va_flat + r->va_off[i], r->va_off[i + 1] - r->va_off[i],
+                r->w, r->hoco_seq,
+                r->mp_flat, r->mp_off, r->kflat, r->mflat, r->moff,
+                r->code_flat, r->rl_flat, r->hoff, r->hoco_total,
+                r->buf + r->emitted, r->buf_cap - r->emitted);
+            if (got >= 0) { r->vlen[i] = got; r->emitted += got; break; }
+            int64_t nc = r->buf_cap * 2 + 4096;
+            uint8_t *nb = (uint8_t *)realloc(r->buf, nc);
+            if (!nb) { r->err = 1; return NULL; }
+            r->buf = nb; r->buf_cap = nc;
+        }
+    }
+    return NULL;
+}
+
 int64_t utg_consensus_emit_batch(
     const uint64_t *va_flat, const int64_t *va_off,
     const uint8_t *live, int64_t n_vtx,
@@ -218,23 +258,82 @@ int64_t utg_consensus_emit_batch(
     const uint64_t *kflat, const uint32_t *mflat, const int64_t *moff,
     const uint8_t *code_flat, const uint32_t *rl_flat,
     const int64_t *hoff, int64_t hoco_total,
+    int64_t n_threads,
     uint8_t *out, int64_t out_cap, int64_t *cuts)
 {
-    int64_t outp = 0;
-    cuts[0] = 0;
-    for (int64_t i = 0; i < n_vtx; ++i) {
-        if (live[i]) {
-            int64_t got = utg_consensus_emit(
-                va_flat + va_off[i], va_off[i + 1] - va_off[i], w, hoco_seq,
-                mp_flat, mp_off, kflat, mflat, moff,
-                code_flat, rl_flat, hoff, hoco_total,
-                out + outp, out_cap - outp);
-            if (got < 0) return -1;
-            outp += got;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if ((int64_t)n_vtx < 4 * n_threads) n_threads = 1;
+    int64_t *vlen = (int64_t *)malloc((n_vtx ? n_vtx : 1) * sizeof(int64_t));
+    if (!vlen) return -2;
+    cons_range_t rg[16];
+    memset(rg, 0, sizeof(rg));
+    /* partition by syncmer mass, not vertex count (unitig sizes skew) */
+    int64_t total_scm = va_off[n_vtx];
+    int64_t v = 0;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        rg[t].va_flat = va_flat; rg[t].va_off = va_off; rg[t].live = live;
+        rg[t].w = w; rg[t].hoco_seq = hoco_seq;
+        rg[t].mp_flat = mp_flat; rg[t].mp_off = mp_off;
+        rg[t].kflat = kflat; rg[t].mflat = mflat; rg[t].moff = moff;
+        rg[t].code_flat = code_flat; rg[t].rl_flat = rl_flat;
+        rg[t].hoff = hoff; rg[t].hoco_total = hoco_total;
+        rg[t].vlen = vlen;
+        rg[t].v0 = v;
+        int64_t target = total_scm * (t + 1) / n_threads;
+        while (v < n_vtx && va_off[v] < target) ++v;
+        if (t == n_threads - 1) v = n_vtx;
+        rg[t].v1 = v;
+        int64_t mass = va_off[rg[t].v1] - va_off[rg[t].v0];
+        rg[t].buf_cap = mass * w * 2 + 4096;
+        rg[t].buf = (uint8_t *)malloc(rg[t].buf_cap);
+        if (!rg[t].buf) {
+            for (int64_t u = 0; u < t; ++u) free(rg[u].buf);
+            free(vlen);
+            return -2;
         }
-        cuts[i + 1] = outp;
     }
-    return outp;
+    if (n_threads == 1) {
+        cons_worker(&rg[0]);
+    } else {
+        pthread_t tid[16];
+        int64_t spawned = 0;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            if (pthread_create(&tid[t], NULL, cons_worker, &rg[t]) != 0) break;
+            spawned++;
+        }
+        for (int64_t t = spawned; t < n_threads; ++t) cons_worker(&rg[t]);
+        for (int64_t t = 0; t < spawned; ++t) pthread_join(tid[t], NULL);
+    }
+    int err = 0;
+    int64_t total = 0;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        err |= rg[t].err;
+        total += rg[t].emitted;
+    }
+    int64_t ret;
+    if (err) { ret = -2; goto done; }
+    if (total > out_cap) { ret = -1; goto done; }
+    cuts[0] = 0;
+    {
+        int64_t outp = 0;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            memcpy(out + outp, rg[t].buf, rg[t].emitted);
+            outp += rg[t].emitted;
+        }
+    }
+    {
+        int64_t acc = 0;
+        for (int64_t i = 0; i < n_vtx; ++i) {
+            acc += vlen[i];
+            cuts[i + 1] = acc;
+        }
+    }
+    ret = total;
+done:
+    for (int64_t t = 0; t < n_threads; ++t) free(rg[t].buf);
+    free(vlen);
+    return ret;
 }
 
 /* Batched arc overlap-length computation: mirrors the arc loop of
