@@ -58,16 +58,21 @@ class _Flats:
                 np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False)
                 if n else z32
             )
-        # syncmer occurrence lists flattened (for whole-unitig C emission)
+        # syncmer occurrence lists flattened (for whole-unitig C emission);
+        # the DB keeps its flat backing array, so reuse it when present
         ns = scm_db.n
-        self.mp_off = np.zeros(ns + 1, np.int64)
-        if ns:
+        if getattr(scm_db, "mp_flat", None) is not None:
+            self.mp_flat = scm_db.mp_flat.astype(np.uint64, copy=False)
+            self.mp_off = scm_db.mp_off.astype(np.int64, copy=False)
+        elif ns:
+            self.mp_off = np.zeros(ns + 1, np.int64)
             np.cumsum(
                 np.fromiter((len(a) for a in scm_db.m_pos), np.int64, count=ns),
                 out=self.mp_off[1:],
             )
             self.mp_flat = np.concatenate(scm_db.m_pos).astype(np.uint64, copy=False)
         else:
+            self.mp_off = np.zeros(1, np.int64)
             self.mp_flat = z64
 
     @staticmethod

@@ -386,6 +386,8 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     np.cumsum(cov, out=cuts[1:])
     scm_db.cov = cov.astype(np.uint32)
     scm_db.m_pos = [sorted_entries[cuts[i] : cuts[i + 1]] for i in range(n)]
+    scm_db.mp_flat = sorted_entries
+    scm_db.mp_off = cuts
     scm_db.del_ = c_cov == 0
     scm_db.version += 1
     read_db.version += 1  # reads were spliced before the rebuild

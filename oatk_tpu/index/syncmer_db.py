@@ -44,6 +44,10 @@ class SyncmerDB:
     del_: np.ndarray  # [n] bool deleted flag
     m_pos: list  # [n] arrays of uint64: sid<<32 | read_idx<<1 | rev
     version: int = 0  # bumped whenever m_pos/cov are rebuilt (EC)
+    # flat view backing m_pos (kept so consumers can skip re-concatenating
+    # the per-syncmer lists); entries of m_pos are views into mp_flat
+    mp_flat: np.ndarray | None = None
+    mp_off: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -167,7 +171,9 @@ def build_db_from_sorted(
     cl_sorted = sl[cl_order]
     cuts = np.concatenate([[0], np.cumsum(cov.astype(np.int64))]).astype(np.int64)
     for i in range(n_scm):
-        db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]].copy()
+        db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]]
+    db.mp_flat = cl_sorted
+    db.mp_off = cuts
 
     # rewrite read k_mer: hash -> syncmer id << 1, scattered back to the
     # per-read flat order via (sid, idx)
