@@ -205,25 +205,43 @@ def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
         return None
     if n_threads is None:
         n_threads = n_threads_default()
-    # thread only pure FASTA: '\n@' never occurs in FASTA (headers are
-    # '>', sequence lines hold bases), but marks FASTQ records whose
-    # quality lines could alias a '\n>' split point
-    if (
-        n_threads <= 1
-        or len(data) < (4 << 20)
-        or not data.startswith(b">")
-        or b"\n@" in data
-    ):
+    if n_threads <= 1 or len(data) < (4 << 20):
         return parse_fastx_hoco(data)
-    # split points at record starts
-    cuts = [0]
-    step = len(data) // n_threads
-    for t in range(1, n_threads):
-        p = data.find(b"\n>", max(cuts[-1], t * step))
-        if p < 0:
-            break
-        cuts.append(p + 1)
-    cuts.append(len(data))
+    if data.startswith(b">") and b"\n@" not in data:
+        # pure FASTA: '\n@' never occurs (headers are '>', sequence lines
+        # hold bases), so '\n>' marks record starts unambiguously
+        cuts = [0]
+        step = len(data) // n_threads
+        for t in range(1, n_threads):
+            p = data.find(b"\n>", max(cuts[-1], t * step))
+            if p < 0:
+                break
+            cuts.append(p + 1)
+        cuts.append(len(data))
+    elif data.startswith(b"@"):
+        # FASTQ: records are exactly 4 lines for this parser (one
+        # sequence line, one quality line), so every 4th newline ends a
+        # record; quality bytes can be '@'/'>' so only line counting is
+        # safe.  Bail to single-thread if the structure looks off.
+        nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
+        n_lines = len(nl) + (0 if data.endswith(b"\n") else 1)
+        if n_lines % 4 != 0 and not data.endswith(b"\n"):
+            return parse_fastx_hoco(data)
+        n_rec = n_lines // 4
+        if n_rec < n_threads * 2:
+            return parse_fastx_hoco(data)
+        cuts = [0]
+        for t in range(1, n_threads):
+            rec = n_rec * t // n_threads
+            p = int(nl[rec * 4 - 1]) + 1
+            if p <= cuts[-1] or p >= len(data):
+                continue
+            if data[p : p + 1] != b"@":
+                return parse_fastx_hoco(data)
+            cuts.append(p)
+        cuts.append(len(data))
+    else:
+        return parse_fastx_hoco(data)
     segs = [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
     if len(segs) == 1:
         return parse_fastx_hoco(data)

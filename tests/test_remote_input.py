@@ -121,3 +121,26 @@ def test_stdin_pipe_syncasm(tmp_path, rng):
     a = (tmp_path / "file.utg.final.gfa").read_bytes()
     b = (tmp_path / "pipe.utg.final.gfa").read_bytes()
     assert a == b and a
+
+
+def test_threaded_fastq_parse_with_at_qualities(rng):
+    """Threaded FASTQ parse must split on 4-line records even when
+    quality strings are all '@'/'>' (the aliasing the FASTA splitter
+    cannot handle)."""
+    from oatk_tpu import native
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native library unavailable")
+    parts = []
+    for i in range(9000):
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 600))
+        parts.append(f"@r{i} extra\n{seq}\n+\n{'@' * 300}{'>' * 300}\n")
+    data = "".join(parts).encode()
+    assert len(data) > (4 << 20)
+    a = native.parse_fastx_hoco(data)
+    b = native.parse_fastx_hoco_mt(data)
+    assert a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        assert np.array_equal(x, y)
