@@ -11,6 +11,7 @@ from ._common import open_out
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hmmannot", description="nhmmscan batch annotation driver")
+    p.add_argument("--version", action="version", version="1.0")
     p.add_argument("nhmmdb", help="HMM profile database")
     p.add_argument("files", nargs="+", help="FASTA/FASTQ/GFA input(s)")
     p.add_argument("-t", "--threads", type=int, default=1)

@@ -58,6 +58,7 @@ def build_parser():
     p.add_argument("--kmer-c-tag", default=None)
     p.add_argument("--seq-c-tag", default=None)
     p.add_argument("-v", "--verbose", type=int, default=0)
+    p.add_argument("--version", action="version", version="1.0")
     return p
 
 

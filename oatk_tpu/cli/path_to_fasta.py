@@ -14,6 +14,7 @@ from ._common import open_out
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="path_to_fasta")
+    p.add_argument("--version", action="version", version="1.0")
     p.add_argument("gfa")
     p.add_argument("path_str", nargs="?", default=None)
     p.add_argument("-p", "--path-file", default=None, help="two-column path file")

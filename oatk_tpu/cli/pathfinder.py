@@ -36,6 +36,7 @@ def build_parser():
     p.add_argument("--weak-cross", type=float, default=0.3)
     p.add_argument("--no-graph-clean", action="store_true")
     p.add_argument("-v", "--verbose", type=int, default=0)
+    p.add_argument("--version", action="version", version="1.0")
     return p
 
 

@@ -12,6 +12,7 @@ from ._common import open_out, print_wrapped, revcomp
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rotate")
+    p.add_argument("--version", action="version", version="1.0")
     p.add_argument("fasta")
     p.add_argument("seq_id", nargs="?", default=None)
     p.add_argument("pos", nargs="?", type=int, default=None)

@@ -30,6 +30,7 @@ def build_parser():
         help="shard extraction+counting over this many mesh devices [off]",
     )
     p.add_argument("-v", "--verbose", type=int, default=0)
+    p.add_argument("--version", action="version", version="1.0")
     return p
 
 
