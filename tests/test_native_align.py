@@ -142,3 +142,32 @@ def test_native_lcs_equals_python(monkeypatch):
         want = COV._find_lcs(s, u, off)
         monkeypatch.undo()
         assert got == want, (s.tolist(), u.tolist(), off, got, want)
+
+
+def test_thread_count_determinism(tmp_path, monkeypatch):
+    """All threaded native stages must produce identical output at any
+    worker count (ordered merges; the reference's kt_for model)."""
+    import subprocess as sp
+
+    from oatk_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(77)
+    a = random_genome(rng, 7000)
+    rep = random_genome(rng, 2200)
+    reads = sample_reads(rng, a + rep + random_genome(rng, 5000) + rep,
+                         coverage=14, read_len=2100, err_rate=0.002)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+
+    outs = []
+    for t in (1, 8):
+        monkeypatch.setenv("OATK_TPU_THREADS", str(t))
+        from oatk_tpu.asm.pipeline import syncasm
+
+        syncasm([str(fa)], k=251, s=17, min_k_cov=3, do_ec=True, do_unzip=3,
+                out=str(tmp_path / f"t{t}"))
+        outs.append((tmp_path / f"t{t}.utg.final.gfa").read_bytes())
+        monkeypatch.undo()
+    assert outs[0] == outs[1] and outs[0]
