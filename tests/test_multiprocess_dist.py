@@ -57,6 +57,21 @@ for a, b in zip(scm1.m_pos, scm2.m_pos):
     assert np.array_equal(a, b)
 for r1, r2 in zip(db1.reads, db2.reads):
     assert np.array_equal(r1.k_mer, r2.k_mer)
+
+# full multi-host assembly: every process runs the complete syncasm over
+# the 2-process global mesh and must byte-match its local single-process
+# run (host stages are replicated SPMD-style; outputs per-process)
+import os
+from oatk_tpu.asm.pipeline import syncasm
+
+out_dir = os.path.dirname(fa)
+syncasm([fa], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
+        out=os.path.join(out_dir, f"mesh_p{pid}"), shards=8)
+syncasm([fa], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
+        out=os.path.join(out_dir, f"local_p{pid}"))
+a = open(os.path.join(out_dir, f"mesh_p{pid}.utg.final.gfa"), "rb").read()
+b = open(os.path.join(out_dir, f"local_p{pid}.utg.final.gfa"), "rb").read()
+assert a == b and a, "multi-host assembly diverged"
 print(f"proc {pid} OK n={scm2.n}", flush=True)
 """
 
