@@ -199,40 +199,59 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
             out=va_off[1:],
         )
 
-    mas = []
-    for sid, alns in by_read.items():
-        if use_native:
-            read = read_db.reads[sid]
-            scm = np.ascontiguousarray(read.k_mer >> np.uint64(1), np.int64)
-            rows = []
-            cut = [0]
+    if use_native:
+        # ONE threaded native call for all reads (ma_blocks_batch):
+        # concatenated per-read syncmer ids, global frag rows, global
+        # alignment cuts, per-read alignment spans.  Output flat arrays
+        # feed the EM directly -- block order is reads in dict order,
+        # blocks in order, uid members left-to-right, exactly the order
+        # the per-read path produced.
+        scm_l: list[np.ndarray] = []
+        scm_off = [0]
+        rows = []
+        aln_cut = [0]
+        read_aln_off = [0]
+        for sid, alns in by_read.items():
+            km = read_db.reads[sid].k_mer
+            scm_l.append(np.ascontiguousarray(km >> np.uint64(1), np.int64))
+            scm_off.append(scm_off[-1] + len(km))
             for ra in alns:
                 for f in ra.frags:
                     rows.append((f.uid, f.u_beg, f.u_end, f.s_beg, f.s_end, 0))
-                cut.append(len(rows))
-            frag6 = np.asarray(rows, np.int64).reshape(len(rows), 6)
-            aln_cut = np.asarray(cut, np.int64)
-            nm, um = native.ma_blocks_native(scm, frag6, aln_cut, va_flat, va_off)
-            mas.append((nm, um))
-        else:
-            mas.append(_make_ma_blocks(scg, read_db.reads[sid], alns))
-
-    # flatten blocks once: EM accumulation order is preserved (reads in
-    # dict order, blocks in order, members left-to-right), and bincount
-    # accumulates sequentially in that same flat order, so the float
-    # rounding matches the reference's per-block loops exactly
-    nm_flat_l, u_flat_l, bid_l = [], [], []
-    nb_total = 0
-    for n_match, u_match in mas:
-        for nm, us in zip(n_match, u_match):
-            usl = [int(u) for u in us] if not isinstance(us, np.ndarray) else us
-            nm_flat_l.append(int(nm))
-            u_flat_l.extend(int(u) for u in usl)
-            bid_l.extend([nb_total] * len(usl))
-            nb_total += 1
-    nm_b = np.asarray(nm_flat_l, np.float64)
-    u_flat = np.asarray(u_flat_l, np.int64)
-    bid = np.asarray(bid_l, np.int64)
+                aln_cut.append(len(rows))
+            read_aln_off.append(len(aln_cut) - 1)
+        scm_flat = np.concatenate(scm_l) if scm_l else np.zeros(0, np.int64)
+        frag6 = np.asarray(rows, np.int64).reshape(len(rows), 6)
+        nm_all, u_flat, read_cut = native.ma_blocks_batch_native(
+            scm_flat, np.asarray(scm_off, np.int64), frag6,
+            np.asarray(aln_cut, np.int64), np.asarray(read_aln_off, np.int64),
+            va_flat, va_off,
+        )
+        nb_total = len(nm_all)
+        nm_b = nm_all.astype(np.float64)
+        n_aln_b = np.repeat(np.diff(read_aln_off), np.diff(read_cut))
+        bid = np.repeat(np.arange(nb_total, dtype=np.int64), n_aln_b)
+    else:
+        mas = [
+            _make_ma_blocks(scg, read_db.reads[sid], alns)
+            for sid, alns in by_read.items()
+        ]
+        # flatten blocks once: EM accumulation order is preserved (reads
+        # in dict order, blocks in order, members left-to-right), and
+        # bincount accumulates sequentially in that same flat order, so
+        # the float rounding matches the reference's per-block loops
+        nm_flat_l, u_flat_l, bid_l = [], [], []
+        nb_total = 0
+        for n_match, u_match in mas:
+            for nm, us in zip(n_match, u_match):
+                usl = [int(u) for u in us] if not isinstance(us, np.ndarray) else us
+                nm_flat_l.append(int(nm))
+                u_flat_l.extend(int(u) for u in usl)
+                bid_l.extend([nb_total] * len(usl))
+                nb_total += 1
+        nm_b = np.asarray(nm_flat_l, np.float64)
+        u_flat = np.asarray(u_flat_l, np.int64)
+        bid = np.asarray(bid_l, np.int64)
     nlen_arr = np.fromiter(
         (max(1, len(g.vtx_a[i]) if g.vtx_a[i] is not None else 1) for i in range(n_vtx)),
         np.float64, count=n_vtx,

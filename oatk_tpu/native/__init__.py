@@ -132,6 +132,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.ma_blocks_batch.restype = ctypes.c_int64
+        lib.ma_blocks_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.ec_correct_reads.restype = ctypes.c_int64
         lib.ec_correct_reads.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -438,6 +448,50 @@ def ma_blocks_native(scm, frag6, aln_cut, va_flat, va_off):
             nb = int(ret)
             return out_nm[:nb], out_u[:nb]
         cap *= 4
+
+
+def ma_blocks_batch_native(
+    scm_flat, scm_off, frag6, aln_cut, read_aln_off, va_flat, va_off,
+    n_threads: int | None = None,
+):
+    """Multi-alignment blocks for ALL reads in one threaded native call
+    (native/align.c ma_blocks_batch).  aln_cut holds GLOBAL frag6 row
+    indices; read_aln_off delimits each read's alignments within it.
+
+    Returns (n_match[i64 nb_total], uids_flat[i64], read_cut[n_reads+1])
+    where read r's blocks are read_cut[r]:read_cut[r+1] and each of its
+    blocks contributes (read_aln_off[r+1]-read_aln_off[r]) uids to
+    uids_flat, in block order.  None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = n_threads_default()
+    n_reads = len(read_aln_off) - 1
+    max_aln = int(np.max(np.diff(read_aln_off))) if n_reads else 1
+    cap_blocks = max(1024, 64 * n_reads + 2 * len(scm_flat))
+    while True:
+        out_nm = np.empty(cap_blocks, np.int64)
+        out_u = np.empty(cap_blocks * max(1, max_aln), np.int64)
+        read_cut = np.empty(n_reads + 1, np.int64)
+        ret = lib.ma_blocks_batch(
+            scm_flat.ctypes.data, scm_off.ctypes.data,
+            frag6.ctypes.data, aln_cut.ctypes.data, read_aln_off.ctypes.data,
+            n_reads,
+            va_flat.ctypes.data, va_off.ctypes.data,
+            n_threads,
+            out_nm.ctypes.data, out_u.ctypes.data, read_cut.ctypes.data,
+            cap_blocks, len(out_u),
+        )
+        if ret == -2:
+            raise MemoryError("ma_blocks_batch: allocation failure")
+        if ret >= 0:
+            nb = int(ret)
+            n_aln_r = np.diff(read_aln_off)
+            nb_r = np.diff(read_cut)
+            n_uids = int(np.sum(nb_r * n_aln_r))
+            return out_nm[:nb], out_u[:n_uids], read_cut
+        cap_blocks *= 4
 
 
 def find_lcs_native(s_ids, u_ids, offset: int):

@@ -645,3 +645,123 @@ i64 find_lcs(
     }
     return mg;
 }
+
+/* ---------------- batched multi-alignment blocks ----------------
+ *
+ * One call for ALL reads: the per-read ma_blocks runs on the same
+ * dynamic work-stealing pool as align_batch (reads are independent;
+ * results merge in read order, so output is thread-count invariant).
+ * aln_cut values are GLOBAL frag6 row indices; read_aln_off[r] selects
+ * the alignment-cut span of read r, scm_off[r] its syncmer-id span.
+ * Eliminates the per-read ctypes dispatch overhead that dominated
+ * scg_ra_utg_coverage (coverage.py) at ~25 us x n_reads. */
+
+typedef struct {
+    i64 *nm;    /* [nb] */
+    i64 *uids;  /* [nb * n_aln] */
+    i64 nb, n_aln;
+} mares_t;
+
+typedef struct {
+    const i64 *scm_flat, *scm_off;
+    const i64 *frag6, *aln_cut, *read_aln_off;
+    i64 n_reads;
+    const u64 *va_flat;
+    const i64 *va_off;
+    mares_t *slots;
+    atomic_llong next;
+    atomic_int err;
+} majob_t;
+
+static int ma_one(majob_t *jb, i64 r) {
+    i64 a0 = jb->read_aln_off[r], a1 = jb->read_aln_off[r + 1];
+    i64 n_aln = a1 - a0;
+    mares_t *res = &jb->slots[r];
+    res->n_aln = n_aln;
+    res->nb = 0;
+    if (n_aln == 0) return 0;
+    i64 n_scm = jb->scm_off[r + 1] - jb->scm_off[r];
+    i64 cap = 64 + 2 * n_scm;
+    for (;;) {
+        i64 *nm = (i64 *)malloc((size_t)cap * sizeof(i64));
+        i64 *ui = (i64 *)malloc((size_t)cap * (size_t)n_aln * sizeof(i64));
+        if (!nm || !ui) { free(nm); free(ui); return -2; }
+        i64 got = ma_blocks(
+            jb->scm_flat + jb->scm_off[r], n_scm,
+            jb->frag6, jb->aln_cut + a0, n_aln,
+            jb->va_flat, jb->va_off,
+            nm, ui, cap);
+        if (got == -2) { free(nm); free(ui); return -2; }
+        if (got >= 0) { res->nm = nm; res->uids = ui; res->nb = got; return 0; }
+        free(nm); free(ui);
+        cap *= 4;
+    }
+}
+
+static void *ma_worker(void *arg) {
+    majob_t *jb = (majob_t *)arg;
+    for (;;) {
+        i64 r = atomic_fetch_add(&jb->next, 1);
+        if (r >= jb->n_reads || atomic_load(&jb->err)) break;
+        if (ma_one(jb, r) < 0) { atomic_store(&jb->err, 2); break; }
+    }
+    return NULL;
+}
+
+i64 ma_blocks_batch(
+    const i64 *scm_flat, const i64 *scm_off,
+    const i64 *frag6, const i64 *aln_cut, const i64 *read_aln_off,
+    i64 n_reads,
+    const u64 *va_flat, const i64 *va_off,
+    i64 n_threads,
+    i64 *out_nm, i64 *out_uids, i64 *out_read_cut,
+    i64 cap_blocks, i64 cap_uids)
+{
+    majob_t jb;
+    memset(&jb, 0, sizeof(jb));
+    jb.scm_flat = scm_flat; jb.scm_off = scm_off;
+    jb.frag6 = frag6; jb.aln_cut = aln_cut; jb.read_aln_off = read_aln_off;
+    jb.n_reads = n_reads;
+    jb.va_flat = va_flat; jb.va_off = va_off;
+    jb.slots = (mares_t *)calloc(n_reads ? n_reads : 1, sizeof(mares_t));
+    if (!jb.slots) return -2;
+    atomic_init(&jb.next, 0);
+    atomic_init(&jb.err, 0);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 32) n_threads = 32;
+    if (n_threads == 1) {
+        ma_worker(&jb);
+    } else {
+        pthread_t tids[32];
+        i64 spawned = 0;
+        for (i64 t = 0; t < n_threads; t++) {
+            if (pthread_create(&tids[t], NULL, ma_worker, &jb) != 0) break;
+            spawned++;
+        }
+        if (spawned == 0) ma_worker(&jb);
+        for (i64 t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    }
+    i64 ret;
+    if (atomic_load(&jb.err)) { ret = -2; goto cleanup; }
+    {
+        i64 tb = 0, tu = 0;
+        out_read_cut[0] = 0;
+        ret = 0;
+        for (i64 r = 0; r < n_reads; r++) {
+            mares_t *res = &jb.slots[r];
+            if (tb + res->nb > cap_blocks ||
+                tu + res->nb * res->n_aln > cap_uids) { ret = -1; break; }
+            memcpy(out_nm + tb, res->nm, (size_t)res->nb * sizeof(i64));
+            memcpy(out_uids + tu, res->uids,
+                   (size_t)(res->nb * res->n_aln) * sizeof(i64));
+            tb += res->nb;
+            tu += res->nb * res->n_aln;
+            out_read_cut[r + 1] = tb;
+        }
+        if (ret == 0) ret = tb;
+    }
+cleanup:
+    for (i64 r = 0; r < n_reads; r++) { free(jb.slots[r].nm); free(jb.slots[r].uids); }
+    free(jb.slots);
+    return ret;
+}

@@ -123,6 +123,67 @@ def test_native_ma_blocks_equals_python():
         assert [list(r) for r in um_c] == [list(r) for r in um_p], case
 
 
+def test_native_ma_blocks_batch_equals_python(monkeypatch):
+    """The single-call threaded batch (ma_blocks_batch) must reproduce
+    the per-read Python _make_ma_blocks flattening exactly: same block
+    counts, same n_match, same uid stream, same per-read cuts."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import coverage as COV
+    from oatk_tpu.asm.align import scg_read_alignment
+    from oatk_tpu.asm.scg import Scg  # noqa: F401 (import check)
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rd, scg = _setup(101)
+    ra_db = scg_read_alignment(rd, scg, for_unzip=False)
+    g = scg.utg
+    by_read = {}
+    for ra in ra_db:
+        by_read.setdefault(ra.sid, []).append(ra)
+
+    n_vtx = g.n_vtx
+    va_flat = np.concatenate(
+        [g.vtx_a[i] if g.vtx_a[i] is not None else np.zeros(0, np.uint64)
+         for i in range(n_vtx)]
+    ).astype(np.uint64, copy=False)
+    va_off = np.zeros(n_vtx + 1, np.int64)
+    np.cumsum(
+        np.fromiter(
+            (len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0 for i in range(n_vtx)),
+            np.int64, count=n_vtx,
+        ),
+        out=va_off[1:],
+    )
+    scm_l, scm_off, rows, aln_cut, rao = [], [0], [], [0], [0]
+    for sid, alns in by_read.items():
+        km = rd.reads[sid].k_mer
+        scm_l.append(np.ascontiguousarray(km >> np.uint64(1), np.int64))
+        scm_off.append(scm_off[-1] + len(km))
+        for ra in alns:
+            for f in ra.frags:
+                rows.append((f.uid, f.u_beg, f.u_end, f.s_beg, f.s_end, 0))
+            aln_cut.append(len(rows))
+        rao.append(len(aln_cut) - 1)
+    nm_c, u_c, cut_c = native.ma_blocks_batch_native(
+        np.concatenate(scm_l), np.asarray(scm_off, np.int64),
+        np.asarray(rows, np.int64).reshape(len(rows), 6),
+        np.asarray(aln_cut, np.int64), np.asarray(rao, np.int64),
+        va_flat, va_off,
+    )
+    # python oracle, flattened the same way
+    nm_p, u_p, cut_p = [], [], [0]
+    for sid, alns in by_read.items():
+        n_match, u_match = COV._make_ma_blocks(scg, rd.reads[sid], alns)
+        nm_p.extend(int(x) for x in n_match)
+        for us in u_match:
+            u_p.extend(int(u) for u in us)
+        cut_p.append(len(nm_p))
+    assert list(nm_c) == nm_p
+    assert list(u_c) == u_p
+    assert list(cut_c) == cut_p
+    assert len(nm_p) > 0  # non-degenerate case
+
+
 def test_native_lcs_equals_python(monkeypatch):
     from oatk_tpu import native
     from oatk_tpu.asm import coverage as COV
