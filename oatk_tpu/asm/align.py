@@ -45,6 +45,19 @@ class ReadAln:
         return len(self.frags)
 
 
+class RaDB(list):
+    """Alignment list that optionally carries the native batch's flat
+    arrays (set by scg_read_alignment's native path), letting coverage
+    estimation skip rebuilding per-frag rows in Python.
+
+    flat keys: sids (aligned-read sid order), frag6 [N,6] i64 rows
+    (uid, u_beg, u_end, s_beg, s_end, s_cnt) in emission order,
+    aln_cut (global frag offsets per alignment), read_aln_off
+    (alignment offsets per sid, zero-span for unmapped reads)."""
+
+    flat: dict | None = None
+
+
 def _align_one(
     read, scg: Scg, min_score_needed: int, ulen: np.ndarray | None = None
 ) -> tuple[list[list], int]:
@@ -304,7 +317,7 @@ def scg_read_alignment(
                     intpart -= 1
                 old_ra[ra.sid] = intpart << 1 | 1
 
-    ra_db: list[ReadAln] = []
+    ra_db: RaDB = RaDB()
     n_mapped = n_unique = n_mappable = 0
     g = scg.utg
     ulen = np.fromiter((len(a) for a in g.vtx_a), np.int64, count=g.n_vtx)
@@ -322,6 +335,12 @@ def scg_read_alignment(
         arc_key, arc_aln = _arc_table(g)
         res = native.align_batch(uid, upos, spos, aoff, n_scm, min_sc, ulen, arc_key, arc_aln)
         out_frag, chain_cut, read_cut, max_score = res
+        ra_db.flat = dict(
+            sids=np.asarray(sids, np.int64),
+            frag6=out_frag,
+            aln_cut=chain_cut,
+            read_aln_off=read_cut,
+        )
         for gi, sid in enumerate(sids):
             c0, c1 = int(read_cut[gi]), int(read_cut[gi + 1])
             n_a = c1 - c0

@@ -45,6 +45,16 @@ class _Flats:
             # hoco streams never mutate (EC splices only the syncmer
             # arrays): reuse the first build's concatenations
             self.hoff, self.code_flat, self.rl_flat = static
+        elif (
+            getattr(read_db, "hoco_flat", None) is not None
+            and read_db.hoco_off is not None
+            and len(read_db.hoco_off) == n + 1
+        ):
+            # the native loader already holds the whole-run hoco streams
+            # (per-read arrays are views into them): zero-copy reuse
+            self.hoff = read_db.hoco_off[:n]
+            self.code_flat = read_db.hoco_flat
+            self.rl_flat = read_db.rl_flat
         else:
             hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
             self.hoff = np.zeros(n, np.int64)

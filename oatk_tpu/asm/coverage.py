@@ -165,26 +165,15 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
     g = scg.utg
     n_vtx = g.n_vtx
 
-    # round 1: uniquely-mapped pileup, per-syncmer, IQR mean of covered
-    pile = [np.zeros(len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0) for i in range(n_vtx)]
-    for ra in ra_db:
-        if ra.s - int(ra.s) > DBL_EPSILON:
-            continue  # not uniquely mapped
-        for frg in ra.frags:
-            pile[frg.uid >> 1][frg.u_beg : frg.u_end + 1] += 1.0
-    avg = np.zeros(n_vtx)
-    for i in range(n_vtx):
-        sel = pile[i][pile[i] > 0]
-        avg[i] = max(1.0, average_iqr(sel))
-
-    # group alignments by read
-    by_read: dict[int, list[ReadAln]] = {}
-    for ra in ra_db:
-        by_read.setdefault(ra.sid, []).append(ra)
-
     from .. import native
 
     use_native = native.available()
+    flat = getattr(ra_db, "flat", None)
+    # the native aligner's flat arrays are usable iff ra_db is exactly
+    # the alignment set they describe (one ReadAln per chain)
+    use_flat = (
+        use_native and flat is not None and len(flat["aln_cut"]) - 1 == len(ra_db)
+    )
     if use_native:
         va_flat = np.concatenate(
             [g.vtx_a[i] if g.vtx_a[i] is not None else np.zeros(0, np.uint64)
@@ -199,7 +188,72 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
             out=va_off[1:],
         )
 
-    if use_native:
+    # round 1: uniquely-mapped pileup, per-syncmer, IQR mean of covered
+    avg = np.zeros(n_vtx)
+    if use_flat:
+        # an alignment is uniquely mapped iff its read has exactly one
+        # chain (s = 1/n_a + max_score has zero fractional part only for
+        # n_a == 1); accumulate interval pileups with a difference array
+        frag6 = flat["frag6"]
+        aln_cut = flat["aln_cut"]
+        read_aln_off = flat["read_aln_off"]
+        n_a_r = np.diff(read_aln_off)
+        aln_na = np.repeat(n_a_r, n_a_r)
+        frag_aln = np.repeat(
+            np.arange(len(aln_cut) - 1, dtype=np.int64), np.diff(aln_cut)
+        )
+        fsel = frag6[aln_na[frag_aln] == 1]
+        dif = np.zeros(int(va_off[-1]) + 1)
+        base = va_off[fsel[:, 0] >> 1]
+        np.add.at(dif, base + fsel[:, 1], 1.0)
+        np.add.at(dif, base + fsel[:, 2] + 1, -1.0)
+        pile_flat = np.cumsum(dif[:-1])
+        for i in range(n_vtx):
+            seg = pile_flat[va_off[i] : va_off[i + 1]]
+            avg[i] = max(1.0, average_iqr(seg[seg > 0]))
+    else:
+        pile = [
+            np.zeros(len(g.vtx_a[i]) if g.vtx_a[i] is not None else 0)
+            for i in range(n_vtx)
+        ]
+        for ra in ra_db:
+            if ra.s - int(ra.s) > DBL_EPSILON:
+                continue  # not uniquely mapped
+            for frg in ra.frags:
+                pile[frg.uid >> 1][frg.u_beg : frg.u_end + 1] += 1.0
+        for i in range(n_vtx):
+            sel = pile[i][pile[i] > 0]
+            avg[i] = max(1.0, average_iqr(sel))
+
+    # group alignments by read
+    by_read: dict[int, list[ReadAln]] = {}
+    for ra in ra_db:
+        by_read.setdefault(ra.sid, []).append(ra)
+
+    if use_flat:
+        # feed the flat arrays straight into the threaded batch: block
+        # order is sids order skipping unmapped (empty spans), identical
+        # to the by_read dict order below
+        sids_f = flat["sids"]
+        scm_l = [
+            np.ascontiguousarray(read_db.reads[int(s)].k_mer >> np.uint64(1), np.int64)
+            for s in sids_f
+        ]
+        scm_off = np.zeros(len(sids_f) + 1, np.int64)
+        np.cumsum(
+            np.fromiter((len(a) for a in scm_l), np.int64, count=len(scm_l)),
+            out=scm_off[1:],
+        )
+        scm_flat = np.concatenate(scm_l) if scm_l else np.zeros(0, np.int64)
+        nm_all, u_flat, read_cut = native.ma_blocks_batch_native(
+            scm_flat, scm_off, flat["frag6"], flat["aln_cut"],
+            flat["read_aln_off"], va_flat, va_off,
+        )
+        nb_total = len(nm_all)
+        nm_b = nm_all.astype(np.float64)
+        n_aln_b = np.repeat(np.diff(flat["read_aln_off"]), np.diff(read_cut))
+        bid = np.repeat(np.arange(nb_total, dtype=np.int64), n_aln_b)
+    elif use_native:
         # ONE threaded native call for all reads (ma_blocks_batch):
         # concatenated per-read syncmer ids, global frag rows, global
         # alignment cuts, per-read alignment spans.  Output flat arrays

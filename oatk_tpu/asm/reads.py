@@ -26,6 +26,13 @@ class ReadDB:
     reads: list[ReadSyncmers] = field(default_factory=list)
     stats: dict = field(default_factory=dict)
     version: int = 0  # bumped whenever read arrays mutate (EC)
+    # whole-run hoco streams in sid order (set by the native loader;
+    # per-read hoco_code/ho_rl are views into these).  Consumers
+    # (consensus _Flats) reuse them instead of re-concatenating ~100 MB
+    # of per-read arrays.  Immutable: EC splices only syncmer arrays.
+    hoco_flat: np.ndarray | None = None  # uint8 codes
+    rl_flat: np.ndarray | None = None  # uint32 run lengths
+    hoco_off: np.ndarray | None = None  # int64 [n+1] read offsets
 
     @property
     def n(self) -> int:
@@ -230,6 +237,10 @@ def load_and_extract(
     db = ReadDB(k=w, s=s)
     total_raw = 0
     sid0 = 0
+    code_parts: list[np.ndarray] = []
+    rl_parts: list[np.ndarray] = []
+    off_parts: list[np.ndarray] = []
+    off_base = 0
     for path in paths:
         data = read_source_bytes(path)
         res = native.parse_fastx_hoco_mt(data)
@@ -315,6 +326,11 @@ def load_and_extract(
                     k_mer=kmer_all[lo:hi],
                 )
         db.reads.extend(reads)
+        h_end = int(offs[keep])
+        code_parts.append(codes[:h_end])
+        rl_parts.append(rl[:h_end])
+        off_parts.append(offs[:keep] + off_base)
+        off_base += h_end
         sid0 += keep
         if max_data and total_raw >= max_data:
             # message as /root/reference/syncmer.c:473,539
@@ -323,4 +339,12 @@ def load_and_extract(
                 func="sr_read",
             )
             break
+    if code_parts:
+        db.hoco_flat = (
+            code_parts[0] if len(code_parts) == 1 else np.concatenate(code_parts)
+        )
+        db.rl_flat = rl_parts[0] if len(rl_parts) == 1 else np.concatenate(rl_parts)
+        db.hoco_off = np.concatenate(
+            off_parts + [np.asarray([off_base], np.int64)]
+        ).astype(np.int64, copy=False)
     return db

@@ -274,31 +274,28 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     the ec flag; post-EC corrected mers count under their corrected
     id)."""
     w = read_db.k
-    all_smer = []
-    all_kmer = []
-    dists = []
-    m = 0
-    for r in read_db.reads:
-        if r.n == 0:
-            continue
-        m += r.n
-        all_smer.append(r.s_mer)
-        all_kmer.append(r.k_mer >> np.uint64(1))
-        p = (r.m_pos >> 1).astype(np.int64)
-        if r.n > 1:
-            d = p[1:] - p[:-1] - w
-            # skip pairs involving EC-sentinel positions (m_pos>>1 ==
-            # MAX_RD_LEN), syncmer.c:895-902
-            ok = (p[1:] != MAX_RD_LEN_STAT) & (p[:-1] != MAX_RD_LEN_STAT)
-            dists.append(d[ok])
+    reads = [r for r in read_db.reads if r.n > 0]
+    m = sum(r.n for r in reads)
     stats: dict = {}
     if m == 0:
         print("[M::sr_db_stat] empty syncmer collection", file=fo)
         read_db.stats = stats
         return stats
-    smer = np.concatenate(all_smer)
-    kmer = np.concatenate(all_kmer)
-    dist = np.concatenate(dists) if dists else np.zeros(0, np.int64)
+    smer = np.concatenate([r.s_mer for r in reads])
+    kmer = np.concatenate([r.k_mer for r in reads]) >> np.uint64(1)
+    # adjacent within-read distances, vectorized over the flat stream:
+    # a pair (i, i+1) is valid unless i is the last syncmer of its read
+    # or either position is the EC sentinel (syncmer.c:895-902)
+    mflat = np.concatenate([r.m_pos for r in reads])
+    p = (mflat >> 1).astype(np.int64)
+    last_of_read = np.cumsum(
+        np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+    )[:-1] - 1
+    ok = np.ones(m - 1, bool) if m > 1 else np.zeros(0, bool)
+    if m > 1:
+        ok[last_of_read] = False
+        ok &= (p[1:] != MAX_RD_LEN_STAT) & (p[:-1] != MAX_RD_LEN_STAT)
+    dist = (p[1:] - p[:-1] - w)[ok] if m > 1 else np.zeros(0, np.int64)
 
     _, s_counts = np.unique(smer, return_counts=True)
     kmax = int(kmer.max()) if len(kmer) else 0

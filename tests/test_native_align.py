@@ -184,6 +184,29 @@ def test_native_ma_blocks_batch_equals_python(monkeypatch):
     assert len(nm_p) > 0  # non-degenerate case
 
 
+def test_flat_coverage_equals_object_path():
+    """scg_ra_utg_coverage over the aligner's flat arrays (RaDB.flat)
+    must produce identical unitig coverage to the ReadAln-object path."""
+    from oatk_tpu import native
+    from oatk_tpu.asm.align import scg_read_alignment
+    from oatk_tpu.asm.coverage import scg_ra_utg_coverage
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rd, scg = _setup(104)
+    ra_db = scg_read_alignment(rd, scg, for_unzip=False)
+    assert getattr(ra_db, "flat", None) is not None and len(ra_db) > 0
+
+    cov_before = scg.utg.vtx_cov.copy()
+    scg_ra_utg_coverage(scg, rd, ra_db)
+    cov_flat = scg.utg.vtx_cov.copy()
+
+    scg.utg.vtx_cov[:] = cov_before
+    ra_plain = list(ra_db)  # strips .flat -> per-read object path
+    scg_ra_utg_coverage(scg, rd, ra_plain)
+    assert np.array_equal(cov_flat, scg.utg.vtx_cov)
+
+
 def test_native_lcs_equals_python(monkeypatch):
     from oatk_tpu import native
     from oatk_tpu.asm import coverage as COV
