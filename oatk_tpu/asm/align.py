@@ -341,6 +341,7 @@ def scg_read_alignment(
             aln_cut=chain_cut,
             read_aln_off=read_cut,
         )
+        of5 = out_frag[:, :5].tolist()  # bulk C conversion to py ints
         for gi, sid in enumerate(sids):
             c0, c1 = int(read_cut[gi]), int(read_cut[gi + 1])
             n_a = c1 - c0
@@ -352,13 +353,7 @@ def scg_read_alignment(
             ms = int(max_score[gi])
             for c in range(c0, c1):
                 f0, f1 = int(chain_cut[c]), int(chain_cut[c + 1])
-                frags = [
-                    RaFrag(
-                        int(out_frag[t, 0]), int(out_frag[t, 1]), int(out_frag[t, 2]),
-                        int(out_frag[t, 3]), int(out_frag[t, 4]),
-                    )
-                    for t in range(f0, f1)
-                ]
+                frags = [RaFrag(*of5[t]) for t in range(f0, f1)]
                 ra_db.append(ReadAln(sid, frags, 1.0 / n_a + ms))
     else:
         for sid in sids:

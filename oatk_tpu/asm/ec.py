@@ -359,23 +359,27 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     syncmer id yields each id's occurrence list already in the
     (sid, idx) order the per-read loop produced."""
     n = scm_db.n
-    reads = read_db.reads
-    n_tot = sum(r.n for r in reads)
-    ks = np.empty(n_tot, np.uint64)
-    entry = np.empty(n_tot, np.uint64)
-    off = 0
-    for r in reads:
-        m = r.n
-        if m == 0:
-            continue
-        ks[off : off + m] = r.k_mer >> np.uint64(1)
-        idx = np.arange(m, dtype=np.uint64)
-        entry[off : off + m] = (
-            (np.uint64(r.sid) << np.uint64(32))
-            | (idx << np.uint64(1))
-            | (r.m_pos.astype(np.uint64) & np.uint64(1))
+    reads = [r for r in read_db.reads if r.n > 0]
+    ns = np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+    n_tot = int(ns.sum())
+    if n_tot:
+        ks = np.concatenate([r.k_mer for r in reads]) >> np.uint64(1)
+        mflat = np.concatenate([r.m_pos for r in reads])
+        offs = np.zeros(len(reads), np.int64)
+        if len(reads) > 1:
+            np.cumsum(ns[:-1], out=offs[1:])
+        sid_rep = np.repeat(
+            np.fromiter((r.sid for r in reads), np.uint64, count=len(reads)), ns
         )
-        off += m
+        idx = (np.arange(n_tot, dtype=np.uint64) - np.repeat(offs, ns).astype(np.uint64))
+        entry = (
+            (sid_rep << np.uint64(32))
+            | (idx << np.uint64(1))
+            | (mflat.astype(np.uint64) & np.uint64(1))
+        )
+    else:
+        ks = np.zeros(0, np.uint64)
+        entry = np.zeros(0, np.uint64)
     kid = ks.astype(np.int64)
     cov = np.bincount(kid, minlength=n)
     fwd = (entry & np.uint64(1)) == 0

@@ -73,18 +73,29 @@ def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
 
 
 def _read_adjacent_pairs(read_db: ReadDB):
-    """All canonical consecutive-syncmer pairs (v0,v1) across reads."""
-    v0s, v1s = [], []
-    for r in read_db.reads:
-        if r.n < 2:
-            continue
-        v = (r.k_mer >> np.uint64(1)) << np.uint64(1) | (r.m_pos.astype(np.uint64) & np.uint64(1))
-        v0s.append(v[:-1])
-        v1s.append(v[1:])
-    if not v0s:
+    """All canonical consecutive-syncmer pairs (v0,v1) across reads,
+    vectorized over the flat syncmer stream (a pair is valid unless its
+    first member is the last syncmer of its read)."""
+    reads = [r for r in read_db.reads if r.n > 0]
+    if not reads:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    v0 = np.concatenate(v0s)
-    v1 = np.concatenate(v1s)
+    kflat = np.concatenate([r.k_mer for r in reads])
+    mflat = np.concatenate([r.m_pos for r in reads])
+    m = len(kflat)
+    if m < 2:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    v = (kflat >> np.uint64(1)) << np.uint64(1) | (
+        mflat.astype(np.uint64) & np.uint64(1)
+    )
+    ok = np.ones(m - 1, bool)
+    last_of_read = np.cumsum(
+        np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+    )[:-1] - 1
+    ok[last_of_read] = False
+    v0 = v[:-1][ok]
+    v1 = v[1:][ok]
+    if not len(v0):
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     flip = v0 > v1
     cv0 = np.where(flip, v1 ^ np.uint64(1), v0)
     cv1 = np.where(flip, v0 ^ np.uint64(1), v1)
