@@ -46,6 +46,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# bytes per pipeline segment of the fused loader (tests shrink this to
+# force multi-segment splits on small inputs)
+_SEG_BYTES = 8 << 20
+
+
 def _bucket_len(L: int) -> int:
     """Padded row length for a read: powers of two up to 4096, then
     multiples of 4096.  Finer than pure powers of two above 4k, which
@@ -207,6 +212,77 @@ def extract_all_syncmers(
     return db
 
 
+def _parse_pack_segment(seg: bytes, w: int, s: int, batch_bases: int):
+    """Worker: native parse+hoco of one byte segment, then 2-bit pack
+    all its chunks into upload blobs.  Runs off the main thread (the C
+    parse releases the GIL) so segment i+1 parses while segment i's
+    blobs upload/compute on the device.  Returns (parse_result,
+    [(chunk_read_idxs, B, Lp, max_out, n_cap, blob)]) or None."""
+    from .. import native
+
+    res = native.parse_fastx_hoco(seg)
+    if res is None:
+        return None
+    names, rawlen, offs, codes, rl, isn = res
+    n_reads = len(names)
+    hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
+
+    buckets: dict[int, list[int]] = {}
+    for i in range(n_reads):
+        L = max(int(hoco_l[i]), w + 4)
+        buckets.setdefault(_bucket_len(L), []).append(i)
+
+    chunks = []
+    sub_offs = np.empty(2, np.int64)
+    for Lp, idxs in sorted(buckets.items()):
+        bsz = max(1, batch_bases // Lp)
+        for start in range(0, len(idxs), bsz):
+            chunk = idxs[start : start + bsz]
+            B = _pad_rows(len(chunk), bsz)
+            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+            packed = np.zeros((B, Lp // 4), np.uint8)
+            hl = np.zeros(B, np.int32)
+            n_pos: list[int] = []
+            for bi, ri in enumerate(chunk):
+                sub_offs[0] = offs[ri]
+                sub_offs[1] = offs[ri + 1]
+                row = native.pack_rows(codes, sub_offs, 0, 1, Lp // 4)
+                packed[bi] = row[0]
+                hl[bi] = hoco_l[ri]
+                nz = np.flatnonzero(isn[offs[ri] : offs[ri + 1]])
+                if len(nz):
+                    n_pos.extend((bi * Lp + nz).tolist())
+            n_cap = _round_up(max(64, len(n_pos)), 1024)
+            n_arr = np.full(n_cap, B * Lp, np.int32)
+            n_arr[: len(n_pos)] = n_pos
+            # one blob = one tunnel transfer (latency-bound wire)
+            blob = np.concatenate(
+                [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
+            )
+            chunks.append((chunk, B, Lp, max_out, n_cap, blob))
+    return res, chunks
+
+
+def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
+    """Fetch a dispatched chunk's packed result; on capacity overflow
+    (pathological syncmer density) re-run the same blob synchronously
+    with a grown buffer instead of failing."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.syncmer import extract_hoco_fused_pallas
+
+    while True:
+        pk = np.asarray(jax.device_get(out["packed"]))
+        n_sel = int(pk[0, max_out])
+        if n_sel <= max_out:
+            return pk, n_sel, max_out
+        max_out = _round_up(n_sel + 1024, 1024)
+        out = extract_hoco_fused_pallas(
+            jnp.asarray(blob), B, Lp, n_cap, w, s, max_out, interpret=interpret
+        )
+
+
 def load_and_extract(
     paths: list[str],
     w: int,
@@ -217,6 +293,12 @@ def load_and_extract(
 ) -> ReadDB | None:
     """Fused native load + device extraction: C parser/hoco/packer feeds
     the Pallas kernel without materializing raw-ASCII records.
+
+    Uncapped runs split each file at record boundaries and PIPELINE the
+    host work against the device: worker threads parse+pack segment
+    i+1 while segment i's blobs travel up the (latency-bound) wire and
+    run on the chip; the main thread only dispatches and fetches.
+    -D capped runs keep the simple sequential flow.
 
     Returns None when the native library or the pallas path is not
     applicable (caller falls back to read_fastx + extract_all_syncmers).
@@ -241,8 +323,97 @@ def load_and_extract(
     rl_parts: list[np.ndarray] = []
     off_parts: list[np.ndarray] = []
     off_base = 0
+
+    def assemble(res, disp, keep, sid_base):
+        """Decode dispatched chunks of one parse unit into ReadSyncmers
+        (entries beyond ``keep`` are skipped for the -D cap)."""
+        names, rawlen, offs, codes, rl, isn = res
+        reads: list = [None] * keep
+        isn_b = isn.astype(bool)
+        for chunk, B, Lp, max_out, n_cap, blob, out in disp:
+            pk, n_sel, max_out = _fetch_chunk(
+                out, blob, B, Lp, n_cap, max_out, w, s, interpret
+            )
+            sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
+            cuts = np.searchsorted(sel_b, np.arange(B + 1))
+            # whole-chunk field computation, then per-read views
+            mpos_all = (sel_p.astype(np.uint32) << 1) | sel_z.astype(np.uint32)
+            smer_all = sel_smer.astype(np.uint64)
+            kmer_all = sel_kh.copy()
+            for bi, ri in enumerate(chunk):
+                if ri >= keep:
+                    continue
+                lo, hi = cuts[bi], cuts[bi + 1]
+                o0, o1 = int(offs[ri]), int(offs[ri + 1])
+                reads[ri] = ReadSyncmers(
+                    sid=sid_base + ri,
+                    name=names[ri],
+                    hoco_l=o1 - o0,
+                    hoco_code=codes[o0:o1],
+                    ho_rl=rl[o0:o1],
+                    is_n=isn_b[o0:o1],
+                    m_pos=mpos_all[lo:hi],
+                    s_mer=smer_all[lo:hi],
+                    k_mer=kmer_all[lo:hi],
+                )
+        return reads
+
     for path in paths:
         data = read_source_bytes(path)
+
+        if not max_data:
+            # ---- pipelined flow (no -D cap) ----
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_seg = min(
+                native.n_threads_default(), max(1, len(data) // _SEG_BYTES)
+            )
+            cuts = native.segment_record_cuts(data, n_seg)
+            segs = (
+                [data]
+                if cuts is None
+                else [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
+            )
+            seg_results = []
+            failed = False
+            with ThreadPoolExecutor(min(4, len(segs))) as ex:
+                futs = [
+                    ex.submit(_parse_pack_segment, sg, w, s, batch_bases)
+                    for sg in segs
+                ]
+                for fut in futs:  # consume in order; dispatch as ready
+                    pr = fut.result()
+                    if pr is None:
+                        failed = True
+                        continue
+                    res, chunks = pr
+                    disp = [
+                        (
+                            chunk, B, Lp, max_out, n_cap, blob,
+                            extract_hoco_fused_pallas(
+                                jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
+                                interpret=interpret,
+                            ),
+                        )
+                        for (chunk, B, Lp, max_out, n_cap, blob) in chunks
+                    ]
+                    seg_results.append((res, disp))
+            if failed:
+                return None
+            for res, disp in seg_results:
+                names, rawlen, offs, codes, rl, isn = res
+                keep = len(names)
+                db.reads.extend(assemble(res, disp, keep, sid0))
+                total_raw += int(rawlen.sum())
+                h_end = int(offs[keep])
+                code_parts.append(codes[:h_end])
+                rl_parts.append(rl[:h_end])
+                off_parts.append(offs[:keep] + off_base)
+                off_base += h_end
+                sid0 += keep
+            continue
+
+        # ---- sequential flow (-D cap honored mid-file) ----
         res = native.parse_fastx_hoco_mt(data)
         if res is None:
             return None
@@ -251,11 +422,9 @@ def load_and_extract(
         hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
 
         # honor the data cap (-D)
-        keep = n_reads
-        if max_data:
-            cum = np.cumsum(rawlen)
-            keep = int(np.searchsorted(cum, max_data - total_raw) + 1)
-            keep = min(keep, n_reads)
+        cum = np.cumsum(rawlen)
+        keep = int(np.searchsorted(cum, max_data - total_raw) + 1)
+        keep = min(keep, n_reads)
         total_raw += int(rawlen[:keep].sum())
 
         # bucket by padded hoco length
@@ -265,18 +434,19 @@ def load_and_extract(
             Lp = _bucket_len(L)
             buckets.setdefault(Lp, []).append(i)
 
-        pending = []
+        disp = []
+        sub_offs = np.empty(2, np.int64)
         for Lp, idxs in sorted(buckets.items()):
             bsz = max(1, batch_bases // Lp)
             for start in range(0, len(idxs), bsz):
                 chunk = idxs[start : start + bsz]
                 B = _pad_rows(len(chunk), bsz)
-                max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
-                # contiguous chunks pack natively; gather rows per index
+                max_out = _round_up(
+                    max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024
+                )
                 packed = np.zeros((B, Lp // 4), np.uint8)
                 hl = np.zeros(B, np.int32)
                 n_pos: list[int] = []
-                sub_offs = np.empty(2, np.int64)
                 for bi, ri in enumerate(chunk):
                     sub_offs[0] = offs[ri]
                     sub_offs[1] = offs[ri + 1]
@@ -289,7 +459,6 @@ def load_and_extract(
                 n_cap = _round_up(max(64, len(n_pos)), 1024)
                 n_arr = np.full(n_cap, B * Lp, np.int32)
                 n_arr[: len(n_pos)] = n_pos
-                # one blob = one tunnel transfer (latency-bound wire)
                 blob = np.concatenate(
                     [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
                 )
@@ -297,42 +466,16 @@ def load_and_extract(
                     jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
                     interpret=interpret,
                 )
-                pending.append((chunk, B, Lp, max_out, out))
+                disp.append((chunk, B, Lp, max_out, n_cap, blob, out))
 
-        reads: list = [None] * keep
-        isn_b = isn.astype(bool)
-        for chunk, B, Lp, max_out, out in pending:
-            pk = np.asarray(jax.device_get(out["packed"]))
-            n_sel = int(pk[0, max_out])
-            assert n_sel <= max_out, "syncmer capacity overflow"
-            sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
-            cuts = np.searchsorted(sel_b, np.arange(B + 1))
-            # whole-chunk field computation, then per-read views
-            mpos_all = (sel_p.astype(np.uint32) << 1) | sel_z.astype(np.uint32)
-            smer_all = sel_smer.astype(np.uint64)
-            kmer_all = sel_kh.copy()
-            for bi, ri in enumerate(chunk):
-                lo, hi = cuts[bi], cuts[bi + 1]
-                o0, o1 = int(offs[ri]), int(offs[ri + 1])
-                reads[ri] = ReadSyncmers(
-                    sid=sid0 + ri,
-                    name=names[ri],
-                    hoco_l=o1 - o0,
-                    hoco_code=codes[o0:o1],
-                    ho_rl=rl[o0:o1],
-                    is_n=isn_b[o0:o1],
-                    m_pos=mpos_all[lo:hi],
-                    s_mer=smer_all[lo:hi],
-                    k_mer=kmer_all[lo:hi],
-                )
-        db.reads.extend(reads)
+        db.reads.extend(assemble(res, disp, keep, sid0))
         h_end = int(offs[keep])
         code_parts.append(codes[:h_end])
         rl_parts.append(rl[:h_end])
         off_parts.append(offs[:keep] + off_base)
         off_base += h_end
         sid0 += keep
-        if max_data and total_raw >= max_data:
+        if total_raw >= max_data:
             # message as /root/reference/syncmer.c:473,539
             log_info(
                 f"data limit ({max_data}) reached. Discard the remaining sequences...",

@@ -205,52 +205,63 @@ def parse_fastx_hoco(data: bytes):
     return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
 
 
+def segment_record_cuts(data: bytes, n_seg: int):
+    """Record-boundary byte cuts splitting a FASTA/FASTQ buffer into up
+    to n_seg segments, or None when a safe split cannot be proven
+    (mixed/odd formats -> caller treats the buffer as one segment).
+
+    FASTA splits at '\\n>' (unambiguous when no '\\n@' occurs anywhere:
+    headers are '>' and sequence lines hold bases).  FASTQ records are
+    exactly 4 lines for this parser, so every 4th newline ends a
+    record; quality bytes can be '@'/'>' so only line counting is safe."""
+    if n_seg <= 1:
+        return None
+    if data.startswith(b">") and b"\n@" not in data:
+        cuts = [0]
+        step = len(data) // n_seg
+        for t in range(1, n_seg):
+            p = data.find(b"\n>", max(cuts[-1], t * step))
+            if p < 0:
+                break
+            cuts.append(p + 1)
+        cuts.append(len(data))
+        return cuts if len(cuts) > 2 else None
+    if data.startswith(b"@"):
+        nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
+        n_lines = len(nl) + (0 if data.endswith(b"\n") else 1)
+        if n_lines % 4 != 0 and not data.endswith(b"\n"):
+            return None
+        n_rec = n_lines // 4
+        if n_rec < n_seg * 2:
+            return None
+        cuts = [0]
+        for t in range(1, n_seg):
+            rec = n_rec * t // n_seg
+            p = int(nl[rec * 4 - 1]) + 1
+            if p <= cuts[-1] or p >= len(data):
+                continue
+            if data[p : p + 1] != b"@":
+                return None
+            cuts.append(p)
+        cuts.append(len(data))
+        return cuts if len(cuts) > 2 else None
+    return None
+
+
 def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
     """Threaded FASTA parse+hoco: the byte buffer splits at record
-    boundaries ('\\n>' is unambiguous in FASTA) and ctypes releases the
-    GIL during each C call, so segments parse in parallel.  FASTQ (where
-    '@' can open a quality line) falls back to the single-thread parser.
-    Same output contract as :func:`parse_fastx_hoco`."""
+    boundaries (:func:`segment_record_cuts`) and ctypes releases the
+    GIL during each C call, so segments parse in parallel.  Unsplittable
+    buffers fall back to the single-thread parser.  Same output contract
+    as :func:`parse_fastx_hoco`."""
     if _load() is None:
         return None
     if n_threads is None:
         n_threads = n_threads_default()
     if n_threads <= 1 or len(data) < (4 << 20):
         return parse_fastx_hoco(data)
-    if data.startswith(b">") and b"\n@" not in data:
-        # pure FASTA: '\n@' never occurs (headers are '>', sequence lines
-        # hold bases), so '\n>' marks record starts unambiguously
-        cuts = [0]
-        step = len(data) // n_threads
-        for t in range(1, n_threads):
-            p = data.find(b"\n>", max(cuts[-1], t * step))
-            if p < 0:
-                break
-            cuts.append(p + 1)
-        cuts.append(len(data))
-    elif data.startswith(b"@"):
-        # FASTQ: records are exactly 4 lines for this parser (one
-        # sequence line, one quality line), so every 4th newline ends a
-        # record; quality bytes can be '@'/'>' so only line counting is
-        # safe.  Bail to single-thread if the structure looks off.
-        nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
-        n_lines = len(nl) + (0 if data.endswith(b"\n") else 1)
-        if n_lines % 4 != 0 and not data.endswith(b"\n"):
-            return parse_fastx_hoco(data)
-        n_rec = n_lines // 4
-        if n_rec < n_threads * 2:
-            return parse_fastx_hoco(data)
-        cuts = [0]
-        for t in range(1, n_threads):
-            rec = n_rec * t // n_threads
-            p = int(nl[rec * 4 - 1]) + 1
-            if p <= cuts[-1] or p >= len(data):
-                continue
-            if data[p : p + 1] != b"@":
-                return parse_fastx_hoco(data)
-            cuts.append(p)
-        cuts.append(len(data))
-    else:
+    cuts = segment_record_cuts(data, n_threads)
+    if cuts is None:
         return parse_fastx_hoco(data)
     segs = [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
     if len(segs) == 1:
