@@ -61,11 +61,29 @@ class _Prefixed(io.RawIOBase):
 
 
 def _open_maybe_gz(path: str):
-    """Transparent open: plain file, gzip, stdin ('-'), or remote
-    http(s)/ftp URL -- the kopen.c analogue (/root/reference/kopen.c).
+    """Transparent open: plain file, gzip, stdin ('-'), remote
+    http(s)/ftp URL, or a '<cmd' pipe (the command's stdout becomes the
+    stream) -- the kopen.c analogue (/root/reference/kopen.c:259-320).
     gzip is sniffed from the magic bytes on every source kind."""
     if path == "-":
         fp = sys.stdin.buffer
+    elif path.lstrip().startswith("<"):
+        # pipe open: run the command, read its stdout
+        # (/root/reference/kopen.c:286-311; shell only when the command
+        # contains shell punctuation, mirroring its need_shell check)
+        import subprocess
+
+        cmd = path.lstrip()[1:]
+        need_shell = any(
+            not (c.isalnum() or c.isspace() or c in "._-:")
+            for c in cmd
+        )
+        proc = subprocess.Popen(
+            cmd if need_shell else cmd.split(),
+            shell=need_shell,
+            stdout=subprocess.PIPE,
+        )
+        fp = proc.stdout
     elif path.startswith(("http://", "https://", "ftp://")):
         import urllib.request
 

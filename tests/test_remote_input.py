@@ -123,6 +123,33 @@ def test_stdin_pipe_syncasm(tmp_path, rng):
     assert a == b and a
 
 
+def test_pipe_open_command_input(tmp_path, rng):
+    """'<cmd' inputs (kopen.c:286-311 pipe open) stream the command's
+    stdout: plain argv commands and shell pipelines, with gz sniffed."""
+    g = random_genome(rng, 6000)
+    reads = sample_reads(rng, g, coverage=4, read_len=1200)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+    (tmp_path / "reads.fa.gz").write_bytes(gzip.compress(fa.read_bytes()))
+
+    from oatk_tpu.io.fastx import read_fastx
+
+    base = read_fastx([str(fa)])
+    # plain command (no shell: '/' is punct in the reference's check, so
+    # this exercises the shell branch like the reference would)
+    via_cat = read_fastx([f"<cat {fa}"])
+    # explicit shell pipeline
+    via_zcat = read_fastx([f"<gzip -dc {tmp_path}/reads.fa.gz | head -c 10000000"])
+    assert len(base) == len(via_cat) == len(via_zcat)
+    for a, b, c in zip(base, via_cat, via_zcat):
+        assert a.name == b.name == c.name
+        assert np.array_equal(a.seq, b.seq) and np.array_equal(a.seq, c.seq)
+    # gz magic sniffing still applies on pipe output
+    via_cat_gz = read_fastx([f"<cat {tmp_path}/reads.fa.gz"])
+    assert len(via_cat_gz) == len(base)
+    assert np.array_equal(via_cat_gz[0].seq, base[0].seq)
+
+
 def test_threaded_fastq_parse_with_at_qualities(rng):
     """Threaded FASTQ parse must split on 4-line records even when
     quality strings are all '@'/'>' (the aliasing the FASTA splitter
