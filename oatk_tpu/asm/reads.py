@@ -51,6 +51,17 @@ def _round_up(x: int, m: int) -> int:
 _SEG_BYTES = 8 << 20
 
 
+def _sel_divisor(w: int, s: int) -> int:
+    """Positions-per-selected-syncmer estimate for the device capacity.
+
+    Expected closed-syncmer density is ~2/(w-s+2); at production k
+    (w>=500) observed density is ~half that, so a (w-s)/2 divisor still
+    leaves ~2x headroom while shrinking the fetched result ~35%.  Small
+    k keeps the conservative (w-s)/3 (density varies more and an
+    overflow retry costs a fresh XLA compile)."""
+    return max(4, (w - s) // 2 if w >= 500 else (w - s) // 3)
+
+
 def _bucket_len(L: int) -> int:
     """Padded row length for a read: powers of two up to 4096, then
     multiples of 4096.  Finer than pure powers of two above 4k, which
@@ -145,7 +156,7 @@ def extract_all_syncmers(
         for start in range(0, len(idxs), bsz):
             chunk = idxs[start : start + bsz]
             B = _pad_rows(len(chunk), bsz)
-            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+            max_out = _round_up(max(1024, int(B * Lp / _sel_divisor(w, s))), 1024)
             if impl == "pallas":
                 packed = np.zeros((B, Lp // 4), dtype=np.uint8)
                 hoco_l = np.zeros(B, dtype=np.int32)
@@ -239,7 +250,7 @@ def _parse_pack_segment(seg: bytes, w: int, s: int, batch_bases: int):
         for start in range(0, len(idxs), bsz):
             chunk = idxs[start : start + bsz]
             B = _pad_rows(len(chunk), bsz)
-            max_out = _round_up(max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024)
+            max_out = _round_up(max(1024, int(B * Lp / _sel_divisor(w, s))), 1024)
             packed = np.zeros((B, Lp // 4), np.uint8)
             hl = np.zeros(B, np.int32)
             n_pos: list[int] = []
@@ -442,7 +453,7 @@ def load_and_extract(
                 chunk = idxs[start : start + bsz]
                 B = _pad_rows(len(chunk), bsz)
                 max_out = _round_up(
-                    max(1024, int(B * Lp / max(4, (w - s) // 3))), 1024
+                    max(1024, int(B * Lp / _sel_divisor(w, s))), 1024
                 )
                 packed = np.zeros((B, Lp // 4), np.uint8)
                 hl = np.zeros(B, np.int32)
