@@ -46,9 +46,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _timeit_enabled() -> bool:
+    import os
+
+    return bool(os.environ.get("OATK_TPU_TIMEIT"))
+
+
 # bytes per pipeline segment of the fused loader (tests shrink this to
 # force multi-segment splits on small inputs)
-_SEG_BYTES = 8 << 20
+_SEG_BYTES = 4 << 20
 
 
 def _sel_divisor(w: int, s: int) -> int:
@@ -64,25 +70,23 @@ def _sel_divisor(w: int, s: int) -> int:
 
 def _bucket_len(L: int) -> int:
     """Padded row length for a read: powers of two up to 4096, then
-    multiples of 4096.  Finer than pure powers of two above 4k, which
-    cuts padded upload bytes ~25% for typical HiFi length spreads while
-    keeping the number of compiled shapes small."""
+    multiples of 2048.  The padded grid is what travels up the
+    latency-bound wire AND what the device kernel scans, so padding
+    waste costs twice; 2048-steps hold typical HiFi hoco spreads to
+    <10% waste while keeping the compiled-shape count small."""
     if L <= 512:
         return 512
     if L <= 4096:
         return 1 << int(np.ceil(np.log2(L)))
-    return _round_up(L, 4096)
+    return _round_up(L, 2048)
 
 
 def _pad_rows(n: int, bsz: int) -> int:
-    """Pad a chunk's row count to the next power of two (capped at the
-    full chunk size) so XLA compiles only O(log) batch shapes and the
-    final partial chunk reuses a cached program instead of recompiling;
-    on the latency-bound tunnel, fewer/stabler dispatches dominate."""
-    p = 1
-    while p < n:
-        p <<= 1
-    return min(p, bsz)
+    """Pad a chunk's row count to a multiple of 64 (capped at the full
+    chunk size).  Coarse enough that same-sized parse segments reuse a
+    cached XLA program, fine enough that row padding stays <~10% (the
+    padded rows are uploaded and scanned like real ones)."""
+    return min(max(64, _round_up(n, 64)), bsz)
 
 
 def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
@@ -244,25 +248,20 @@ def _parse_pack_segment(seg: bytes, w: int, s: int, batch_bases: int):
         buckets.setdefault(_bucket_len(L), []).append(i)
 
     chunks = []
-    sub_offs = np.empty(2, np.int64)
+    isn_idx = np.flatnonzero(isn)  # one segment-wide pass (Ns are rare)
     for Lp, idxs in sorted(buckets.items()):
         bsz = max(1, batch_bases // Lp)
         for start in range(0, len(idxs), bsz):
             chunk = idxs[start : start + bsz]
             B = _pad_rows(len(chunk), bsz)
             max_out = _round_up(max(1024, int(B * Lp / _sel_divisor(w, s))), 1024)
+            st = offs[chunk]
+            en = offs[np.asarray(chunk) + 1]
             packed = np.zeros((B, Lp // 4), np.uint8)
+            native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
             hl = np.zeros(B, np.int32)
-            n_pos: list[int] = []
-            for bi, ri in enumerate(chunk):
-                sub_offs[0] = offs[ri]
-                sub_offs[1] = offs[ri + 1]
-                row = native.pack_rows(codes, sub_offs, 0, 1, Lp // 4)
-                packed[bi] = row[0]
-                hl[bi] = hoco_l[ri]
-                nz = np.flatnonzero(isn[offs[ri] : offs[ri + 1]])
-                if len(nz):
-                    n_pos.extend((bi * Lp + nz).tolist())
+            hl[: len(chunk)] = (en - st).astype(np.int32)
+            n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
             n_cap = _round_up(max(64, len(n_pos)), 1024)
             n_arr = np.full(n_cap, B * Lp, np.int32)
             n_arr[: len(n_pos)] = n_pos
@@ -272,6 +271,22 @@ def _parse_pack_segment(seg: bytes, w: int, s: int, batch_bases: int):
             )
             chunks.append((chunk, B, Lp, max_out, n_cap, blob))
     return res, chunks
+
+
+def _chunk_n_positions(isn_idx, st, en, Lp):
+    """Row-local device slots (bi*Lp + local) of N bases for a chunk,
+    given the sorted whole-stream N-index array and per-row [st, en)
+    code ranges.  Touches only rows that actually contain Ns."""
+    lo = np.searchsorted(isn_idx, st)
+    hi = np.searchsorted(isn_idx, en)
+    if not len(isn_idx) or not (hi > lo).any():
+        return np.empty(0, np.int64)
+    parts = [
+        bi * Lp + (isn_idx[l:h] - s0)
+        for bi, (l, h, s0) in enumerate(zip(lo, hi, st))
+        if h > l
+    ]
+    return np.concatenate(parts)
 
 
 def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
@@ -334,6 +349,14 @@ def load_and_extract(
     rl_parts: list[np.ndarray] = []
     off_parts: list[np.ndarray] = []
     off_base = 0
+    import time as _time
+
+    _tm: dict[str, float] = {}
+
+    def _acc(key: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        _tm[key] = _tm.get(key, 0.0) + (t1 - t0)
+        return t1
 
     def assemble(res, disp, keep, sid_base):
         """Decode dispatched chunks of one parse unit into ReadSyncmers
@@ -342,9 +365,17 @@ def load_and_extract(
         reads: list = [None] * keep
         isn_b = isn.astype(bool)
         for chunk, B, Lp, max_out, n_cap, blob, out in disp:
-            pk, n_sel, max_out = _fetch_chunk(
-                out, blob, B, Lp, n_cap, max_out, w, s, interpret
-            )
+            _t0 = _time.perf_counter()
+            if hasattr(out, "result"):  # prefetched on a fetch thread
+                pk, n_sel, max_out = out.result()
+            else:
+                pk, n_sel, max_out = _fetch_chunk(
+                    out, blob, B, Lp, n_cap, max_out, w, s, interpret
+                )
+            _acc("fetch", _t0)
+            _tm.setdefault("fetch_each", []).append(  # type: ignore[union-attr]
+                round((_time.perf_counter() - _t0) * 1000, 1)
+            ) if _timeit_enabled() else None
             sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
             cuts = np.searchsorted(sel_b, np.arange(B + 1))
             # whole-chunk field computation, then per-read views
@@ -370,14 +401,20 @@ def load_and_extract(
         return reads
 
     for path in paths:
+        _t0 = _time.perf_counter()
         data = read_source_bytes(path)
+        _acc("read_bytes", _t0)
 
         if not max_data:
             # ---- pipelined flow (no -D cap) ----
             from concurrent.futures import ThreadPoolExecutor
 
+            # more segments than workers: the first (smaller) segment
+            # finishes parsing sooner, so the device pipeline starts
+            # earlier, and the tail of the parse overlaps device compute
             n_seg = min(
-                native.n_threads_default(), max(1, len(data) // _SEG_BYTES)
+                3 * native.n_threads_default(),
+                max(1, len(data) // _SEG_BYTES),
             )
             cuts = native.segment_record_cuts(data, n_seg)
             segs = (
@@ -387,30 +424,43 @@ def load_and_extract(
             )
             seg_results = []
             failed = False
+            # fetch pool: each chunk's device->host result transfer runs
+            # on its own thread as soon as the chunk is dispatched, so
+            # the per-chunk relay-tunnel latencies overlap (~max instead
+            # of ~sum; copy_to_host_async is a no-op through the tunnel)
+            fetch_pool = ThreadPoolExecutor(8)
             with ThreadPoolExecutor(min(4, len(segs))) as ex:
                 futs = [
                     ex.submit(_parse_pack_segment, sg, w, s, batch_bases)
                     for sg in segs
                 ]
                 for fut in futs:  # consume in order; dispatch as ready
+                    _t0 = _time.perf_counter()
                     pr = fut.result()
+                    _t0 = _acc("parse_wait", _t0)
                     if pr is None:
                         failed = True
                         continue
                     res, chunks = pr
-                    disp = [
-                        (
-                            chunk, B, Lp, max_out, n_cap, blob,
-                            extract_hoco_fused_pallas(
-                                jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
-                                interpret=interpret,
-                            ),
+                    disp = []
+                    for (chunk, B, Lp, max_out, n_cap, blob) in chunks:
+                        out = extract_hoco_fused_pallas(
+                            jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
+                            interpret=interpret,
                         )
-                        for (chunk, B, Lp, max_out, n_cap, blob) in chunks
-                    ]
+                        disp.append((
+                            chunk, B, Lp, max_out, n_cap, blob,
+                            fetch_pool.submit(
+                                _fetch_chunk, out, blob, B, Lp, n_cap,
+                                max_out, w, s, interpret,
+                            ),
+                        ))
+                    _acc("dispatch", _t0)
                     seg_results.append((res, disp))
             if failed:
+                fetch_pool.shutdown(wait=True)
                 return None
+            _t0 = _time.perf_counter()
             for res, disp in seg_results:
                 names, rawlen, offs, codes, rl, isn = res
                 keep = len(names)
@@ -422,6 +472,8 @@ def load_and_extract(
                 off_parts.append(offs[:keep] + off_base)
                 off_base += h_end
                 sid0 += keep
+            fetch_pool.shutdown(wait=True)
+            _acc("assemble_total", _t0)
             continue
 
         # ---- sequential flow (-D cap honored mid-file) ----
@@ -446,7 +498,7 @@ def load_and_extract(
             buckets.setdefault(Lp, []).append(i)
 
         disp = []
-        sub_offs = np.empty(2, np.int64)
+        isn_idx = np.flatnonzero(isn)
         for Lp, idxs in sorted(buckets.items()):
             bsz = max(1, batch_bases // Lp)
             for start in range(0, len(idxs), bsz):
@@ -455,18 +507,13 @@ def load_and_extract(
                 max_out = _round_up(
                     max(1024, int(B * Lp / _sel_divisor(w, s))), 1024
                 )
+                st = offs[chunk]
+                en = offs[np.asarray(chunk) + 1]
                 packed = np.zeros((B, Lp // 4), np.uint8)
+                native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
                 hl = np.zeros(B, np.int32)
-                n_pos: list[int] = []
-                for bi, ri in enumerate(chunk):
-                    sub_offs[0] = offs[ri]
-                    sub_offs[1] = offs[ri + 1]
-                    row = native.pack_rows(codes, sub_offs, 0, 1, Lp // 4)
-                    packed[bi] = row[0]
-                    hl[bi] = hoco_l[ri]
-                    nz = np.flatnonzero(isn[offs[ri] : offs[ri + 1]])
-                    if len(nz):
-                        n_pos.extend((bi * Lp + nz).tolist())
+                hl[: len(chunk)] = (en - st).astype(np.int32)
+                n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
                 n_cap = _round_up(max(64, len(n_pos)), 1024)
                 n_arr = np.full(n_cap, B * Lp, np.int32)
                 n_arr[: len(n_pos)] = n_pos
@@ -501,4 +548,12 @@ def load_and_extract(
         db.hoco_off = np.concatenate(
             off_parts + [np.asarray([off_base], np.int64)]
         ).astype(np.int64, copy=False)
+    if _timeit_enabled() and _tm:
+        import sys as _sys
+
+        parts = " ".join(
+            f"{k_}={v}" if isinstance(v, list) else f"{k_}={v * 1000:.1f}ms"
+            for k_, v in _tm.items()
+        )
+        print(f"[T::load_and_extract] {parts}", file=_sys.stderr, flush=True)
     return db

@@ -57,6 +57,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.pack_rows_gather.restype = None
+        lib.pack_rows_gather.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.wf_ed_core_native.restype = ctypes.c_int64
         lib.wf_ed_core_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -570,5 +575,27 @@ def pack_rows(codes: np.ndarray, offs: np.ndarray, row0: int, n_rows: int, row_b
     out = np.zeros((n_rows, row_bytes), np.uint8)
     lib.pack_rows(
         codes.ctypes.data, offs.ctypes.data, row0, n_rows, row_bytes, out.ctypes.data
+    )
+    return out
+
+
+def pack_rows_gather(
+    codes: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    row_bytes: int,
+    out: np.ndarray | None = None,
+):
+    """2-bit pack an arbitrary subset of reads into padded rows in one
+    native call.  ``out`` may have more rows than reads (zero padding);
+    the first ``len(starts)`` rows are filled."""
+    lib = _load()
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    if out is None:
+        out = np.zeros((len(starts), row_bytes), np.uint8)
+    lib.pack_rows_gather(
+        codes.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+        len(starts), row_bytes, out.ctypes.data,
     )
     return out

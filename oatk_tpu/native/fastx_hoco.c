@@ -116,25 +116,41 @@ overflow:
 /* 2-bit pack concatenated hoco codes per read into per-read padded rows.
  * rows: [n_reads, row_bytes] u8, first base of each read at bits 7-6 of
  * its row's byte 0.  Used to build the device upload batch in one pass. */
+static inline void pack_one_row(
+    const uint8_t *src, int64_t n, uint8_t *dst)
+{
+    int64_t b = 0;
+    for (; b + 4 <= n; b += 4) {
+        dst[b >> 2] = (uint8_t)(src[b] << 6 | src[b + 1] << 4 |
+                                src[b + 2] << 2 | src[b + 3]);
+    }
+    if (b < n) {
+        uint8_t v = 0;
+        for (int64_t j = b; j < n; ++j)
+            v |= src[j] << ((3 - (j & 3)) << 1);
+        dst[b >> 2] = v;
+    }
+}
+
 void pack_rows(
     const uint8_t *codes, const int64_t *offs,
     int64_t row0, int64_t n_rows, int64_t row_bytes,
     uint8_t *rows)
 {
-    for (int64_t r = 0; r < n_rows; ++r) {
-        const uint8_t *src = codes + offs[row0 + r];
-        int64_t n = offs[row0 + r + 1] - offs[row0 + r];
-        uint8_t *dst = rows + r * row_bytes;
-        int64_t b = 0;
-        for (; b + 4 <= n; b += 4) {
-            dst[b >> 2] = (uint8_t)(src[b] << 6 | src[b + 1] << 4 |
-                                    src[b + 2] << 2 | src[b + 3]);
-        }
-        if (b < n) {
-            uint8_t v = 0;
-            for (int64_t j = b; j < n; ++j)
-                v |= src[j] << ((3 - (j & 3)) << 1);
-            dst[b >> 2] = v;
-        }
-    }
+    for (int64_t r = 0; r < n_rows; ++r)
+        pack_one_row(codes + offs[row0 + r],
+                     offs[row0 + r + 1] - offs[row0 + r],
+                     rows + r * row_bytes);
+}
+
+/* Gather variant: rows pack an arbitrary subset of reads (length
+ * bucketing scatters reads of one device chunk through the segment).
+ * One native call replaces a per-read Python/FFI loop. */
+void pack_rows_gather(
+    const uint8_t *codes, const int64_t *starts, const int64_t *ends,
+    int64_t n_rows, int64_t row_bytes, uint8_t *rows)
+{
+    for (int64_t r = 0; r < n_rows; ++r)
+        pack_one_row(codes + starts[r], ends[r] - starts[r],
+                     rows + r * row_bytes);
 }
