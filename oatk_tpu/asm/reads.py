@@ -409,13 +409,13 @@ def load_and_extract(
             # ---- pipelined flow (no -D cap) ----
             from concurrent.futures import ThreadPoolExecutor
 
-            # more segments than workers: the first (smaller) segment
-            # finishes parsing sooner, so the device pipeline starts
-            # earlier, and the tail of the parse overlaps device compute
-            n_seg = min(
-                3 * native.n_threads_default(),
-                max(1, len(data) // _SEG_BYTES),
-            )
+            # fixed ~4 MB segments regardless of file size: segment row
+            # counts (and so the padded XLA batch shapes) stay in the
+            # same small vocabulary for ANY dataset, so a new input
+            # reuses cached programs instead of paying ~100 s/shape
+            # first-compiles through the tunnel.  Smaller first segment
+            # also starts the device pipeline sooner.
+            n_seg = max(1, len(data) // _SEG_BYTES)
             cuts = native.segment_record_cuts(data, n_seg)
             segs = (
                 [data]
