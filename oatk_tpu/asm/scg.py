@@ -50,21 +50,20 @@ class Scg:
 
 
 def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
-    scms, revs, uids, poss = [], [], [], []
-    for i in range(utg.n_vtx):
-        if utg.vtx_del[i]:
-            continue
-        a = utg.vtx_a[i]
-        scms.append((a >> np.uint64(1)).astype(np.int64))
-        revs.append((a & np.uint64(1)).astype(np.int64))
-        uids.append(np.full(len(a), i, np.int64))
-        poss.append(np.arange(len(a), dtype=np.int64))
-    if scms:
-        scm = np.concatenate(scms)
-        rev = np.concatenate(revs)
-        uid = np.concatenate(uids)
-        pos = np.concatenate(poss)
-        order = np.lexsort((pos, uid, rev, scm))
+    vdel = np.asarray(utg.vtx_del, bool)
+    live = np.flatnonzero(~vdel)
+    arrs = [utg.vtx_a[i] for i in live]
+    if arrs:
+        lens = np.fromiter(map(len, arrs), np.int64, count=len(arrs))
+        cat = np.concatenate(arrs)
+        scm = (cat >> np.uint64(1)).astype(np.int64)
+        rev = (cat & np.uint64(1)).astype(np.int64)
+        uid = np.repeat(live.astype(np.int64), lens)
+        starts = np.concatenate([[0], np.cumsum(lens[:-1])]) if len(lens) else np.zeros(0, np.int64)
+        pos = np.arange(len(cat), dtype=np.int64) - np.repeat(starts, lens)
+        # concatenation order is already (uid, pos)-sorted, so a stable
+        # sort on (scm, rev) alone reproduces the 4-key lexsort
+        order = np.lexsort((rev, scm))
         scm, rev, uid, pos = scm[order], rev[order], uid[order], pos[order]
     else:
         scm = rev = uid = pos = np.zeros(0, np.int64)

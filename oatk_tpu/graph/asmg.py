@@ -19,6 +19,34 @@ import numpy as np
 UINT64_MAX = 0xFFFFFFFFFFFFFFFF
 
 
+def _packed_arc_keys(av: np.ndarray, aw: np.ndarray):
+    """(v<<32|w) packed keys, or None when an endpoint overflows 32
+    bits (then callers take their sequential fallback)."""
+    if len(av) == 0:
+        return np.zeros(0, np.uint64)
+    if max(int(av.max()), int(aw.max())) >= 1 << 32:
+        return None
+    return (av << np.uint64(32)) | aw
+
+
+def _match_complements(av: np.ndarray, aw: np.ndarray):
+    """For each arc key (v,w), the index of the arc holding the
+    complement key (w^1, v^1), or -1.  Returns None (caller falls back)
+    on key overflow or duplicate keys."""
+    key = _packed_arc_keys(av, aw)
+    if key is None:
+        return None
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    if len(skey) > 1 and np.any(skey[1:] == skey[:-1]):
+        return None
+    q = ((aw ^ np.uint64(1)) << np.uint64(32)) | (av ^ np.uint64(1))
+    pos = np.searchsorted(skey, q)
+    pos_c = np.minimum(pos, max(len(skey) - 1, 0))
+    found = (pos < len(skey)) & (skey[pos_c] == q)
+    return np.where(found, order[pos_c], -1)
+
+
 class Asmg:
     def __init__(self):
         self.vtx_a: list[np.ndarray | None] = []  # syncmer lists (id<<1|rev)
@@ -127,7 +155,54 @@ class Asmg:
 
     def _arc_fix_symm(self) -> int:
         """Ensure every live arc has its complement; fix comp flags and
-        reconcile overlap lengths (asmg_arc_fix_symm)."""
+        reconcile overlap lengths (asmg_arc_fix_symm).
+
+        Vectorized complement matching via a sorted search over live
+        (v,w) keys; falls back to the sequential dict walk when live
+        keys are not unique (duplicate arcs make the loop's
+        first-occurrence/overwrite order observable)."""
+        live = np.flatnonzero(~self.adel)
+        if len(live) == 0:
+            self._flush_pending()
+            return 0
+        av, aw = self.av[live], self.aw[live]
+        part = _match_complements(av, aw)
+        if part is None:
+            return self._arc_fix_symm_slow()
+        found = part >= 0
+        # j: live-arc global index of the complement (valid where found)
+        j = live[np.where(found, part, 0)]
+        i = live
+        selfm = found & (j == i)
+        pairm = found & (j > i)
+        missing = np.flatnonzero(~found)
+        acomp_old = self.acomp.copy()
+        # pair (i<j): acomp[j] = !acomp_old[i]; overlaps reconciled to min
+        jj, ii = j[pairm], i[pairm]
+        self.acomp[jj] = ~acomp_old[ii]
+        mn = np.minimum(self.aln[ii], self.aln[jj])
+        self.aln[ii] = mn
+        self.aln[jj] = mn
+        ms = np.minimum(self.als[ii], self.als[jj])
+        self.als[ii] = ms
+        self.als[jj] = ms
+        # palindromic arc is its own complement: comp flag flips once
+        self.acomp[i[selfm]] ^= True
+        added = len(missing)
+        if added:
+            mi = i[missing]
+            self.av = np.concatenate([self.av, self.aw[mi] ^ np.uint64(1)])
+            self.aw = np.concatenate([self.aw, self.av[mi] ^ np.uint64(1)])
+            self.aln = np.concatenate([self.aln, self.aln[mi]])
+            self.als = np.concatenate([self.als, self.als[mi]])
+            self.acov = np.concatenate([self.acov, self.acov[mi]])
+            self.adel = np.concatenate([self.adel, np.zeros(added, bool)])
+            self.acomp = np.concatenate([self.acomp, ~acomp_old[mi]])
+            self.alink = np.concatenate([self.alink, self.alink[mi]])
+        return added
+
+    def _arc_fix_symm_slow(self) -> int:
+        """Sequential reference walk (kept for duplicate-key graphs)."""
         added = 0
         live = np.flatnonzero(~self.adel)
         # map (v,w) -> arc index for live arcs
@@ -153,7 +228,26 @@ class Asmg:
         return added
 
     def shrink_link_id(self):
-        """Renumber link ids so each arc/complement pair shares one id."""
+        """Renumber link ids so each arc/complement pair shares one id.
+
+        Vectorized: each arc's partner is the (unique) arc holding its
+        complement key; a pair's link id is the rank of its smaller
+        member index, matching the sequential counter order.  Falls back
+        to the dict walk when keys are not unique."""
+        n = len(self.av)
+        self.alink = np.full(n, UINT64_MAX, np.uint64)
+        if n == 0:
+            return
+        part = _match_complements(self.av, self.aw)
+        if part is None:
+            return self._shrink_link_id_slow()
+        idx = np.arange(n)
+        partner = np.where(part >= 0, part, idx)
+        rep = np.minimum(idx, partner)
+        uniq = np.unique(rep)
+        self.alink = np.searchsorted(uniq, rep).astype(np.uint64)
+
+    def _shrink_link_id_slow(self):
         n = len(self.av)
         self.alink = np.full(n, UINT64_MAX, np.uint64)
         amap = {}
