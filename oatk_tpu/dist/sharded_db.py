@@ -345,6 +345,7 @@ def load_and_extract_sharded(
         # reader dominated large sharded runs)
         names_l, hoco = [], []
         total_bases = 0
+        flat_parts = []  # (codes, rl, offs) per file for whole-run reuse
         for path in paths:
             res = _native.parse_fastx_hoco_mt(read_source_bytes(path))
             if res is None:
@@ -356,15 +357,18 @@ def load_and_extract_sharded(
                 hoco.append((codes[o0:o1], rlv[o0:o1], isn_b[o0:o1]))
             names_l.extend(names)
             total_bases += int(rawlen.sum())
+            flat_parts.append((codes, rlv, offs))
         else:
             res = True
         if res is None:
+            flat_parts = None
             records = read_fastx(paths, max_data)
             names_l = [r.name for r in records]
             hoco = [hoco_compress_np(r.seq) for r in records]
             seq_of = [r.seq for r in records]
             total_bases = sum(len(r.seq) for r in records)
     else:
+        flat_parts = None
         records = read_fastx(paths, max_data)
         names_l = [r.name for r in records]
         hoco = [hoco_compress_np(r.seq) for r in records]
@@ -373,6 +377,25 @@ def load_and_extract_sharded(
     n_records = len(hoco)
     db = ReadDB(k=w, s=s)
     db.reads = [None] * n_records  # type: ignore
+    if flat_parts:
+        # whole-run hoco streams (per-read arrays are views into them):
+        # consumers (_Flats) reuse these instead of re-concatenating
+        base = 0
+        offs_all = []
+        for codes, rlv, offs in flat_parts:
+            offs_all.append(offs[:-1].astype(np.int64) + base)
+            base += int(offs[-1])
+        db.hoco_flat = (
+            flat_parts[0][0] if len(flat_parts) == 1
+            else np.concatenate([p[0] for p in flat_parts])
+        )
+        db.rl_flat = (
+            flat_parts[0][1] if len(flat_parts) == 1
+            else np.concatenate([p[1] for p in flat_parts])
+        )
+        db.hoco_off = np.concatenate(
+            offs_all + [np.asarray([base], np.int64)]
+        ).astype(np.int64, copy=False)
 
     # rough global occurrence bound for the carry capacity: ~1 syncmer
     # per (w-s)/3 hoco bases, doubled for skew across hash ranges;

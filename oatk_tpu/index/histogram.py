@@ -94,6 +94,25 @@ class _KhCtab:
             self.count += 1
         else:
             self.slots[i][1] += 1
+        return self.slots[i]
+
+    def put_many(self, key: int, times: int):
+        """`times` sequential put1(key) calls: only the first insert of a
+        key changes table structure (resize/probing); repeats increment
+        the stored count in place, so they batch bit-identically."""
+        kv = self.put1(key)
+        if times > 1:
+            kv[1] += times - 1
+
+    def fill_from_counts(self, counts: np.ndarray):
+        """Feed a count multiset in the same order a per-item put1 loop
+        would (first-appearance order of each distinct value)."""
+        if not len(counts):
+            return
+        uvals, first, times = np.unique(counts, return_index=True, return_counts=True)
+        order = np.argsort(first, kind="stable")
+        for v, t in zip(uvals[order].tolist(), times[order].tolist()):
+            self.put_many(int(v), int(t))
 
     def stat(self):
         """(avg, uniq, singleton) with the reference's stale-c quirk."""
@@ -308,11 +327,9 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     else:
         _, k_counts = np.unique(kmer, return_counts=True)
     s_ctab = _KhCtab()
-    for c in s_counts.tolist():
-        s_ctab.put1(int(c))
+    s_ctab.fill_from_counts(s_counts)
     k_ctab = _KhCtab()
-    for c in k_counts.tolist():
-        k_ctab.put1(int(c))
+    k_ctab.fill_from_counts(k_counts)
     s_avg, s_uniq, s_single = s_ctab.stat()
     k_avg, k_uniq, k_single = k_ctab.stat()
     s_hist = count_histogram(s_counts)
