@@ -38,38 +38,37 @@ _NT = np.frombuffer(b"ACGT", np.uint8)
 def find_error_syncmers(
     scg: Scg, err_mer_c: int, max_err_c: int, err_arc_c: int, max_arc_f: float, del_err: bool
 ) -> int:
-    """Mark candidate error syncmers in scm_db.del_ (and the graph)."""
+    """Mark candidate error syncmers in scm_db.del_ (and the graph).
+
+    Vectorized over the arc table: a direction is 'weak' when it has
+    live out-arcs but none passing the coverage test (syncerr.c); the
+    one-vertex-per-syncmer graph is symmetric here, so the follow-up
+    vertex deletion reduces to an incidence mask."""
     g = scg.utg
     scm = scg.scm_db
     n_scm = scm.n
-    for i in range(n_scm):
-        if scm.del_[i] or scm.cov[i] >= max_err_c:
-            continue
-        if scm.cov[i] < err_mer_c:
-            scm.del_[i] = True
-            continue
-        nv = int(scm.cov[i])
-        b = [-1, -1]
-        for k in range(2):
-            rr = g.arc_range(i << 1 | k)
-            if any(not g.adel[j] for j in rr):
-                b[k] = 0
-            else:
-                continue
-            for j in rr:
-                if g.adel[j]:
-                    continue
-                nw = int(scm.cov[int(g.aw[j]) >> 1])
-                if g.acov[j] >= err_arc_c and g.acov[j] >= min(nv, nw) * max_arc_f:
-                    b[k] = 1
-                    break
-        if not b[0] or not b[1]:
-            scm.del_[i] = True
+    g._flush_pending()
+    cov = scm.cov.astype(np.int64)
+    cand = ~scm.del_ & (cov < max_err_c)
+    scm.del_ |= cand & (cov < err_mer_c)
+    live = ~g.adel
+    src = g.av.astype(np.int64)
+    dst_v = (g.aw >> np.uint64(1)).astype(np.int64)
+    src_v = src >> 1
+    strong = live & (g.acov >= err_arc_c) & (
+        g.acov >= np.minimum(cov[src_v], cov[dst_v]) * max_arc_f
+    )
+    n_dir = 2 * n_scm
+    has_live = np.bincount(src[live], minlength=n_dir).astype(bool)
+    has_strong = np.bincount(src[strong], minlength=n_dir).astype(bool)
+    weak = has_live & ~has_strong
+    scm.del_ |= cand & (cov >= err_mer_c) & (weak[0::2] | weak[1::2])
     n_err = int(scm.del_.sum())
     max_c = int(scm.cov[scm.del_].max()) if n_err else 0
-    if del_err:
-        for i in np.flatnonzero(scm.del_):
-            g.vtx_delete(int(i), True)
+    if del_err and n_err:
+        vdel = np.asarray(g.vtx_del, bool) | scm.del_[: g.n_vtx]
+        g.vtx_del = vdel.tolist()
+        g.adel |= vdel[src_v] | vdel[dst_v]
     log_info(f"error syncmer candidates: num = {n_err}, max_c = {max_c}", func="find_error_syncmers")
     return n_err
 
