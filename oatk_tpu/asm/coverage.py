@@ -225,26 +225,46 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
             sel = pile[i][pile[i] > 0]
             avg[i] = max(1.0, average_iqr(sel))
 
-    # group alignments by read
-    by_read: dict[int, list[ReadAln]] = {}
-    for ra in ra_db:
-        by_read.setdefault(ra.sid, []).append(ra)
+    if not use_flat:
+        # group alignments by read
+        by_read: dict[int, list[ReadAln]] = {}
+        for ra in ra_db:
+            by_read.setdefault(ra.sid, []).append(ra)
 
     if use_flat:
         # feed the flat arrays straight into the threaded batch: block
         # order is sids order skipping unmapped (empty spans), identical
-        # to the by_read dict order below
+        # to the by_read dict order the non-flat branches use
         sids_f = flat["sids"]
-        scm_l = [
-            np.ascontiguousarray(read_db.reads[int(s)].k_mer >> np.uint64(1), np.int64)
-            for s in sids_f
-        ]
-        scm_off = np.zeros(len(sids_f) + 1, np.int64)
-        np.cumsum(
-            np.fromiter((len(a) for a in scm_l), np.int64, count=len(scm_l)),
-            out=scm_off[1:],
-        )
-        scm_flat = np.concatenate(scm_l) if scm_l else np.zeros(0, np.int64)
+        from .consensus import _Flats
+
+        flats_c = _Flats.build(read_db, scg.scm_db)
+        s_idx = np.asarray(sids_f, np.int64)
+        if flats_c is not None and len(s_idx):
+            # one gather from the cached whole-run k_mer flat instead of
+            # a per-read slice loop
+            moff_all = np.append(flats_c.moff, len(flats_c.kflat))
+            st = moff_all[s_idx]
+            ln = moff_all[s_idx + 1] - st
+            scm_off = np.zeros(len(s_idx) + 1, np.int64)
+            np.cumsum(ln, out=scm_off[1:])
+            gidx = (
+                np.arange(int(scm_off[-1]), dtype=np.int64)
+                - np.repeat(scm_off[:-1], ln)
+                + np.repeat(st, ln)
+            )
+            scm_flat = (flats_c.kflat[gidx] >> np.uint64(1)).astype(np.int64)
+        else:
+            scm_l = [
+                np.ascontiguousarray(read_db.reads[int(s)].k_mer >> np.uint64(1), np.int64)
+                for s in sids_f
+            ]
+            scm_off = np.zeros(len(sids_f) + 1, np.int64)
+            np.cumsum(
+                np.fromiter((len(a) for a in scm_l), np.int64, count=len(scm_l)),
+                out=scm_off[1:],
+            )
+            scm_flat = np.concatenate(scm_l) if scm_l else np.zeros(0, np.int64)
         nm_all, u_flat, read_cut = native.ma_blocks_batch_native(
             scm_flat, scm_off, flat["frag6"], flat["aln_cut"],
             flat["read_aln_off"], va_flat, va_off,
