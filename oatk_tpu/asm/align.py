@@ -254,8 +254,27 @@ def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray)
     if total == 0:
         z = np.zeros(0, np.int64)
         return z, z, z, np.zeros(G + 1, np.int64)
-    kflat = np.concatenate([reads[s].k_mer for s in sids])
-    mlow = np.concatenate([reads[s].m_pos for s in sids]).astype(np.int64) & 1
+    from .consensus import _Flats
+
+    flats = _Flats.build(read_db, scg.scm_db)
+    if flats is not None:
+        # gather from the cached whole-run flats instead of per-read
+        # concatenation (sids is almost always every mappable read)
+        moff_all = np.append(flats.moff, len(flats.kflat))
+        s_idx = np.asarray(sids, np.int64)
+        st = moff_all[s_idx]
+        goff = np.zeros(G + 1, np.int64)
+        np.cumsum(ns, out=goff[1:])
+        gidx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(goff[:-1], ns)
+            + np.repeat(st, ns)
+        )
+        kflat = flats.kflat[gidx]
+        mlow = flats.mflat[gidx].astype(np.int64) & 1
+    else:
+        kflat = np.concatenate([reads[s].k_mer for s in sids])
+        mlow = np.concatenate([reads[s].m_pos for s in sids]).astype(np.int64) & 1
     base = np.zeros(G + 1, np.int64)
     np.cumsum(ns, out=base[1:])
     rid_e = np.repeat(np.arange(G, dtype=np.int64), ns)
