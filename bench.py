@@ -122,25 +122,39 @@ def main():
     check = kernel_spot_check()
 
     # ---- extraction + counting (round-1 headline, auxiliary now) ----
+    def best_of(fn, n_min, n_max, patience=3):
+        """Best wall-clock over adaptive repeats: the relay tunnel has
+        slow episodes, so keep running (up to n_max) until the best
+        stops improving for `patience` consecutive runs."""
+        best, since = None, 0
+        for i in range(n_max):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            if best is None or dt < best * 0.98:
+                best, since = min(best or dt, dt), 0
+            else:
+                since += 1
+            if i + 1 >= n_min and since >= patience:
+                break
+        return best
+
     load_reads([DATA], K, S)  # warm jit cache on the exact shapes
-    best_x = None
-    for _ in range(N_RUNS + 2):
-        t0 = time.time()
+
+    def run_extract():
         read_db = load_reads([DATA], K, S)
         scm_db = collect_syncmer_db(read_db)
-        dt = time.time() - t0
         assert scm_db is not None and scm_db.n > 0
-        best_x = dt if best_x is None else min(best_x, dt)
+
+    best_x = best_of(run_extract, N_RUNS, 2 * N_RUNS + 2)
     extract_mbps = total_bases / 1e6 / best_x
 
     # ---- full pipeline (EC on, 3 unzip rounds) ----
-    best_f = None
-    for i in range(N_RUNS):
-        t0 = time.time()
+    def run_full():
         syncasm([DATA], k=K, s=S, min_k_cov=30, do_ec=True, do_unzip=3,
                 out="/tmp/oatk_bench_mine")
-        dt = time.time() - t0
-        best_f = dt if best_f is None else min(best_f, dt)
+
+    best_f = best_of(run_full, N_RUNS, 2 * N_RUNS + 2)
     full_mbps = total_bases / 1e6 / best_f
 
     parity = "unchecked"
