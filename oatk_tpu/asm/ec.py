@@ -383,7 +383,11 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     cov = np.bincount(kid, minlength=n)
     fwd = (entry & np.uint64(1)) == 0
     c_cov = np.bincount(kid[fwd], minlength=n)
-    order = np.argsort(kid, kind="stable")
+    from .. import native as _native
+
+    order = _native.argsort_u64(ks)
+    if order is None:
+        order = np.argsort(kid, kind="stable")
     sorted_entries = entry[order]
     cuts = np.zeros(n + 1, np.int64)
     np.cumsum(cov, out=cuts[1:])

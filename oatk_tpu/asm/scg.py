@@ -62,8 +62,13 @@ def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
         starts = np.concatenate([[0], np.cumsum(lens[:-1])]) if len(lens) else np.zeros(0, np.int64)
         pos = np.arange(len(cat), dtype=np.int64) - np.repeat(starts, lens)
         # concatenation order is already (uid, pos)-sorted, so a stable
-        # sort on (scm, rev) alone reproduces the 4-key lexsort
-        order = np.lexsort((rev, scm))
+        # sort on (scm, rev) -- which is exactly the packed uint64
+        # syncmer entry `cat` -- reproduces the 4-key lexsort
+        from .. import native
+
+        order = native.argsort_u64(cat)
+        if order is None:
+            order = np.lexsort((rev, scm))
         scm, rev, uid, pos = scm[order], rev[order], uid[order], pos[order]
     else:
         scm = rev = uid = pos = np.zeros(0, np.int64)
@@ -124,8 +129,11 @@ def make_syncmer_graph(
         if hi < (1 << 32):
             # post-collection vertex ids are small: one packed-u64 sort
             # replaces the two-key lexsort over all adjacent pairs
-            packed = (cv0 << np.uint64(32)) | cv1
-            packed.sort(kind="stable")
+            from .. import native
+
+            packed = np.ascontiguousarray((cv0 << np.uint64(32)) | cv1)
+            if not native.sort_u64(packed):
+                packed.sort(kind="stable")
             k0 = packed >> np.uint64(32)
             k1 = packed & np.uint64(0xFFFFFFFF)
         else:

@@ -36,7 +36,11 @@ def _match_complements(av: np.ndarray, aw: np.ndarray):
     key = _packed_arc_keys(av, aw)
     if key is None:
         return None
-    order = np.argsort(key, kind="stable")
+    from .. import native
+
+    order = native.argsort_u64(key)
+    if order is None:
+        order = np.argsort(key, kind="stable")
     skey = key[order]
     if len(skey) > 1 and np.any(skey[1:] == skey[:-1]):
         return None
@@ -112,7 +116,15 @@ class Asmg:
     # ---------- finalize: cleanup + sort + index + symm + link ids ----------
     def arc_sort(self):
         self._flush_pending()
-        order = np.lexsort((self.aw, self.av))
+        key = _packed_arc_keys(self.av, self.aw)
+        if key is not None and len(key):
+            from .. import native
+
+            order = native.argsort_u64(key)
+            if order is None:
+                order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((self.aw, self.av))
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
             setattr(self, name, getattr(self, name)[order])
 

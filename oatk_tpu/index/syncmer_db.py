@@ -197,5 +197,14 @@ def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
     if n_tot == 0:
         return None
     hashes, lows, smers, base = flatten_occurrences(read_db)
-    order = np.lexsort((lows, hashes))
+    # reads flatten in (sid, idx) order, so `lows` is already ascending
+    # and a single stable sort on the hash equals the 2-key lexsort
+    if n_tot > 1 and bool((lows[1:] >= lows[:-1]).all()):
+        from .. import native
+
+        order = native.argsort_u64(hashes)
+        if order is None:
+            order = np.argsort(hashes, kind="stable")
+    else:
+        order = np.lexsort((lows, hashes))
     return build_db_from_sorted(read_db, hashes[order], lows[order], smers[order], base)

@@ -23,6 +23,7 @@ _SRCS = [
     os.path.join(_HERE, "consensus.c"),
     os.path.join(_HERE, "align.c"),
     os.path.join(_HERE, "ec.c"),
+    os.path.join(_HERE, "sort.c"),
 ]
 _lib = None
 _build_failed = False
@@ -159,6 +160,12 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
+        ]
+        lib.radix_sort_u64.restype = ctypes.c_int
+        lib.radix_sort_u64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        lib.radix_argsort_u64.restype = ctypes.c_int
+        lib.radix_argsort_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
         _lib = lib
     except Exception:
@@ -390,6 +397,33 @@ def n_threads_default() -> int:
     if env:
         return max(1, int(env))
     return max(1, min(8, os.cpu_count() or 1))
+
+
+def argsort_u64(keys: np.ndarray, n_threads: int | None = None) -> np.ndarray | None:
+    """Stable argsort of a uint64 array (threaded LSD radix); None when
+    the native library is unavailable (callers use np.argsort)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = n_threads_default()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    out = np.empty(len(keys), np.int64)
+    if lib.radix_argsort_u64(keys.ctypes.data, len(keys), out.ctypes.data, n_threads) != 0:
+        return None
+    return out
+
+
+def sort_u64(keys: np.ndarray, n_threads: int | None = None) -> bool:
+    """In-place ascending sort of a contiguous uint64 array; False when
+    the native library is unavailable (callers use ndarray.sort)."""
+    lib = _load()
+    if lib is None:
+        return False
+    if n_threads is None:
+        n_threads = n_threads_default()
+    assert keys.dtype == np.uint64 and keys.flags.c_contiguous
+    return lib.radix_sort_u64(keys.ctypes.data, len(keys), n_threads) == 0
 
 
 def align_batch(
