@@ -447,6 +447,20 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 break
             scratch_cap *= 4
 
+    if als_batch is not None and fo is None and n_arc:
+        # no GFA emission: the batched overlaps scatter straight into
+        # als (arc + complement), no per-arc Python walk
+        from ..graph.asmg import _match_complements
+
+        part = _match_complements(utg.av, utg.aw)
+        if part is not None:
+            sel = np.flatnonzero(~utg.adel & ~utg.acomp)
+            vals = als_batch[sel]
+            utg.als[sel] = vals
+            p = part[sel]
+            ok = p >= 0
+            utg.als[p[ok]] = vals[ok]
+            return
     for ai in range(n_arc):
         if utg.adel[ai] or utg.acomp[ai]:
             continue
