@@ -392,7 +392,9 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     cuts = np.zeros(n + 1, np.int64)
     np.cumsum(cov, out=cuts[1:])
     scm_db.cov = cov.astype(np.uint32)
-    scm_db.m_pos = [sorted_entries[cuts[i] : cuts[i + 1]] for i in range(n)]
+    from ..index.syncmer_db import FlatViews
+
+    scm_db.m_pos = FlatViews(sorted_entries, cuts)
     scm_db.mp_flat = sorted_entries
     scm_db.mp_off = cuts
     scm_db.del_ = c_cov == 0

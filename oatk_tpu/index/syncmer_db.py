@@ -34,6 +34,30 @@ from ..kernels.oracle import kmer_packed_bytes
 MAX_RD_SCM = 0x7FFFFFFF
 
 
+class FlatViews:
+    """Lazy list-of-arrays over a flat backing array + offsets.
+
+    ``m_pos[i]`` materializes the i-th view on demand; building 10^4-10^5
+    eager views per DB (re)build dominated profiles at scale."""
+
+    __slots__ = ("flat", "off")
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray):
+        self.flat = flat
+        self.off = off
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.flat[self.off[i] : self.off[i + 1]]
+
+    def __iter__(self):
+        flat, off = self.flat, self.off
+        for i in range(len(off) - 1):
+            yield flat[off[i] : off[i + 1]]
+
+
 @dataclass
 class SyncmerDB:
     """Distinct syncmers (syncmer_db_t analogue, /root/reference/syncmer.h:98-114)."""
@@ -67,27 +91,28 @@ def flatten_occurrences(read_db: ReadDB):
     low = sid<<32 | idx<<1 | rev  -- the low 64 bits of the reference's
     128-bit sort key (/root/reference/syncmer.c:1419).
     """
-    n_tot = read_db.total_syncmers()
-    hashes = np.empty(n_tot, dtype=np.uint64)
-    lows = np.empty(n_tot, dtype=np.uint64)
-    smers = np.empty(n_tot, dtype=np.uint64)
-    base = np.zeros(read_db.n + 1, dtype=np.int64)
-    off = 0
-    for r in read_db.reads:
-        n = r.n
-        base[r.sid] = off
-        if n == 0:
-            continue
-        hashes[off : off + n] = r.k_mer
-        idx = np.arange(n, dtype=np.uint64)
-        lows[off : off + n] = (
-            (np.uint64(r.sid) << np.uint64(32))
-            | (idx << np.uint64(1))
-            | (r.m_pos.astype(np.uint64) & np.uint64(1))
-        )
-        smers[off : off + n] = r.s_mer
-        off += n
-    base[read_db.n] = off
+    reads = read_db.reads
+    nr = read_db.n
+    mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=nr)
+    sids = np.fromiter((r.sid for r in reads), np.int64, count=nr)
+    n_tot = int(mc.sum())
+    offs = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum(mc, out=offs[1:])
+    base = np.zeros(nr + 1, dtype=np.int64)
+    base[sids] = offs[:-1]
+    base[nr] = n_tot
+    if n_tot == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, z, base
+    hashes = np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False)
+    smers = np.concatenate([r.s_mer for r in reads]).astype(np.uint64, copy=False)
+    revs = np.concatenate([r.m_pos for r in reads]).astype(np.uint64, copy=False) & np.uint64(1)
+    idx = (np.arange(n_tot, dtype=np.int64) - np.repeat(offs[:-1], mc)).astype(np.uint64)
+    lows = (
+        (np.repeat(sids, mc).astype(np.uint64) << np.uint64(32))
+        | (idx << np.uint64(1))
+        | revs
+    )
     return hashes, lows, smers, base
 
 
@@ -164,14 +189,14 @@ def build_db_from_sorted(
         s=ss[rep_idx].copy(),
         cov=cov,
         del_=np.zeros(n_scm, dtype=bool),
-        m_pos=[None] * n_scm,
+        m_pos=None,
     )
     # m_pos lists per syncmer, in sorted order (sid, idx ascending)
     cl_order = np.argsort(gid, kind="stable")
     cl_sorted = sl[cl_order]
-    cuts = np.concatenate([[0], np.cumsum(cov.astype(np.int64))]).astype(np.int64)
-    for i in range(n_scm):
-        db.m_pos[i] = cl_sorted[cuts[i] : cuts[i + 1]]
+    cuts = np.zeros(n_scm + 1, dtype=np.int64)
+    np.cumsum(cov.astype(np.int64), out=cuts[1:])
+    db.m_pos = FlatViews(cl_sorted, cuts)
     db.mp_flat = cl_sorted
     db.mp_off = cuts
 
@@ -193,10 +218,10 @@ def build_db_from_sorted(
 
 def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
     """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1."""
-    n_tot = read_db.total_syncmers()
+    hashes, lows, smers, base = flatten_occurrences(read_db)
+    n_tot = len(hashes)
     if n_tot == 0:
         return None
-    hashes, lows, smers, base = flatten_occurrences(read_db)
     # reads flatten in (sid, idx) order, so `lows` is already ascending
     # and a single stable sort on the hash equals the 2-key lexsort
     if n_tot > 1 and bool((lows[1:] >= lows[:-1]).all()):
