@@ -249,7 +249,7 @@ def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray)
     idx = scg.idx
     G = len(sids)
     reads = read_db.reads
-    ns = np.fromiter((reads[s].n for s in sids), np.int64, count=G)
+    ns = np.fromiter((len(reads[s].m_pos) for s in sids), np.int64, count=G)
     total = int(ns.sum())
     if total == 0:
         z = np.zeros(0, np.int64)
@@ -341,15 +341,15 @@ def scg_read_alignment(
     g = scg.utg
     ulen = np.fromiter((len(a) for a in g.vtx_a), np.int64, count=g.n_vtx)
     for r in read_db.reads:
-        if r.n > 0:
+        if len(r.m_pos) > 0:
             n_mappable += 1
 
     from .. import native
 
-    sids = [r.sid for r in read_db.reads if (old_ra[r.sid] & 1) and r.n > 0]
+    sids = [r.sid for r in read_db.reads if (old_ra[r.sid] & 1) and len(r.m_pos) > 0]
     if native.available() and sids:
         uid, upos, spos, aoff = _batch_anchors(read_db, scg, sids, ulen)
-        n_scm = np.fromiter((read_db.reads[s].n for s in sids), np.int64, count=len(sids))
+        n_scm = np.fromiter((len(read_db.reads[s].m_pos) for s in sids), np.int64, count=len(sids))
         min_sc = (old_ra[np.asarray(sids, np.int64)] >> 1).astype(np.int64)
         arc_key, arc_aln = _arc_table(g)
         res = native.align_batch(uid, upos, spos, aoff, n_scm, min_sc, ulen, arc_key, arc_aln)

@@ -30,7 +30,7 @@ class _Flats:
     def __init__(self, read_db: ReadDB, scm_db: SyncmerDB, static=None):
         reads = read_db.reads
         n = len(reads)
-        mc = np.fromiter((r.n for r in reads), np.int64, count=n)
+        mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n)
         self.moff = np.zeros(n, np.int64)
         if n > 1:
             np.cumsum(mc[:-1], out=self.moff[1:])

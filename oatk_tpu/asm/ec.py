@@ -313,7 +313,7 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         hoff = np.append(flats.hoff, len(code_flat))
     else:
         moff = np.zeros(n_reads + 1, np.int64)
-        np.cumsum(np.fromiter((r.n for r in reads), np.int64, count=n_reads), out=moff[1:])
+        np.cumsum(np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n_reads), out=moff[1:])
         hoff = np.zeros(n_reads + 1, np.int64)
         np.cumsum(hoco_l, out=hoff[1:])
         z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
@@ -358,8 +358,8 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     syncmer id yields each id's occurrence list already in the
     (sid, idx) order the per-read loop produced."""
     n = scm_db.n
-    reads = [r for r in read_db.reads if r.n > 0]
-    ns = np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
+    ns = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
     n_tot = int(ns.sum())
     if n_tot:
         ks = np.concatenate([r.k_mer for r in reads]) >> np.uint64(1)

@@ -39,7 +39,7 @@ class ReadDB:
         return len(self.reads)
 
     def total_syncmers(self) -> int:
-        return sum(r.n for r in self.reads)
+        return sum(len(r.m_pos) for r in self.reads)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -80,7 +80,7 @@ def _read_adjacent_pairs(read_db: ReadDB):
     """All canonical consecutive-syncmer pairs (v0,v1) across reads,
     vectorized over the flat syncmer stream (a pair is valid unless its
     first member is the last syncmer of its read)."""
-    reads = [r for r in read_db.reads if r.n > 0]
+    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
     if not reads:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     kflat = np.concatenate([r.k_mer for r in reads])
@@ -93,7 +93,7 @@ def _read_adjacent_pairs(read_db: ReadDB):
     )
     ok = np.ones(m - 1, bool)
     last_of_read = np.cumsum(
-        np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+        np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
     )[:-1] - 1
     ok[last_of_read] = False
     v0 = v[:-1][ok]

@@ -293,8 +293,8 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     the ec flag; post-EC corrected mers count under their corrected
     id)."""
     w = read_db.k
-    reads = [r for r in read_db.reads if r.n > 0]
-    m = sum(r.n for r in reads)
+    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
+    m = sum(len(r.m_pos) for r in reads)
     stats: dict = {}
     if m == 0:
         print("[M::sr_db_stat] empty syncmer collection", file=fo)
@@ -308,7 +308,7 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     mflat = np.concatenate([r.m_pos for r in reads])
     p = (mflat >> 1).astype(np.int64)
     last_of_read = np.cumsum(
-        np.fromiter((r.n for r in reads), np.int64, count=len(reads))
+        np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
     )[:-1] - 1
     ok = np.ones(m - 1, bool) if m > 1 else np.zeros(0, bool)
     if m > 1:

@@ -29,7 +29,7 @@ def syncmer_link_coverage_analysis(
     min_f = max(min_f, 0.0)
     cov = scm_db.cov.astype(np.int64)
 
-    ns = np.array([r.n for r in read_db.reads], np.int64)
+    ns = np.array([len(r.m_pos) for r in read_db.reads], np.int64)
     if len(ns) == 0 or ns.max() == 0:
         return 0, None, None, None
     max_n = int(ns.max())
