@@ -363,7 +363,7 @@ def load_and_extract(
         (entries beyond ``keep`` are skipped for the -D cap)."""
         names, rawlen, offs, codes, rl, isn = res
         reads: list = [None] * keep
-        isn_b = isn.astype(bool)
+        isn_b = isn.view(np.bool_)  # native parse emits 0/1 u8: free reinterpret
         for chunk, B, Lp, max_out, n_cap, blob, out in disp:
             _t0 = _time.perf_counter()
             if hasattr(out, "result"):  # prefetched on a fetch thread

@@ -98,7 +98,7 @@ def _open_maybe_gz(path: str):
         if not chunk:
             break
         magic += chunk
-    chained = io.BufferedReader(_Prefixed(magic, fp))
+    chained = io.BufferedReader(_Prefixed(magic, fp), 1 << 20)
     if magic == b"\x1f\x8b":
         return gzip.open(chained, "rb")
     return chained
@@ -106,7 +106,16 @@ def _open_maybe_gz(path: str):
 
 def read_source_bytes(path: str) -> bytes:
     """Entire (decompressed) contents of any supported source; used by
-    the fused native parse path."""
+    the fused native parse path.  Plain local files bypass the stream
+    wrappers (one bulk read instead of buffered readinto chunks)."""
+    if path != "-" and not path.lstrip().startswith("<") and not path.startswith(
+        ("http://", "https://", "ftp://")
+    ):
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:2] == b"\x1f\x8b":
+            return gzip.decompress(raw)
+        return raw
     with _open_maybe_gz(path) as fp:
         return fp.read()
 
