@@ -227,15 +227,16 @@ def extract_all_syncmers(
     return db
 
 
-def _parse_pack_segment(seg: bytes, w: int, s: int, batch_bases: int):
-    """Worker: native parse+hoco of one byte segment, then 2-bit pack
-    all its chunks into upload blobs.  Runs off the main thread (the C
-    parse releases the GIL) so segment i+1 parses while segment i's
-    blobs upload/compute on the device.  Returns (parse_result,
+def _parse_pack_segment(data: bytes, c0: int, c1: int, w: int, s: int, batch_bases: int):
+    """Worker: native parse+hoco of one byte range [c0, c1), then 2-bit
+    pack all its chunks into upload blobs.  Runs off the main thread
+    (the C parse releases the GIL) so segment i+1 parses while segment
+    i's blobs upload/compute on the device.  The range is parsed in
+    place — no segment slice copy.  Returns (parse_result,
     [(chunk_read_idxs, B, Lp, max_out, n_cap, blob)]) or None."""
     from .. import native
 
-    res = native.parse_fastx_hoco(seg)
+    res = native.parse_fastx_hoco(data, c0, c1)
     if res is None:
         return None
     names, rawlen, offs, codes, rl, isn = res
@@ -358,10 +359,17 @@ def load_and_extract(
         _tm[key] = _tm.get(key, 0.0) + (t1 - t0)
         return t1
 
-    def assemble(res, disp, keep, sid_base):
+    def assemble(res, disp, keep, sid_base, flats=None):
         """Decode dispatched chunks of one parse unit into ReadSyncmers
-        (entries beyond ``keep`` are skipped for the -D cap)."""
+        (entries beyond ``keep`` are skipped for the -D cap).  With
+        ``flats`` = (codes_full, rl_full, base), hoco views point into
+        the whole-file flat arrays (copied there by a worker thread)
+        instead of the per-segment parse buffers."""
         names, rawlen, offs, codes, rl, isn = res
+        if flats is not None:
+            codes_full, rl_full, vbase = flats
+            codes = codes_full[vbase : vbase + int(offs[keep])]
+            rl = rl_full[vbase : vbase + int(offs[keep])]
         reads: list = [None] * keep
         isn_b = isn.view(np.bool_)  # native parse emits 0/1 u8: free reinterpret
         for chunk, B, Lp, max_out, n_cap, blob, out in disp:
@@ -416,64 +424,123 @@ def load_and_extract(
             # first-compiles through the tunnel.  Smaller first segment
             # also starts the device pipeline sooner.
             n_seg = max(1, len(data) // _SEG_BYTES)
-            cuts = native.segment_record_cuts(data, n_seg)
-            segs = (
-                [data]
-                if cuts is None
-                else [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
-            )
-            seg_results = []
-            failed = False
             # fetch pool: each chunk's device->host result transfer runs
             # on its own thread as soon as the chunk is dispatched, so
             # the per-chunk relay-tunnel latencies overlap (~max instead
             # of ~sum; copy_to_host_async is a no-op through the tunnel)
             fetch_pool = ThreadPoolExecutor(8)
-            with ThreadPoolExecutor(min(4, len(segs))) as ex:
-                futs = [
-                    ex.submit(_parse_pack_segment, sg, w, s, batch_bases)
-                    for sg in segs
-                ]
-                for fut in futs:  # consume in order; dispatch as ready
-                    _t0 = _time.perf_counter()
-                    pr = fut.result()
-                    _t0 = _acc("parse_wait", _t0)
-                    if pr is None:
-                        failed = True
-                        continue
-                    res, chunks = pr
-                    disp = []
-                    for (chunk, B, Lp, max_out, n_cap, blob) in chunks:
-                        out = extract_hoco_fused_pallas(
-                            jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
-                            interpret=interpret,
-                        )
-                        disp.append((
-                            chunk, B, Lp, max_out, n_cap, blob,
+            # whole-file hoco flats, filled segment-by-segment on worker
+            # threads (numpy slice assignment drops the GIL): replaces
+            # the end-of-load np.concatenate of ~4x-file-size arrays,
+            # whose single-thread memcpy sat on the critical path
+            codes_full = np.empty(len(data), np.uint8)
+            rl_full = np.empty(len(data), np.uint32)
+
+            def _copy_seg(codes, rl, h, base):
+                codes_full[base : base + h] = codes[:h]
+                rl_full[base : base + h] = rl[:h]
+
+            failed = False
+            seg_results: list = []
+            copy_futs: list = []
+            file_cursor = 0
+            for attempt in (0, 1):
+                _t0 = _time.perf_counter()
+                guard_fut = None
+                cuts = None
+                if n_seg > 1:
+                    if attempt == 0 and data[:1] == b">":
+                        # optimistic: split on '\n>' now; the mixed-format
+                        # guard scan runs concurrently on a worker thread
+                        # instead of gating the whole pipeline
+                        cuts = native.fasta_record_cuts(data, n_seg)
+                        if cuts is not None:
+                            guard_fut = fetch_pool.submit(
+                                native.find_pattern2, data, b"\n@"
+                            )
+                    else:
+                        cuts = native.segment_record_cuts(data, n_seg)
+                bounds = (
+                    [(0, len(data))]
+                    if cuts is None
+                    else list(zip(cuts[:-1], cuts[1:]))
+                )
+                _t0 = _acc("cuts", _t0)
+                seg_results = []
+                copy_futs = []
+                failed = False
+                file_cursor = 0
+                with ThreadPoolExecutor(min(4, len(bounds))) as ex:
+                    futs = [
+                        ex.submit(_parse_pack_segment, data, c0, c1, w, s, batch_bases)
+                        for c0, c1 in bounds
+                    ]
+                    for fut in futs:  # consume in order; dispatch as ready
+                        _t0 = _time.perf_counter()
+                        pr = fut.result()
+                        _t0 = _acc("parse_wait", _t0)
+                        if pr is None:
+                            failed = True
+                            continue
+                        res, chunks = pr
+                        h_end = int(res[2][len(res[0])])
+                        copy_futs.append(
                             fetch_pool.submit(
-                                _fetch_chunk, out, blob, B, Lp, n_cap,
-                                max_out, w, s, interpret,
-                            ),
-                        ))
-                    _acc("dispatch", _t0)
-                    seg_results.append((res, disp))
+                                _copy_seg, res[3], res[4], h_end, file_cursor
+                            )
+                        )
+                        disp = []
+                        for (chunk, B, Lp, max_out, n_cap, blob) in chunks:
+                            out = extract_hoco_fused_pallas(
+                                jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
+                                interpret=interpret,
+                            )
+                            disp.append((
+                                chunk, B, Lp, max_out, n_cap, blob,
+                                fetch_pool.submit(
+                                    _fetch_chunk, out, blob, B, Lp, n_cap,
+                                    max_out, w, s, interpret,
+                                ),
+                            ))
+                        _acc("dispatch", _t0)
+                        seg_results.append((res, disp, file_cursor))
+                        file_cursor += h_end
+                if guard_fut is not None and guard_fut.result() >= 0:
+                    # rare mixed-format file: the optimistic '\n>' split
+                    # was unsafe; drain in-flight work and redo verified
+                    for _res, _disp, _b in seg_results:
+                        for item in _disp:
+                            try:
+                                item[-1].result()
+                            except Exception:
+                                pass
+                    for f in copy_futs:
+                        f.result()
+                    continue
+                break
             if failed:
                 fetch_pool.shutdown(wait=True)
                 return None
             _t0 = _time.perf_counter()
-            for res, disp in seg_results:
+            for f in copy_futs:
+                f.result()
+            _t0 = _acc("copy_wait", _t0)
+            for res, disp, vbase in seg_results:
                 names, rawlen, offs, codes, rl, isn = res
                 keep = len(names)
-                db.reads.extend(assemble(res, disp, keep, sid0))
+                db.reads.extend(
+                    assemble(res, disp, keep, sid0, (codes_full, rl_full, vbase))
+                )
                 total_raw += int(rawlen.sum())
                 h_end = int(offs[keep])
-                code_parts.append(codes[:h_end])
-                rl_parts.append(rl[:h_end])
                 off_parts.append(offs[:keep] + off_base)
                 off_base += h_end
                 sid0 += keep
+            code_parts.append(codes_full[:file_cursor])
+            rl_parts.append(rl_full[:file_cursor])
+            _t0 = _acc("assemble_total", _t0)
             fetch_pool.shutdown(wait=True)
-            _acc("assemble_total", _t0)
+            _acc("pool_shutdown", _t0)
             continue
 
         # ---- sequential flow (-D cap honored mid-file) ----

@@ -161,6 +161,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.count_byte2.restype = ctypes.c_int64
+        lib.count_byte2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8,
+        ]
+        lib.find_byte2.restype = ctypes.c_int64
+        lib.find_byte2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8,
+        ]
         lib.radix_sort_u64.restype = ctypes.c_int
         lib.radix_sort_u64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         lib.radix_argsort_u64.restype = ctypes.c_int
@@ -178,8 +186,47 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_fastx_hoco(data: bytes):
-    """Parse + hoco-compress a FASTA/FASTQ byte buffer natively.
+def count_header_marks(data: bytes, start: int = 0, end: int | None = None) -> int:
+    """GIL-free upper bound on the record count in data[start:end]: the
+    leading byte fixes the format, so only that header marker needs
+    counting (FASTQ quality lines starting with '@' merely inflate the
+    bound).  One native memchr scan instead of bytes.count (which holds
+    the GIL and would serialize the parse worker threads)."""
+    lib = _load()
+    if end is None:
+        end = len(data)
+    n = end - start
+    buf = np.frombuffer(data, np.uint8)
+    p = buf.ctypes.data + start
+    lead = data[start : start + 1]
+    if lead == b">":
+        return int(lib.count_byte2(p, n, 10, ord(">"))) + 2
+    if lead == b"@":
+        return int(lib.count_byte2(p, n, 10, ord("@"))) + 2
+    return (
+        int(lib.count_byte2(p, n, 10, ord(">")))
+        + int(lib.count_byte2(p, n, 10, ord("@")))
+        + 2
+    )
+
+
+def find_pattern2(data: bytes, pat: bytes, start: int = 0, end: int | None = None) -> int:
+    """First index of a 2-byte pattern in data[start:end] (absolute), or
+    -1.  Runs without the GIL (native memchr scan)."""
+    lib = _load()
+    if end is None:
+        end = len(data)
+    buf = np.frombuffer(data, np.uint8)
+    r = int(lib.find_byte2(buf.ctypes.data + start, end - start, pat[0], pat[1]))
+    return r + start if r >= 0 else -1
+
+
+def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None):
+    """Parse + hoco-compress a FASTA/FASTQ byte range natively.
+
+    ``start``/``end`` bound the parse to data[start:end] WITHOUT copying
+    the segment (the pipelined loader splits one big buffer into ~4 MB
+    segments; slicing bytes would memcpy the whole file again).
 
     Returns (names, rawlen[i64], offs[i64 n+1], codes[u8], rl[u32],
     isn[u8]) with per-read hoco streams concatenated, or None when the
@@ -188,8 +235,10 @@ def parse_fastx_hoco(data: bytes):
     lib = _load()
     if lib is None:
         return None
-    n = len(data)
-    max_reads = max(16, data.count(b"\n>") + data.count(b"\n@") + 2)
+    if end is None:
+        end = len(data)
+    n = end - start
+    max_reads = max(16, count_header_marks(data, start, end))
     max_hoco = n  # hoco never exceeds raw length
     codes = np.empty(max_hoco, np.uint8)
     rl = np.empty(max_hoco, np.uint32)
@@ -201,7 +250,7 @@ def parse_fastx_hoco(data: bytes):
     n_hoco = ctypes.c_int64(0)
     buf = np.frombuffer(data, np.uint8)
     ret = lib.parse_fastx_hoco(
-        buf.ctypes.data, n,
+        buf.ctypes.data + start, n,
         codes.ctypes.data, rl.ctypes.data, isn.ctypes.data,
         offs.ctypes.data, rawlen.ctypes.data,
         hdr_beg.ctypes.data, hdr_end.ctypes.data,
@@ -212,7 +261,7 @@ def parse_fastx_hoco(data: bytes):
     n_reads = int(ret)
     h = int(n_hoco.value)
     names = [
-        data[hdr_beg[i] : hdr_end[i]].decode() for i in range(n_reads)
+        data[start + hdr_beg[i] : start + hdr_end[i]].decode() for i in range(n_reads)
     ]
     return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
 
@@ -228,16 +277,8 @@ def segment_record_cuts(data: bytes, n_seg: int):
     record; quality bytes can be '@'/'>' so only line counting is safe."""
     if n_seg <= 1:
         return None
-    if data.startswith(b">") and b"\n@" not in data:
-        cuts = [0]
-        step = len(data) // n_seg
-        for t in range(1, n_seg):
-            p = data.find(b"\n>", max(cuts[-1], t * step))
-            if p < 0:
-                break
-            cuts.append(p + 1)
-        cuts.append(len(data))
-        return cuts if len(cuts) > 2 else None
+    if data.startswith(b">") and find_pattern2(data, b"\n@") < 0:
+        return fasta_record_cuts(data, n_seg)
     if data.startswith(b"@"):
         nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
         n_lines = len(nl) + (0 if data.endswith(b"\n") else 1)
@@ -260,6 +301,23 @@ def segment_record_cuts(data: bytes, n_seg: int):
     return None
 
 
+def fasta_record_cuts(data: bytes, n_seg: int):
+    """'\\n>'-boundary byte cuts of a FASTA buffer WITHOUT the mixed-
+    format guard scan.  The pipelined loader uses this optimistically
+    and validates `find_pattern2(data, b"\\n@") < 0` concurrently on a
+    worker thread (falling back to an unsplit parse on the rare hit),
+    keeping the 1-pass guard scan off the critical path."""
+    cuts = [0]
+    step = len(data) // n_seg
+    for t in range(1, n_seg):
+        p = data.find(b"\n>", max(cuts[-1], t * step))
+        if p < 0:
+            break
+        cuts.append(p + 1)
+    cuts.append(len(data))
+    return cuts if len(cuts) > 2 else None
+
+
 def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
     """Threaded FASTA parse+hoco: the byte buffer splits at record
     boundaries (:func:`segment_record_cuts`) and ctypes releases the
@@ -273,16 +331,14 @@ def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
     if n_threads <= 1 or len(data) < (4 << 20):
         return parse_fastx_hoco(data)
     cuts = segment_record_cuts(data, n_threads)
-    if cuts is None:
+    if cuts is None or len(cuts) <= 2:
         return parse_fastx_hoco(data)
-    segs = [data[cuts[i] : cuts[i + 1]] for i in range(len(cuts) - 1)]
-    if len(segs) == 1:
-        return parse_fastx_hoco(data)
+    bounds = [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(len(segs)) as ex:
-        parts = list(ex.map(parse_fastx_hoco, segs))
+    with ThreadPoolExecutor(len(bounds)) as ex:
+        parts = list(ex.map(lambda be: parse_fastx_hoco(data, be[0], be[1]), bounds))
     if any(p is None for p in parts):
         return parse_fastx_hoco(data)
     names = []

@@ -154,3 +154,35 @@ void pack_rows_gather(
         pack_one_row(codes + starts[r], ends[r] - starts[r],
                      rows + r * row_bytes);
 }
+
+/* GIL-free byte scans for the loader's critical path: counting record
+ * headers ("\n>"/"\n@") to bound allocation, and locating a 2-byte
+ * pattern to validate optimistic FASTA segment splits.  ctypes releases
+ * the GIL around these calls, so they overlap parse worker threads
+ * instead of serializing on bytes.count. */
+#include <string.h>
+
+int64_t count_byte2(const uint8_t *p, int64_t n, uint8_t a, uint8_t b)
+{
+    int64_t cnt = 0;
+    const uint8_t *end = p + n;
+    while (p < end - 1) {
+        const uint8_t *q = memchr(p, a, end - p - 1);
+        if (!q) break;
+        cnt += (q[1] == b);
+        p = q + 1;
+    }
+    return cnt;
+}
+
+int64_t find_byte2(const uint8_t *p, int64_t n, uint8_t a, uint8_t b)
+{
+    const uint8_t *base = p, *end = p + n;
+    while (p < end - 1) {
+        const uint8_t *q = memchr(p, a, end - p - 1);
+        if (!q) break;
+        if (q[1] == b) return q - base;
+        p = q + 1;
+    }
+    return -1;
+}

@@ -132,3 +132,46 @@ def test_overflow_retry(tmp_path, monkeypatch):
     monkeypatch.undo()
     assert db is not None
     _assert_same(db, _oracle_db([str(fa)]))
+
+
+def test_optimistic_guard_fallback(tmp_path, monkeypatch, reads):
+    """A FASTA-leading file with embedded FASTQ records trips the
+    concurrent '\\n@' guard: the optimistic '\\n>' split is discarded,
+    the verified retry (unsplit parse) runs, and — because the native
+    parser rejects mixed buffers by design — the loader returns None so
+    the caller falls back to the Python reader, exactly as before the
+    optimistic split existed.  The fallback must match the oracle."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+    from oatk_tpu.asm.pipeline import load_reads
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    mixed = tmp_path / "m.fa"
+    with open(mixed, "w") as f:
+        for i, r in enumerate(reads[:15]):
+            f.write(f">r{i}\n{r}\n")
+        for i, r in enumerate(reads[15:30]):
+            f.write(f"@q{i}\n{r}\n+\n{'I' * len(r)}\n")
+    monkeypatch.setattr(R, "_SEG_BYTES", 2048)  # force the split attempt
+    assert R.load_and_extract([str(mixed)], W, S, impl="pallas") is None
+    db = load_reads([str(mixed)], W, S, use_device=False)
+    _assert_same(db, _oracle_db([str(mixed)]))
+
+
+def test_bounded_parse_equals_slice_parse(reads):
+    """parse_fastx_hoco(data, start, end) (zero-copy range) must equal
+    parse_fastx_hoco(data[start:end]) for every record boundary cut."""
+    from oatk_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    blob = b"".join(f">r{i}\n{r}\n".encode() for i, r in enumerate(reads[:24]))
+    cuts = native.fasta_record_cuts(blob, 5)
+    assert cuts is not None
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        a = native.parse_fastx_hoco(blob, c0, c1)
+        b = native.parse_fastx_hoco(blob[c0:c1])
+        assert a[0] == b[0]
+        for x, y in zip(a[1:], b[1:]):
+            assert np.array_equal(x, y)
