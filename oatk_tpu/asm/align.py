@@ -53,9 +53,66 @@ class RaDB(list):
     flat keys: sids (aligned-read sid order), frag6 [N,6] i64 rows
     (uid, u_beg, u_end, s_beg, s_end, s_cnt) in emission order,
     aln_cut (global frag offsets per alignment), read_aln_off
-    (alignment offsets per sid, zero-span for unmapped reads)."""
+    (alignment offsets per sid, zero-span for unmapped reads),
+    max_score (per sid, int64).
+
+    The native path leaves the list EMPTY (lazy): the per-chain
+    ReadAln/RaFrag objects -- tens of thousands of tiny dataclasses --
+    are only materialized if something actually iterates/indexes the
+    list.  All pipeline consumers work off ``flat`` directly, so in the
+    common run nothing ever does."""
 
     flat: dict | None = None
+
+    def __init__(self):
+        super().__init__()
+        self.flat = None
+        self._lazy = False
+
+    def _materialize(self):
+        if not self._lazy:
+            return
+        self._lazy = False
+        f = self.flat
+        of5 = f["frag6"][:, :5].tolist()  # bulk C conversion to py ints
+        chain_cut = f["aln_cut"]
+        read_cut = f["read_aln_off"]
+        sids = f["sids"]
+        ms = f["max_score"]
+        for gi in range(len(sids)):
+            c0, c1 = int(read_cut[gi]), int(read_cut[gi + 1])
+            n_a = c1 - c0
+            if n_a == 0:
+                continue
+            sid = int(sids[gi])
+            s = 1.0 / n_a + int(ms[gi])
+            for c in range(c0, c1):
+                f0, f1 = int(chain_cut[c]), int(chain_cut[c + 1])
+                frags = [RaFrag(*of5[t]) for t in range(f0, f1)]
+                list.append(self, ReadAln(sid, frags, s))
+
+    def __len__(self):
+        self._materialize()
+        return list.__len__(self)
+
+    def __iter__(self):
+        self._materialize()
+        return list.__iter__(self)
+
+    def __getitem__(self, i):
+        self._materialize()
+        return list.__getitem__(self, i)
+
+    def __bool__(self):
+        if self._lazy:
+            return int(self.flat["read_aln_off"][-1]) > 0
+        return list.__len__(self) > 0
+
+    def n_aln(self) -> int:
+        """Number of alignment chains, without materializing."""
+        if self._lazy:
+            return int(self.flat["read_aln_off"][-1])
+        return list.__len__(self)
 
 
 def _align_one(
@@ -241,7 +298,10 @@ def _align_one(
     return out, max_score
 
 
-def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray):
+def _batch_anchors(
+    read_db: ReadDB, scg: Scg, sids: np.ndarray, ulen: np.ndarray,
+    ns: np.ndarray | None = None,
+):
     """Anchor arrays for the gated reads, concatenated and sorted per
     read by (uid, spos, upos) -- the exact order _align_one works in.
     Fully vectorized: one index expansion + one lexsort over every
@@ -249,7 +309,8 @@ def _batch_anchors(read_db: ReadDB, scg: Scg, sids: list[int], ulen: np.ndarray)
     idx = scg.idx
     G = len(sids)
     reads = read_db.reads
-    ns = np.fromiter((len(reads[s].m_pos) for s in sids), np.int64, count=G)
+    if ns is None:
+        ns = np.fromiter((len(reads[s].m_pos) for s in sids), np.int64, count=G)
     total = int(ns.sum())
     if total == 0:
         z = np.zeros(0, np.int64)
@@ -319,6 +380,97 @@ def _arc_table(g):
     return np.ascontiguousarray(uk), np.ascontiguousarray(g.aln[live[first]].astype(np.int64))
 
 
+def chain_tables(g, idx, flat):
+    """Vectorized per-chain tables for the native aligner's flat arrays,
+    shared by multiplex (unzip.py) and arc-coverage (coverage.py) so
+    neither needs the per-ReadAln object loops.
+
+    Returns None when any consecutive-fragment arc is missing from
+    storage (callers fall back to the object path), else a dict with:
+
+    - t:        [P] frag index of each pair's first fragment (pairs are
+                consecutive fragments within one chain, in array order)
+    - pair_chain: [P] chain index of each pair
+    - l, c:     [P] arc_id / comp_arc_id of the pair's arc (asmg.arc_idx
+                semantics: first storage match in scan order, deleted
+                arcs included)
+    - uniq:     [F] per-fragment flag, True when the fragment covers a
+                syncmer with a single occurrence in the graph OR its
+                chain is uniquely scored (score >= 0.99), matching the
+                object loops' conditional uniq computation
+    - score:    [C] per-chain score (1.0 for single-chain reads, else
+                1/n_chains; the object code's frac(ra.s)-with-epsilon)
+    - nfr:      [C] fragments per chain
+    """
+    frag6 = flat["frag6"]
+    cc = np.asarray(flat["aln_cut"], np.int64)
+    rc = np.asarray(flat["read_aln_off"], np.int64)
+    F = frag6.shape[0]
+    n_chain = len(cc) - 1
+    nfr = np.diff(cc)
+    n_a = np.diff(rc)
+    n_a_chain = np.repeat(n_a, n_a)
+    score = np.where(n_a_chain == 1, 1.0, 1.0 / np.maximum(n_a_chain, 1))
+
+    # per-fragment uniq: prefix sums of the unique-syncmer mask over the
+    # flat vertex syncmer arrays
+    va_len = np.fromiter(
+        (len(a) if a is not None else 0 for a in g.vtx_a), np.int64, count=g.n_vtx
+    )
+    va_off = np.zeros(g.n_vtx + 1, np.int64)
+    np.cumsum(va_len, out=va_off[1:])
+    va_flat = (
+        np.concatenate([a for a in g.vtx_a if a is not None and len(a)])
+        if int(va_off[-1])
+        else np.zeros(0, np.uint64)
+    )
+    s_all = (va_flat >> np.uint64(1)).astype(np.int64)
+    uq_mask = (idx.start[s_all + 1] - idx.start[s_all]) == 1
+    csum = np.zeros(len(va_flat) + 1, np.int64)
+    np.cumsum(uq_mask, out=csum[1:])
+    uidv = frag6[:, 0].astype(np.int64)
+    base = va_off[uidv >> 1]
+    uniq = (csum[base + frag6[:, 2].astype(np.int64) + 1]
+            - csum[base + frag6[:, 1].astype(np.int64)]) > 0
+    frag_chain = np.repeat(np.arange(n_chain, dtype=np.int64), nfr)
+    uniq |= score[frag_chain] >= 0.99
+
+    # consecutive-fragment pairs (chains are contiguous in frag order)
+    is_last = np.zeros(F, bool)
+    is_last[cc[1:][nfr > 0] - 1] = True
+    t = np.flatnonzero(~is_last)
+    if len(t) and t[-1] == F - 1:  # trailing empty-chain guard
+        t = t[:-1]
+    pair_chain = frag_chain[t]
+
+    # arc lookup over ALL storage arcs: stable-sorted (v<<32|w) keys,
+    # first storage index per key == asmg.arc_idx's scan result
+    g._flush_pending()
+    if len(g.av):
+        key = (g.av.astype(np.uint64) << np.uint64(32)) | g.aw.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        fm = np.ones(len(ks), bool)
+        fm[1:] = ks[1:] != ks[:-1]
+        uk, ui = ks[fm], order[fm]
+    else:
+        uk = np.zeros(0, np.uint64)
+        ui = np.zeros(0, np.int64)
+    v = uidv[t]
+    w = uidv[t + 1]
+    qk = (v.astype(np.uint64) << np.uint64(32)) | w.astype(np.uint64)
+    pos = np.minimum(np.searchsorted(uk, qk), max(len(uk) - 1, 0))
+    if len(uk) == 0 or not np.all(uk[pos] == qk):
+        return None
+    ai = ui[pos]
+    l_id = (g.alink[ai].astype(np.int64) << 1) | g.acomp[ai].astype(np.int64)
+    c_id = l_id ^ ((g.av[ai].astype(np.int64) ^ 1) != g.aw[ai].astype(np.int64))
+    return dict(
+        t=t, pair_chain=pair_chain, l=l_id, c=c_id,
+        uniq=uniq, score=score, nfr=nfr,
+    )
+
+
 def scg_read_alignment(
     read_db: ReadDB, scg: Scg, for_unzip: bool = False, old_ra_db: list | None = None
 ) -> list[ReadAln]:
@@ -326,55 +478,71 @@ def scg_read_alignment(
     if scg.utg.vtx_n1() == 0:
         return []
     n_reads = read_db.n
-    old_ra = np.ones(n_reads, np.int64)  # score_threshold<<1 | do_align
-    if for_unzip and old_ra_db:
-        old_ra[:] = 0
-        for ra in old_ra_db:
-            if ra.n > 2 and (old_ra[ra.sid] & 1) == 0:
-                intpart = int(ra.s)
-                if ra.s - intpart < 1e-9:
-                    intpart -= 1
-                old_ra[ra.sid] = intpart << 1 | 1
-
-    ra_db: RaDB = RaDB()
-    n_mapped = n_unique = n_mappable = 0
-    g = scg.utg
-    ulen = np.fromiter((len(a) for a in g.vtx_a), np.int64, count=g.n_vtx)
-    for r in read_db.reads:
-        if len(r.m_pos) > 0:
-            n_mappable += 1
-
     from .. import native
 
-    sids = [r.sid for r in read_db.reads if (old_ra[r.sid] & 1) and len(r.m_pos) > 0]
-    if native.available() and sids:
-        uid, upos, spos, aoff = _batch_anchors(read_db, scg, sids, ulen)
-        n_scm = np.fromiter((len(read_db.reads[s].m_pos) for s in sids), np.int64, count=len(sids))
-        min_sc = (old_ra[np.asarray(sids, np.int64)] >> 1).astype(np.int64)
+    # per-read syncmer counts, cached per ReadDB version (EC bumps it)
+    mc_cache = getattr(read_db, "_mc_cache", None)
+    if mc_cache is None or mc_cache[0] != getattr(read_db, "version", 0):
+        mc = np.fromiter(
+            (len(r.m_pos) for r in read_db.reads), np.int64, count=n_reads
+        )
+        read_db._mc_cache = (getattr(read_db, "version", 0), mc)
+    else:
+        mc = mc_cache[1]
+
+    old_ra = np.ones(n_reads, np.int64)  # score_threshold<<1 | do_align
+    if for_unzip and old_ra_db:
+        old_flat = getattr(old_ra_db, "flat", None)
+        if old_flat is not None and "max_score" in old_flat:
+            # vectorized gate: a read realigns iff some chain spans >2
+            # fragments; its threshold is the previous max_score (the
+            # object loop's int(ra.s) adjustment always lands there:
+            # s = 1/n_a + max_score with 0 < 1/n_a <= 1)
+            old_ra[:] = 0
+            sids_o = old_flat["sids"]
+            n_a_o = np.diff(old_flat["read_aln_off"])
+            nfr = np.diff(old_flat["aln_cut"])
+            has3 = np.zeros(len(sids_o), bool)
+            aln_read = np.repeat(np.arange(len(sids_o), dtype=np.int64), n_a_o)
+            has3[aln_read[nfr > 2]] = True
+            ms_o = old_flat["max_score"].astype(np.int64)
+            old_ra[sids_o[has3]] = (ms_o[has3] << 1) | 1
+        else:
+            old_ra[:] = 0
+            for ra in old_ra_db:
+                if ra.n > 2 and (old_ra[ra.sid] & 1) == 0:
+                    intpart = int(ra.s)
+                    if ra.s - intpart < 1e-9:
+                        intpart -= 1
+                    old_ra[ra.sid] = intpart << 1 | 1
+
+    ra_db: RaDB = RaDB()
+    n_mapped = n_unique = 0
+    g = scg.utg
+    ulen = np.fromiter((len(a) for a in g.vtx_a), np.int64, count=g.n_vtx)
+    n_mappable = int((mc > 0).sum())
+
+    sids_arr = np.flatnonzero((mc > 0) & ((old_ra & 1) == 1))
+    if native.available() and len(sids_arr):
+        n_scm = mc[sids_arr]
+        uid, upos, spos, aoff = _batch_anchors(read_db, scg, sids_arr, ulen, n_scm)
+        min_sc = (old_ra[sids_arr] >> 1).astype(np.int64)
         arc_key, arc_aln = _arc_table(g)
         res = native.align_batch(uid, upos, spos, aoff, n_scm, min_sc, ulen, arc_key, arc_aln)
         out_frag, chain_cut, read_cut, max_score = res
         ra_db.flat = dict(
-            sids=np.asarray(sids, np.int64),
+            sids=sids_arr,
             frag6=out_frag,
             aln_cut=chain_cut,
             read_aln_off=read_cut,
+            max_score=max_score,
         )
-        of5 = out_frag[:, :5].tolist()  # bulk C conversion to py ints
-        for gi, sid in enumerate(sids):
-            c0, c1 = int(read_cut[gi]), int(read_cut[gi + 1])
-            n_a = c1 - c0
-            if n_a == 0:
-                continue
-            n_mapped += 1
-            if n_a == 1:
-                n_unique += 1
-            ms = int(max_score[gi])
-            for c in range(c0, c1):
-                f0, f1 = int(chain_cut[c]), int(chain_cut[c + 1])
-                frags = [RaFrag(*of5[t]) for t in range(f0, f1)]
-                ra_db.append(ReadAln(sid, frags, 1.0 / n_a + ms))
+        ra_db._lazy = True
+        n_a_read = np.diff(read_cut)
+        n_mapped = int((n_a_read > 0).sum())
+        n_unique = int((n_a_read == 1).sum())
     else:
+        sids = sids_arr.tolist()
         for sid in sids:
             r = read_db.reads[sid]
             chains, max_score = _align_one(r, scg, int(old_ra[r.sid]) >> 1, ulen)

@@ -171,8 +171,9 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
     flat = getattr(ra_db, "flat", None)
     # the native aligner's flat arrays are usable iff ra_db is exactly
     # the alignment set they describe (one ReadAln per chain)
-    use_flat = (
-        use_native and flat is not None and len(flat["aln_cut"]) - 1 == len(ra_db)
+    use_flat = use_native and flat is not None and (
+        getattr(ra_db, "_lazy", False)
+        or len(flat["aln_cut"]) - 1 == list.__len__(ra_db)
     )
     if use_native:
         va_flat = np.concatenate(
@@ -389,38 +390,73 @@ def scg_ra_arc_coverage(
     g = scg.utg
     g._flush_pending()
     idx = scg.idx
-    dup_s: dict[int, float] = {}
-    for ra in ra_db:
-        if ra.n < 2:
-            continue
-        score = ra.s - int(ra.s)
-        if score < DBL_EPSILON:
-            score = 1.0
-        if score < 0.99:
-            uniq = []
-            for frg in ra.frags:
-                a = g.vtx_a[frg.uid >> 1]
-                u = False
-                for t in range(frg.u_beg, frg.u_end + 1):
-                    if idx.n_occ(int(a[t]) >> 1) == 1:
-                        u = True
-                        break
-                uniq.append(u)
-        else:
-            uniq = [True] * ra.n
-        for j in range(1, ra.n):
-            ai = g.arc_idx(ra.frags[j - 1].uid, ra.frags[j].uid)
-            if ai is None:
+    flat = getattr(ra_db, "flat", None)
+    tbl = None
+    if flat is not None and "max_score" in flat and (
+        getattr(ra_db, "_lazy", False)
+        or len(flat["aln_cut"]) - 1 == list.__len__(ra_db)
+    ):
+        from .align import chain_tables
+
+        tbl = chain_tables(g, idx, flat)
+    if tbl is not None:
+        # vectorized pair accumulation; l/c contributions interleaved in
+        # pair order so per-link float-addition order matches the
+        # object loop's dict updates bit-exactly
+        t, pc = tbl["t"], tbl["pair_chain"]
+        uniq, score = tbl["uniq"], tbl["score"]
+        sel = np.flatnonzero(uniq[t] & uniq[t + 1])
+        ids = np.empty(2 * len(sel), np.int64)
+        ids[0::2] = tbl["l"][sel]
+        ids[1::2] = tbl["c"][sel]
+        wts = np.empty(2 * len(sel))
+        wts[0::2] = score[pc[sel]]
+        wts[1::2] = score[pc[sel]]
+        aid_all = (g.alink.astype(np.int64) << 1) | g.acomp.astype(np.int64)
+        nbin = int(max(aid_all.max() + 1 if len(aid_all) else 1,
+                       ids.max() + 1 if len(ids) else 1, 1))
+        dup = np.bincount(ids, weights=wts, minlength=nbin)
+        live = ~g.adel
+        # unassigned link ids (UINT64_MAX) turn negative under the i64
+        # cast; the dict path scored them 0.0
+        aid_live = aid_all[live]
+        vals = np.where(
+            (aid_live >= 0) & (aid_live < nbin), dup[np.clip(aid_live, 0, nbin - 1)], 0.0
+        )
+        g.acov[live] = vals.astype(g.acov.dtype)
+    else:
+        dup_s: dict[int, float] = {}
+        for ra in ra_db:
+            if ra.n < 2:
                 continue
-            l0 = g.arc_id(ai)
-            c0 = g.comp_arc_id(ai)
-            if uniq[j - 1] and uniq[j]:
-                dup_s[l0] = dup_s.get(l0, 0.0) + score
-                dup_s[c0] = dup_s.get(c0, 0.0) + score
-    for i in range(len(g.av)):
-        if g.adel[i]:
-            continue
-        g.acov[i] = int(dup_s.get(g.arc_id(i), 0.0))
+            score = ra.s - int(ra.s)
+            if score < DBL_EPSILON:
+                score = 1.0
+            if score < 0.99:
+                uniq = []
+                for frg in ra.frags:
+                    a = g.vtx_a[frg.uid >> 1]
+                    u = False
+                    for t in range(frg.u_beg, frg.u_end + 1):
+                        if idx.n_occ(int(a[t]) >> 1) == 1:
+                            u = True
+                            break
+                    uniq.append(u)
+            else:
+                uniq = [True] * ra.n
+            for j in range(1, ra.n):
+                ai = g.arc_idx(ra.frags[j - 1].uid, ra.frags[j].uid)
+                if ai is None:
+                    continue
+                l0 = g.arc_id(ai)
+                c0 = g.comp_arc_id(ai)
+                if uniq[j - 1] and uniq[j]:
+                    dup_s[l0] = dup_s.get(l0, 0.0) + score
+                    dup_s[c0] = dup_s.get(c0, 0.0) + score
+        for i in range(len(g.av)):
+            if g.adel[i]:
+                continue
+            g.acov[i] = int(dup_s.get(g.arc_id(i), 0.0))
     if refine:
         scg_refine_arc_coverage(scg, verbose)
     else:

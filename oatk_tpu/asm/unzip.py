@@ -27,32 +27,73 @@ def scg_multiplex(
 
     # spanning triplet scores keyed by (link_id_in, link_id_out)
     tri_s: dict[tuple[int, int], float] = {}
-    for ra in ra_db:
-        m = ra.n
-        if m < 3:
-            continue
-        score = ra.s - int(ra.s)
-        if score < DBL_EPSILON:
-            score = 1.0
-        if score < 0.99:
-            uniq = []
-            for frg in ra.frags:
-                a = g.vtx_a[frg.uid >> 1]
-                u = any(
-                    idx.n_occ(int(a[t]) >> 1) == 1 for t in range(frg.u_beg, frg.u_end + 1)
-                )
-                uniq.append(u)
-        else:
-            uniq = [True] * m
-        ai = g.arc_idx(ra.frags[0].uid, ra.frags[1].uid)
-        l0, c0 = g.arc_id(ai), g.comp_arc_id(ai)
-        for j in range(2, m):
-            ai = g.arc_idx(ra.frags[j - 1].uid, ra.frags[j].uid)
-            l1, c1 = g.arc_id(ai), g.comp_arc_id(ai)
-            if uniq[j - 2] and uniq[j - 1] and uniq[j]:
-                tri_s[(l0, l1)] = tri_s.get((l0, l1), 0.0) + score
-                tri_s[(c1, c0)] = tri_s.get((c1, c0), 0.0) + score
-            l0, c0 = l1, c1
+    flat = getattr(ra_db, "flat", None)
+    tbl = None
+    if flat is not None and "max_score" in flat and (
+        getattr(ra_db, "_lazy", False)
+        or len(flat["aln_cut"]) - 1 == list.__len__(ra_db)
+    ):
+        from .align import chain_tables
+
+        tbl = chain_tables(g, idx, flat)
+    if tbl is not None:
+        # vectorized spanning-triplet accumulation: consecutive pair
+        # (p, p+1) within one chain spans fragments (t, t+1, t+2); the
+        # two key streams are interleaved exactly like the object
+        # loop's l-then-c dict updates so per-key float-addition order
+        # (and thus the bit-exact sums) is preserved
+        t, pc = tbl["t"], tbl["pair_chain"]
+        l_id, c_id = tbl["l"], tbl["c"]
+        uniq, score = tbl["uniq"], tbl["score"]
+        p = np.flatnonzero(pc[1:] == pc[:-1])  # pair p and p+1 same chain
+        if len(p):
+            ok = uniq[t[p]] & uniq[t[p] + 1] & uniq[t[p] + 2]
+            p = p[ok]
+        if len(p):
+            keys = np.empty(2 * len(p), np.uint64)
+            keys[0::2] = (l_id[p].astype(np.uint64) << np.uint64(32)) | l_id[
+                p + 1
+            ].astype(np.uint64)
+            keys[1::2] = (c_id[p + 1].astype(np.uint64) << np.uint64(32)) | c_id[
+                p
+            ].astype(np.uint64)
+            wts = np.empty(2 * len(p))
+            wts[0::2] = score[pc[p]]
+            wts[1::2] = score[pc[p]]
+            uk, inv = np.unique(keys, return_inverse=True)
+            tot = np.zeros(len(uk))
+            np.add.at(tot, inv, wts)
+            m32 = np.uint64(0xFFFFFFFF)
+            for kk, vv in zip(uk, tot):
+                tri_s[(int(kk >> np.uint64(32)), int(kk & m32))] = float(vv)
+    else:
+        for ra in ra_db:
+            m = ra.n
+            if m < 3:
+                continue
+            score = ra.s - int(ra.s)
+            if score < DBL_EPSILON:
+                score = 1.0
+            if score < 0.99:
+                uniq = []
+                for frg in ra.frags:
+                    a = g.vtx_a[frg.uid >> 1]
+                    u = any(
+                        idx.n_occ(int(a[t]) >> 1) == 1
+                        for t in range(frg.u_beg, frg.u_end + 1)
+                    )
+                    uniq.append(u)
+            else:
+                uniq = [True] * m
+            ai = g.arc_idx(ra.frags[0].uid, ra.frags[1].uid)
+            l0, c0 = g.arc_id(ai), g.comp_arc_id(ai)
+            for j in range(2, m):
+                ai = g.arc_idx(ra.frags[j - 1].uid, ra.frags[j].uid)
+                l1, c1 = g.arc_id(ai), g.comp_arc_id(ai)
+                if uniq[j - 2] and uniq[j - 1] and uniq[j]:
+                    tri_s[(l0, l1)] = tri_s.get((l0, l1), 0.0) + score
+                    tri_s[(c1, c0)] = tri_s.get((c1, c0), 0.0) + score
+                l0, c0 = l1, c1
 
     max_l_id = g.max_link_id()
     n_arc0 = len(g.av)
