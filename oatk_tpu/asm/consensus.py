@@ -300,6 +300,21 @@ def unitig_consensus(
     return l
 
 
+def ensure_vtx_seq(utg):
+    """Decode cached raw consensus emissions into vtx_seq strings.
+
+    The batched scg_consensus path skips eager decoding (the scg0 call
+    would decode tens of thousands of single-syncmer strings); only the
+    EC Python fallback actually walks vtx_seq, and calls this first."""
+    buf = getattr(utg, "_seq_buf", None)
+    cuts = getattr(utg, "_seq_cuts", None)
+    if buf is None or cuts is None:
+        return
+    for i in range(utg.n_vtx):
+        if not utg.vtx_del[i] and utg.vtx_seq[i] is None:
+            utg.vtx_seq[i] = buf[int(cuts[i]) : int(cuts[i + 1])].tobytes().decode()
+
+
 def _utg_avg_cov(scg: Scg, i: int) -> float:
     """IQR-trimmed mean coverage over (preferably single-copy) syncmers."""
     utg = scg.utg
@@ -386,25 +401,46 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 break
             cap *= 4
         if save_seq:
-            # raw emission buffer for native EC (skips str round trips)
+            # raw emission buffer for native EC; vtx_seq strings are NOT
+            # decoded here -- the EC Python fallback decodes on demand
+            # via ensure_vtx_seq (the scg0 call would otherwise decode
+            # tens of thousands of single-syncmer strings for nothing)
             utg._seq_buf = buf[: int(ret)].copy()
             utg._seq_cuts = cuts.copy()
-        need_str = save_seq or fo is not None
-        for i in range(n_vtx):
-            if utg.vtx_del[i]:
-                continue
-            l = int(cuts[i + 1] - cuts[i])
-            cov = utg.vtx_cov[i] if utg.vtx_cov[i] else _utg_avg_cov(scg, i)
-            utg.vtx_cov[i] = int(cov)
-            utg.vtx_len[i] = l
-            if need_str:
+        # per-vertex lengths/coverages vectorized; fresh coverages for
+        # single-syncmer vertices collapse to that syncmer's own count
+        # (_utg_avg_cov of one value is the value, whichever sel branch)
+        live_b = live.view(bool)
+        lens_all = np.diff(cuts)
+        cov_f = np.fromiter(
+            (utg.vtx_cov[i] for i in range(n_vtx)), np.float64, count=n_vtx
+        )
+        va_len = np.diff(va_off)
+        need = live_b & (cov_f == 0)
+        single = need & (va_len == 1)
+        if np.any(single):
+            s1 = (va_flat[va_off[:-1][single]] >> np.uint64(1)).astype(np.int64)
+            cov_f[single] = scm_db.cov[s1]
+        for i in np.flatnonzero(need & (va_len != 1)).tolist():
+            cov_f[i] = _utg_avg_cov(scg, i)
+        old_len = np.fromiter(
+            (utg.vtx_len[i] for i in range(n_vtx)), np.int64, count=n_vtx
+        )
+        new_len = np.where(live_b, lens_all, old_len)
+        old_cov = np.fromiter(
+            (utg.vtx_cov[i] for i in range(n_vtx)), np.int64, count=n_vtx
+        )
+        new_cov = np.where(live_b, cov_f.astype(np.int64), old_cov)
+        utg.vtx_len[:n_vtx] = new_len.tolist()
+        utg.vtx_cov[:n_vtx] = new_cov.tolist()
+        if fo is not None:
+            for i in np.flatnonzero(live_b).tolist():
+                l = int(lens_all[i])
+                cov = float(cov_f[i])
                 seq = buf[cuts[i] : cuts[i + 1]].tobytes().decode()
-                if save_seq:
-                    utg.vtx_seq[i] = seq
-                if fo:
-                    fo.write(
-                        f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{float(cov):.3f}\n"
-                    )
+                fo.write(
+                    f"S\tu{i}\t{seq}\tLN:i:{l}\tKC:i:{int(l * cov)}\tSC:f:{cov:.3f}\n"
+                )
     else:
         for i in range(n_vtx):
             if utg.vtx_del[i]:

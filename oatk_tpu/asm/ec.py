@@ -421,6 +421,9 @@ def read_error_correction(
 
     stats = np.zeros(11, np.int64)
     if not _correct_reads_native(read_db, scg, max_edist, stats):
+        from .consensus import ensure_vtx_seq
+
+        ensure_vtx_seq(scg.utg)
         conf = WfState()
         dfs = _DfsInfo()
         for r in read_db.reads:

@@ -263,7 +263,11 @@ int64_t utg_consensus_emit_batch(
 {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 16) n_threads = 16;
-    if ((int64_t)n_vtx < 4 * n_threads) n_threads = 1;
+    if (n_threads > n_vtx) n_threads = n_vtx > 0 ? n_vtx : 1;
+    /* approx workload ~ syncmer mass * window size; below ~64k the
+     * pthread spawn cost outweighs any split (post-unitigging organelle
+     * graphs have few vertices but large mass, so never gate on count) */
+    if (n_vtx > 0 && va_off[n_vtx] * w < 65536) n_threads = 1;
     int64_t *vlen = (int64_t *)malloc((n_vtx ? n_vtx : 1) * sizeof(int64_t));
     if (!vlen) return -2;
     cons_range_t rg[16];
