@@ -481,14 +481,9 @@ def scg_read_alignment(
     from .. import native
 
     # per-read syncmer counts, cached per ReadDB version (EC bumps it)
-    mc_cache = getattr(read_db, "_mc_cache", None)
-    if mc_cache is None or mc_cache[0] != getattr(read_db, "version", 0):
-        mc = np.fromiter(
-            (len(r.m_pos) for r in read_db.reads), np.int64, count=n_reads
-        )
-        read_db._mc_cache = (getattr(read_db, "version", 0), mc)
-    else:
-        mc = mc_cache[1]
+    from .consensus import read_flats
+
+    mc = read_flats(read_db).mc
 
     old_ra = np.ones(n_reads, np.int64)  # score_threshold<<1 | do_align
     if for_unzip and old_ra_db:

@@ -22,52 +22,95 @@ _NT = np.frombuffer(b"ACGT", np.uint8)
 MAX_RD_LEN = 0x7FFFFFFF
 
 
-class _Flats:
-    """Flat concatenations of the per-read arrays for the native (C)
-    consensus loops; built once per scg_consensus call.  None when the
-    native library is unavailable (pure-Python loops used instead)."""
+def _hoco_flats(read_db: ReadDB):
+    """(hoff, code_flat, rl_flat): hoco streams are immutable per ReadDB
+    (EC splices only the syncmer arrays), so this caches forever."""
+    cached = getattr(read_db, "_hoco_fcache", None)
+    if cached is not None:
+        return cached
+    reads = read_db.reads
+    n = len(reads)
+    if (
+        getattr(read_db, "hoco_flat", None) is not None
+        and read_db.hoco_off is not None
+        and len(read_db.hoco_off) == n + 1
+    ):
+        # the native loader already holds the whole-run hoco streams
+        # (per-read arrays are views into them): zero-copy reuse
+        hf = (read_db.hoco_off[:n], read_db.hoco_flat, read_db.rl_flat)
+    else:
+        hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
+        hoff = np.zeros(n, np.int64)
+        if n > 1:
+            np.cumsum(hl[:-1], out=hoff[1:])
+        code = (
+            np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False)
+            if n else np.zeros(0, np.uint8)
+        )
+        rl = (
+            np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False)
+            if n else np.zeros(0, np.uint32)
+        )
+        hf = (hoff, code, rl)
+    read_db._hoco_fcache = hf
+    return hf
 
-    def __init__(self, read_db: ReadDB, scm_db: SyncmerDB, static=None):
+
+class _ReadFlats:
+    """Flat concatenations of the per-read syncmer arrays, cached per
+    ReadDB version (EC bumps it).  Shared by consensus, alignment,
+    error correction and the stat pass."""
+
+    __slots__ = ("mc", "moff", "kflat", "mflat", "_sflat")
+
+    def __init__(self, read_db: ReadDB):
         reads = read_db.reads
         n = len(reads)
-        mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n)
+        self.mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n)
         self.moff = np.zeros(n, np.int64)
         if n > 1:
-            np.cumsum(mc[:-1], out=self.moff[1:])
-        z64, z32, z8 = np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.uint8)
+            np.cumsum(self.mc[:-1], out=self.moff[1:])
         self.kflat = (
-            np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False) if n else z64
+            np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False)
+            if n else np.zeros(0, np.uint64)
         )
         self.mflat = (
-            np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False) if n else z32
+            np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False)
+            if n else np.zeros(0, np.uint32)
         )
-        if static is not None:
-            # hoco streams never mutate (EC splices only the syncmer
-            # arrays): reuse the first build's concatenations
-            self.hoff, self.code_flat, self.rl_flat = static
-        elif (
-            getattr(read_db, "hoco_flat", None) is not None
-            and read_db.hoco_off is not None
-            and len(read_db.hoco_off) == n + 1
-        ):
-            # the native loader already holds the whole-run hoco streams
-            # (per-read arrays are views into them): zero-copy reuse
-            self.hoff = read_db.hoco_off[:n]
-            self.code_flat = read_db.hoco_flat
-            self.rl_flat = read_db.rl_flat
-        else:
-            hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
-            self.hoff = np.zeros(n, np.int64)
-            if n > 1:
-                np.cumsum(hl[:-1], out=self.hoff[1:])
-            self.code_flat = (
-                np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False)
-                if n else z8
+        self._sflat = None
+
+    def smer(self, reads):
+        """Flat s_mer stream (only the stat pass wants it; lazy)."""
+        if self._sflat is None:
+            self._sflat = (
+                np.concatenate([r.s_mer for r in reads])
+                if len(reads) else np.zeros(0, np.uint64)
             )
-            self.rl_flat = (
-                np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False)
-                if n else z32
-            )
+        return self._sflat
+
+
+def read_flats(read_db: ReadDB) -> _ReadFlats:
+    key = getattr(read_db, "version", 0)
+    cached = getattr(read_db, "_rflats_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    rf = _ReadFlats(read_db)
+    read_db._rflats_cache = (key, rf)
+    return rf
+
+
+class _Flats:
+    """Flat views for the native (C) consensus loops: the cached
+    read-level flats plus the syncmer occurrence flats.  None when the
+    native library is unavailable (pure-Python loops used instead)."""
+
+    def __init__(self, read_db: ReadDB, scm_db: SyncmerDB):
+        rf = read_flats(read_db)
+        self.moff = rf.moff
+        self.kflat = rf.kflat
+        self.mflat = rf.mflat
+        self.hoff, self.code_flat, self.rl_flat = _hoco_flats(read_db)
         # syncmer occurrence lists flattened (for whole-unitig C emission);
         # the DB keeps its flat backing array, so reuse it when present
         ns = scm_db.n
@@ -83,14 +126,14 @@ class _Flats:
             self.mp_flat = np.concatenate(scm_db.m_pos).astype(np.uint64, copy=False)
         else:
             self.mp_off = np.zeros(1, np.int64)
-            self.mp_flat = z64
+            self.mp_flat = np.zeros(0, np.uint64)
 
     @staticmethod
     def build(read_db: ReadDB, scm_db: SyncmerDB):
         """Cached per (read_db, scm_db) contents: EC rewrites reads and
         occurrence lists mid-pipeline, so invalidate on the version
-        counters those mutators bump.  The hoco byte streams are
-        immutable per ReadDB and survive invalidation."""
+        counters those mutators bump.  Component flats have their own
+        caches, so a rebuild only re-links them."""
         from .. import native
 
         if not native.available():
@@ -102,11 +145,7 @@ class _Flats:
         # and a new one reuses its address
         if cached is not None and cached[0] == key and cached[2] is scm_db:
             return cached[1]
-        static = None
-        if cached is not None:
-            old = cached[1]
-            static = (old.hoff, old.code_flat, old.rl_flat)
-        flats = _Flats(read_db, scm_db, static)
+        flats = _Flats(read_db, scm_db)
         read_db._flats_cache = (key, flats, scm_db)
         return flats
 

@@ -292,24 +292,24 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     exists (replicated via _KhCtab).  k-mers group by k_mer>>1 (drops
     the ec flag; post-EC corrected mers count under their corrected
     id)."""
+    from ..asm.consensus import read_flats
+
     w = read_db.k
-    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
-    m = sum(len(r.m_pos) for r in reads)
+    rf = read_flats(read_db)
+    m = int(rf.mc.sum())
     stats: dict = {}
     if m == 0:
         print("[M::sr_db_stat] empty syncmer collection", file=fo)
         read_db.stats = stats
         return stats
-    smer = np.concatenate([r.s_mer for r in reads])
-    kmer = np.concatenate([r.k_mer for r in reads]) >> np.uint64(1)
+    smer = rf.smer(read_db.reads)
+    kmer = rf.kflat >> np.uint64(1)
     # adjacent within-read distances, vectorized over the flat stream:
     # a pair (i, i+1) is valid unless i is the last syncmer of its read
     # or either position is the EC sentinel (syncmer.c:895-902)
-    mflat = np.concatenate([r.m_pos for r in reads])
+    mflat = rf.mflat
     p = (mflat >> 1).astype(np.int64)
-    last_of_read = np.cumsum(
-        np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
-    )[:-1] - 1
+    last_of_read = np.cumsum(rf.mc[rf.mc > 0])[:-1] - 1
     ok = np.ones(m - 1, bool) if m > 1 else np.zeros(0, bool)
     if m > 1:
         ok[last_of_read] = False
