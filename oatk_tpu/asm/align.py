@@ -359,7 +359,26 @@ def _batch_anchors(
     spos = np.repeat(j_e, cnt)
     rid = np.repeat(rid_e, cnt)
 
-    order = np.lexsort((upos, spos, uid, rid))
+    # single-key sort: pack (rid, uid, spos, upos) into one u64 when the
+    # ranges fit (organelle-scale inputs always do) so the native
+    # threaded radix argsort replaces the 4-key lexsort
+    from .. import native
+
+    order = None
+    b_p = int(upos.max()).bit_length()
+    b_s = int(spos.max()).bit_length()
+    b_i = int(uid.max()).bit_length()
+    b_r = int(rid.max()).bit_length()
+    if native.available() and b_p + b_s + b_i + b_r <= 64:
+        key = (
+            (rid.astype(np.uint64) << np.uint64(b_p + b_s + b_i))
+            | (uid.astype(np.uint64) << np.uint64(b_p + b_s))
+            | (spos.astype(np.uint64) << np.uint64(b_p))
+            | upos.astype(np.uint64)
+        )
+        order = native.argsort_u64(key)
+    if order is None:
+        order = np.lexsort((upos, spos, uid, rid))
     uid, upos, spos, rid = uid[order], upos[order], spos[order], rid[order]
     aoff = np.searchsorted(rid, np.arange(G + 1, dtype=np.int64)).astype(np.int64)
     return (

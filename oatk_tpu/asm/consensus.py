@@ -61,12 +61,13 @@ class _ReadFlats:
     ReadDB version (EC bumps it).  Shared by consensus, alignment,
     error correction and the stat pass."""
 
-    __slots__ = ("mc", "moff", "kflat", "mflat", "_sflat")
+    __slots__ = ("mc", "moff", "kflat", "mflat", "sids", "_sflat")
 
     def __init__(self, read_db: ReadDB):
         reads = read_db.reads
         n = len(reads)
         self.mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n)
+        self.sids = np.fromiter((r.sid for r in reads), np.int64, count=n)
         self.moff = np.zeros(n, np.int64)
         if n > 1:
             np.cumsum(self.mc[:-1], out=self.moff[1:])

@@ -344,9 +344,10 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         if not out_upd[r_i]:
             continue
         lo, hi = int(out_cut[r_i]), int(out_cut[r_i + 1])
-        r.k_mer = out_kmer[lo:hi].copy()
-        r.m_pos = out_mpos[lo:hi].copy()
-        r.s_mer = smer_all[lo:hi].copy()
+        # views: per-read syncmer arrays are never written in place
+        r.k_mer = out_kmer[lo:hi]
+        r.m_pos = out_mpos[lo:hi]
+        r.s_mer = smer_all[lo:hi]
     return True
 
 
@@ -357,20 +358,20 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     Vectorized: reads are flattened in sid order, so a stable sort by
     syncmer id yields each id's occurrence list already in the
     (sid, idx) order the per-read loop produced."""
+    from .consensus import read_flats
+
     n = scm_db.n
-    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
-    ns = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
-    n_tot = int(ns.sum())
+    read_db.version += 1  # reads were spliced before the rebuild
+    rf = read_flats(read_db)
+    n_tot = int(rf.mc.sum())
     if n_tot:
-        ks = np.concatenate([r.k_mer for r in reads]) >> np.uint64(1)
-        mflat = np.concatenate([r.m_pos for r in reads])
-        offs = np.zeros(len(reads), np.int64)
-        if len(reads) > 1:
-            np.cumsum(ns[:-1], out=offs[1:])
-        sid_rep = np.repeat(
-            np.fromiter((r.sid for r in reads), np.uint64, count=len(reads)), ns
+        ks = rf.kflat >> np.uint64(1)
+        mflat = rf.mflat
+        sid_rep = np.repeat(rf.sids.astype(np.uint64), rf.mc)
+        idx = (
+            np.arange(n_tot, dtype=np.uint64)
+            - np.repeat(rf.moff, rf.mc).astype(np.uint64)
         )
-        idx = (np.arange(n_tot, dtype=np.uint64) - np.repeat(offs, ns).astype(np.uint64))
         entry = (
             (sid_rep << np.uint64(32))
             | (idx << np.uint64(1))
@@ -399,7 +400,6 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     scm_db.mp_off = cuts
     scm_db.del_ = c_cov == 0
     scm_db.version += 1
-    read_db.version += 1  # reads were spliced before the rebuild
 
 
 def read_error_correction(

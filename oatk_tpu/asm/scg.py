@@ -80,11 +80,10 @@ def _read_adjacent_pairs(read_db: ReadDB):
     """All canonical consecutive-syncmer pairs (v0,v1) across reads,
     vectorized over the flat syncmer stream (a pair is valid unless its
     first member is the last syncmer of its read)."""
-    reads = [r for r in read_db.reads if len(r.m_pos) > 0]
-    if not reads:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    kflat = np.concatenate([r.k_mer for r in reads])
-    mflat = np.concatenate([r.m_pos for r in reads])
+    from .consensus import read_flats
+
+    rf = read_flats(read_db)
+    kflat, mflat = rf.kflat, rf.mflat
     m = len(kflat)
     if m < 2:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
@@ -92,9 +91,7 @@ def _read_adjacent_pairs(read_db: ReadDB):
         mflat.astype(np.uint64) & np.uint64(1)
     )
     ok = np.ones(m - 1, bool)
-    last_of_read = np.cumsum(
-        np.fromiter((len(r.m_pos) for r in reads), np.int64, count=len(reads))
-    )[:-1] - 1
+    last_of_read = np.cumsum(rf.mc[rf.mc > 0])[:-1] - 1
     ok[last_of_read] = False
     v0 = v[:-1][ok]
     v1 = v[1:][ok]

@@ -91,10 +91,12 @@ def flatten_occurrences(read_db: ReadDB):
     low = sid<<32 | idx<<1 | rev  -- the low 64 bits of the reference's
     128-bit sort key (/root/reference/syncmer.c:1419).
     """
+    from ..asm.consensus import read_flats
+
     reads = read_db.reads
     nr = read_db.n
-    mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=nr)
-    sids = np.fromiter((r.sid for r in reads), np.int64, count=nr)
+    rf = read_flats(read_db)
+    mc, sids = rf.mc, rf.sids
     n_tot = int(mc.sum())
     offs = np.zeros(nr + 1, dtype=np.int64)
     np.cumsum(mc, out=offs[1:])
@@ -104,9 +106,9 @@ def flatten_occurrences(read_db: ReadDB):
     if n_tot == 0:
         z = np.zeros(0, np.uint64)
         return z, z, z, base
-    hashes = np.concatenate([r.k_mer for r in reads]).astype(np.uint64, copy=False)
-    smers = np.concatenate([r.s_mer for r in reads]).astype(np.uint64, copy=False)
-    revs = np.concatenate([r.m_pos for r in reads]).astype(np.uint64, copy=False) & np.uint64(1)
+    hashes = rf.kflat
+    smers = rf.smer(reads)
+    revs = rf.mflat.astype(np.uint64, copy=False) & np.uint64(1)
     idx = (np.arange(n_tot, dtype=np.int64) - np.repeat(offs[:-1], mc)).astype(np.uint64)
     lows = (
         (np.repeat(sids, mc).astype(np.uint64) << np.uint64(32))
@@ -210,7 +212,11 @@ def build_db_from_sorted(
         n = r.n
         if n:
             off = base[r.sid]
-            r.k_mer = new_kmer[off : off + n].copy()
+            # views into the flat rewrite: per-read arrays are never
+            # written in place (EC replaces whole arrays)
+            r.k_mer = new_kmer[off : off + n]
+    # k_mer contents changed (hash -> id): invalidate per-version caches
+    read_db.version = getattr(read_db, "version", 0) + 1
 
     assert int(db.cov.sum()) == n_tot
     return db
