@@ -101,6 +101,22 @@ def read_flats(read_db: ReadDB) -> _ReadFlats:
     return rf
 
 
+def set_read_flats(read_db: ReadDB, mc, kflat, mflat, sflat, sids) -> _ReadFlats:
+    """Register flats a mutator already holds (DB id rewrite, native EC)
+    under the CURRENT read_db.version, skipping the per-read rebuild."""
+    rf = _ReadFlats.__new__(_ReadFlats)
+    rf.mc = mc
+    rf.moff = np.zeros(len(mc), np.int64)
+    if len(mc) > 1:
+        np.cumsum(mc[:-1], out=rf.moff[1:])
+    rf.kflat = kflat
+    rf.mflat = mflat
+    rf.sids = sids
+    rf._sflat = sflat
+    read_db._rflats_cache = (getattr(read_db, "version", 0), rf)
+    return rf
+
+
 class _Flats:
     """Flat views for the native (C) consensus loops: the cached
     read-level flats plus the syncmer occurrence flats.  None when the

@@ -339,6 +339,14 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         return False
     st, out_kmer, out_mpos, out_cut, out_upd = res
     stats += st
+    from .consensus import set_read_flats
+
+    cached = getattr(read_db, "_rflats_cache", None)
+    old_rf = (
+        cached[1]
+        if cached is not None and cached[0] == getattr(read_db, "version", 0)
+        else None
+    )
     smer_all = scg.scm_db.s[(out_kmer >> np.uint64(1)).astype(np.int64)]
     for r_i, r in enumerate(reads):
         if not out_upd[r_i]:
@@ -348,6 +356,33 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         r.k_mer = out_kmer[lo:hi]
         r.m_pos = out_mpos[lo:hi]
         r.s_mer = smer_all[lo:hi]
+    read_db.version += 1
+    if old_rf is not None:
+        # merge corrected spans into fresh whole-run flats and register
+        # them under the bumped version: update_syncmer_db and the
+        # post-EC stat pass then skip their per-read rebuilds
+        upd = out_upd.view(bool) if out_upd.dtype == np.uint8 else out_upd.astype(bool)
+        nl = np.where(upd, np.diff(out_cut), old_rf.mc)
+        total_new = int(nl.sum())
+        noff = np.zeros(len(nl), np.int64)
+        if len(nl) > 1:
+            np.cumsum(nl[:-1], out=noff[1:])
+        within = np.arange(total_new, dtype=np.int64) - np.repeat(noff, nl)
+        src_idx = np.repeat(np.where(upd, out_cut[:-1], old_rf.moff), nl) + within
+        mask = np.repeat(upd, nl)
+        inv = ~mask
+        new_kflat = np.empty(total_new, np.uint64)
+        new_kflat[mask] = out_kmer[src_idx[mask]]
+        new_kflat[inv] = old_rf.kflat[src_idx[inv]]
+        new_mflat = np.empty(total_new, np.uint32)
+        new_mflat[mask] = out_mpos[src_idx[mask]]
+        new_mflat[inv] = old_rf.mflat[src_idx[inv]]
+        new_sflat = None
+        if old_rf._sflat is not None:
+            new_sflat = np.empty(total_new, np.uint64)
+            new_sflat[mask] = smer_all[src_idx[mask]]
+            new_sflat[inv] = old_rf._sflat[src_idx[inv]]
+        set_read_flats(read_db, nl, new_kflat, new_mflat, new_sflat, old_rf.sids)
     return True
 
 
@@ -361,7 +396,7 @@ def update_syncmer_db(read_db: ReadDB, scm_db: SyncmerDB):
     from .consensus import read_flats
 
     n = scm_db.n
-    read_db.version += 1  # reads were spliced before the rebuild
+    # (the correction step bumped read_db.version after splicing)
     rf = read_flats(read_db)
     n_tot = int(rf.mc.sum())
     if n_tot:
@@ -428,6 +463,7 @@ def read_error_correction(
         dfs = _DfsInfo()
         for r in read_db.reads:
             _correct_read(r, scg, max_edist, stats, conf, dfs)
+        read_db.version += 1  # reads were spliced in place
 
     update_syncmer_db(read_db, scg.scm_db)
 

@@ -215,8 +215,17 @@ def build_db_from_sorted(
             # views into the flat rewrite: per-read arrays are never
             # written in place (EC replaces whole arrays)
             r.k_mer = new_kmer[off : off + n]
-    # k_mer contents changed (hash -> id): invalidate per-version caches
-    read_db.version = getattr(read_db, "version", 0) + 1
+    # k_mer contents changed (hash -> id): re-key the per-version flats
+    # cache.  new_kmer IS the new kflat (same sid-block layout), so the
+    # cache updates in place instead of forcing a rebuild.
+    old_key = getattr(read_db, "version", 0)
+    read_db.version = old_key + 1
+    cached = getattr(read_db, "_rflats_cache", None)
+    if cached is not None and cached[0] == old_key:
+        from ..asm.consensus import set_read_flats
+
+        o = cached[1]
+        set_read_flats(read_db, o.mc, new_kmer, o.mflat, o._sflat, o.sids)
 
     assert int(db.cov.sum()) == n_tot
     return db
