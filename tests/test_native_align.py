@@ -255,3 +255,73 @@ def test_thread_count_determinism(tmp_path, monkeypatch):
         outs.append((tmp_path / f"t{t}.utg.final.gfa").read_bytes())
         monkeypatch.undo()
     assert outs[0] == outs[1] and outs[0]
+
+
+def _strip_flat(ra_db):
+    """Materialized plain-list copy (forces every consumer down the
+    per-ReadAln object loops)."""
+    return list(ra_db)
+
+
+@pytest.mark.parametrize("seed", [105, 107])
+def test_arc_coverage_flat_equals_objects(seed):
+    """scg_ra_arc_coverage's vectorized chain_tables path must set the
+    exact acov values the per-object dict loop produces (bit-exact --
+    float accumulation order is preserved)."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import align as AL
+    from oatk_tpu.asm.coverage import scg_ra_arc_coverage
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rd, scg = _setup(seed)
+    ra = AL.scg_read_alignment(rd, scg, for_unzip=False)
+    assert getattr(ra, "flat", None) is not None
+    # the vectorized path must actually engage (not fall back silently)
+    assert AL.chain_tables(scg.utg, scg.idx, ra.flat) is not None
+
+    scg_flat = type(scg)(scg.scm_db, scg.utg.copy(), scg.idx)
+    scg_ra_arc_coverage(scg_flat, rd, ra, refine=False)
+
+    scg_obj = type(scg)(scg.scm_db, scg.utg.copy(), scg.idx)
+    scg_ra_arc_coverage(scg_obj, rd, _strip_flat(ra), refine=False)
+
+    assert np.array_equal(scg_flat.utg.acov, scg_obj.utg.acov)
+
+
+@pytest.mark.parametrize("seed", [106])
+def test_multiplex_flat_equals_objects(seed):
+    """scg_multiplex driven by the flat arrays must transform the graph
+    exactly like the per-object triplet loop."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import align as AL
+    from oatk_tpu.asm.unzip import scg_multiplex
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rd, scg = _setup(seed)
+    max_n_scm = int(np.ceil(30000.0 / rd.k))
+    ra = AL.scg_read_alignment(rd, scg, for_unzip=True)
+    assert getattr(ra, "flat", None) is not None
+    assert AL.chain_tables(scg.utg, scg.idx, ra.flat) is not None
+
+    scg_a = type(scg)(scg.scm_db, scg.utg.copy(), scg.idx)
+    scg_a.rebuild_index()
+    upd_a = scg_multiplex(scg_a, ra, max_n_scm, 10, 0.3)
+
+    scg_b = type(scg)(scg.scm_db, scg.utg.copy(), scg.idx)
+    scg_b.rebuild_index()
+    upd_b = scg_multiplex(scg_b, _strip_flat(ra), max_n_scm, 10, 0.3)
+
+    assert upd_a == upd_b
+    ga, gb = scg_a.utg, scg_b.utg
+    ga._flush_pending()
+    gb._flush_pending()
+    assert len(ga.av) == len(gb.av)
+    for name in ("av", "aw", "aln", "adel", "acomp"):
+        assert np.array_equal(getattr(ga, name), getattr(gb, name)), name
+    assert ga.n_vtx == gb.n_vtx
+    for i in range(ga.n_vtx):
+        assert bool(ga.vtx_del[i]) == bool(gb.vtx_del[i])
+        if not ga.vtx_del[i]:
+            assert np.array_equal(ga.vtx_a[i], gb.vtx_a[i])
