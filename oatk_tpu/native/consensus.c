@@ -206,47 +206,105 @@ full:
     return -1;
 }
 
-/* Batched whole-graph consensus: one call emits every live vertex's
- * consensus back-to-back into `out` with per-vertex cuts, removing the
- * per-vertex Python/ctypes dispatch that dominated large graphs.
- * Vertices are independent, so contiguous ranges run on a small thread
- * pool with private buffers merged in order (output identical to the
- * sequential loop).  Returns total emitted length, -1 if out_cap too
- * small, -2 on allocation failure. */
+/* Batched whole-graph consensus, staged for parallelism at BOTH
+ * granularities:
+ *   A (parallel): adjacent-syncmer overlap modes for every live vertex,
+ *     flattened into one task list (the expensive per-pair distance
+ *     mode), so a single huge unitig still uses every core;
+ *   B (sequential, cheap): the window plan -- exactly the windows the
+ *     sequential scan would emit, with their (entry, beg, l, N-pad);
+ *   C (parallel): window emission into per-thread buffers balanced by
+ *     planned output size, merged in window order.
+ * Output is byte-identical to the sequential loop for any thread
+ * count.  Returns total emitted length, -1 if out_cap is too small,
+ * -2 on allocation failure. */
 #include <pthread.h>
 
 typedef struct {
-    const uint64_t *va_flat; const int64_t *va_off;
-    const uint8_t *live;
     int64_t w, hoco_seq;
     const uint64_t *mp_flat; const int64_t *mp_off;
     const uint64_t *kflat; const uint32_t *mflat; const int64_t *moff;
     const uint8_t *code_flat; const uint32_t *rl_flat;
     const int64_t *hoff; int64_t hoco_total;
-    int64_t v0, v1;
-    int64_t *vlen;      /* per-vertex emitted length */
+    /* stage A range */
+    const uint64_t *pair_a, *pair_b;
+    int64_t *pair_d;
+    int64_t pa0, pa1;
+    /* stage C range */
+    const uint64_t *win_s;
+    const int64_t *win_beg, *win_l, *win_pad;
+    int64_t *win_len;
+    int64_t w0, w1;
     uint8_t *buf; int64_t buf_cap, emitted;
     int err;
-} cons_range_t;
+} cons2_t;
 
-static void *cons_worker(void *arg) {
-    cons_range_t *r = (cons_range_t *)arg;
-    for (int64_t i = r->v0; i < r->v1; ++i) {
-        if (!r->live[i]) { r->vlen[i] = 0; continue; }
-        for (;;) {
-            int64_t got = utg_consensus_emit(
-                r->va_flat + r->va_off[i], r->va_off[i + 1] - r->va_off[i],
-                r->w, r->hoco_seq,
-                r->mp_flat, r->mp_off, r->kflat, r->mflat, r->moff,
-                r->code_flat, r->rl_flat, r->hoff, r->hoco_total,
-                r->buf + r->emitted, r->buf_cap - r->emitted);
-            if (got >= 0) { r->vlen[i] = got; r->emitted += got; break; }
-            int64_t nc = r->buf_cap * 2 + 4096;
-            uint8_t *nb = (uint8_t *)realloc(r->buf, nc);
-            if (!nb) { r->err = 1; return NULL; }
-            r->buf = nb; r->buf_cap = nc;
-        }
+static void *cons_pair_worker(void *arg) {
+    cons2_t *r = (cons2_t *)arg;
+    for (int64_t p = r->pa0; p < r->pa1; ++p) {
+        int64_t m1 = (int64_t)(r->pair_a[p] >> 1), rc1 = (int64_t)(r->pair_a[p] & 1);
+        int64_t m2 = (int64_t)(r->pair_b[p] >> 1), rc2 = (int64_t)(r->pair_b[p] & 1);
+        r->pair_d[p] = scm_overlap_mode(
+            r->mp_flat + r->mp_off[m1], r->mp_off[m1 + 1] - r->mp_off[m1],
+            r->mp_flat + r->mp_off[m2], r->mp_off[m2 + 1] - r->mp_off[m2],
+            rc1, rc2, r->kflat, r->mflat, r->moff);
     }
+    return NULL;
+}
+
+static int cons2_reserve(cons2_t *r, int64_t need) {
+    if (r->emitted + need <= r->buf_cap) return 0;
+    int64_t nc = r->buf_cap * 2 + need + 4096;
+    uint8_t *nb = (uint8_t *)realloc(r->buf, nc);
+    if (!nb) return -1;
+    r->buf = nb; r->buf_cap = nc;
+    return 0;
+}
+
+static void *cons_win_worker(void *arg) {
+    static const char NT[4] = {'A', 'C', 'G', 'T'};
+    cons2_t *r = (cons2_t *)arg;
+    int64_t w = r->w;
+    uint8_t *base = (uint8_t *)malloc(w);
+    int64_t *totrl = (int64_t *)malloc(w * sizeof(int64_t));
+    if (!base || !totrl) { free(base); free(totrl); r->err = 1; return NULL; }
+    for (int64_t q = r->w0; q < r->w1; ++q) {
+        int64_t start = r->emitted;
+        int64_t pad = r->win_pad[q], beg = r->win_beg[q], l = r->win_l[q];
+        int64_t s = (int64_t)(r->win_s[q] >> 1), rev = (int64_t)(r->win_s[q] & 1);
+        memset(totrl, 0, l * sizeof(int64_t));
+        int64_t m_seq = scm_consensus_fill(
+            r->mp_flat + r->mp_off[s], r->mp_off[s + 1] - r->mp_off[s],
+            rev, beg, l,
+            r->kflat, r->mflat, r->moff, r->code_flat, r->rl_flat, r->hoff,
+            !r->hoco_seq, r->hoco_total, base, totrl);
+        int64_t body;
+        if (m_seq == 0 || r->hoco_seq) {
+            body = l;
+        } else {
+            body = 0;
+            for (int64_t j = 0; j < l; ++j)
+                body += 1 + (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
+        }
+        if (cons2_reserve(r, pad + body) != 0) { r->err = 1; break; }
+        uint8_t *o = r->buf + r->emitted;
+        if (pad) { memset(o, 'N', pad); o += pad; }
+        if (m_seq == 0) {
+            memset(o, 'N', l); o += l;
+        } else if (r->hoco_seq) {
+            for (int64_t j = 0; j < l; ++j) o[j] = NT[base[j] & 3];
+            o += l;
+        } else {
+            for (int64_t j = 0; j < l; ++j) {
+                int64_t rep = 1 + (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
+                memset(o, NT[base[j] & 3], rep);
+                o += rep;
+            }
+        }
+        r->emitted = o - r->buf;
+        r->win_len[q] = r->emitted - start;
+    }
+    free(base); free(totrl);
     return NULL;
 }
 
@@ -263,80 +321,175 @@ int64_t utg_consensus_emit_batch(
 {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 16) n_threads = 16;
-    if (n_threads > n_vtx) n_threads = n_vtx > 0 ? n_vtx : 1;
+    int64_t total_scm = n_vtx ? va_off[n_vtx] : 0;
     /* approx workload ~ syncmer mass * window size; below ~64k the
-     * pthread spawn cost outweighs any split (post-unitigging organelle
-     * graphs have few vertices but large mass, so never gate on count) */
-    if (n_vtx > 0 && va_off[n_vtx] * w < 65536) n_threads = 1;
-    int64_t *vlen = (int64_t *)malloc((n_vtx ? n_vtx : 1) * sizeof(int64_t));
-    if (!vlen) return -2;
-    cons_range_t rg[16];
+     * pthread spawn cost outweighs any split */
+    if (total_scm * w < 65536) n_threads = 1;
+
+    int64_t ret = -2;
+    uint64_t *pair_a = NULL, *pair_b = NULL;
+    int64_t *pair_d = NULL, *pair_voff = NULL, *pos = NULL;
+    uint64_t *win_s = NULL;
+    int64_t *win_beg = NULL, *win_l = NULL, *win_pad = NULL, *win_len = NULL;
+    int64_t *wv_off = NULL;
+    cons2_t rg[16];
     memset(rg, 0, sizeof(rg));
-    /* partition by syncmer mass, not vertex count (unitig sizes skew) */
-    int64_t total_scm = va_off[n_vtx];
-    int64_t v = 0;
-    for (int64_t t = 0; t < n_threads; ++t) {
-        rg[t].va_flat = va_flat; rg[t].va_off = va_off; rg[t].live = live;
+
+    /* ---- stage A: flatten adjacent pairs over live vertices ---- */
+    pair_voff = (int64_t *)malloc((n_vtx + 1) * sizeof(int64_t));
+    if (!pair_voff) goto done;
+    int64_t n_pair = 0, max_nv = 1;
+    for (int64_t i = 0; i < n_vtx; ++i) {
+        pair_voff[i] = n_pair;
+        int64_t nv = va_off[i + 1] - va_off[i];
+        if (live[i] && nv > 0) {
+            n_pair += nv - 1;
+            if (nv > max_nv) max_nv = nv;
+        }
+    }
+    pair_voff[n_vtx] = n_pair;
+    pair_a = (uint64_t *)malloc((n_pair ? n_pair : 1) * sizeof(uint64_t));
+    pair_b = (uint64_t *)malloc((n_pair ? n_pair : 1) * sizeof(uint64_t));
+    pair_d = (int64_t *)malloc((n_pair ? n_pair : 1) * sizeof(int64_t));
+    if (!pair_a || !pair_b || !pair_d) goto done;
+    for (int64_t i = 0; i < n_vtx; ++i) {
+        if (!live[i]) continue;
+        const uint64_t *v = va_flat + va_off[i];
+        int64_t nv = va_off[i + 1] - va_off[i];
+        int64_t b0 = pair_voff[i];
+        for (int64_t j = 1; j < nv; ++j) {
+            pair_a[b0 + j - 1] = v[j - 1];
+            pair_b[b0 + j - 1] = v[j];
+        }
+    }
+    for (int64_t t = 0; t < 16; ++t) {
         rg[t].w = w; rg[t].hoco_seq = hoco_seq;
         rg[t].mp_flat = mp_flat; rg[t].mp_off = mp_off;
         rg[t].kflat = kflat; rg[t].mflat = mflat; rg[t].moff = moff;
         rg[t].code_flat = code_flat; rg[t].rl_flat = rl_flat;
         rg[t].hoff = hoff; rg[t].hoco_total = hoco_total;
-        rg[t].vlen = vlen;
-        rg[t].v0 = v;
-        int64_t target = total_scm * (t + 1) / n_threads;
-        while (v < n_vtx && va_off[v] < target) ++v;
-        if (t == n_threads - 1) v = n_vtx;
-        rg[t].v1 = v;
-        int64_t mass = va_off[rg[t].v1] - va_off[rg[t].v0];
-        rg[t].buf_cap = mass * w * 2 + 4096;
-        rg[t].buf = (uint8_t *)malloc(rg[t].buf_cap);
-        if (!rg[t].buf) {
-            for (int64_t u = 0; u < t; ++u) free(rg[u].buf);
-            free(vlen);
-            return -2;
-        }
+        rg[t].pair_a = pair_a; rg[t].pair_b = pair_b; rg[t].pair_d = pair_d;
     }
-    if (n_threads == 1) {
-        cons_worker(&rg[0]);
-    } else {
-        pthread_t tid[16];
-        int64_t spawned = 0;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            if (pthread_create(&tid[t], NULL, cons_worker, &rg[t]) != 0) break;
-            spawned++;
-        }
-        for (int64_t t = spawned; t < n_threads; ++t) cons_worker(&rg[t]);
-        for (int64_t t = 0; t < spawned; ++t) pthread_join(tid[t], NULL);
-    }
-    int err = 0;
-    int64_t total = 0;
-    for (int64_t t = 0; t < n_threads; ++t) {
-        err |= rg[t].err;
-        total += rg[t].emitted;
-    }
-    int64_t ret;
-    if (err) { ret = -2; goto done; }
-    if (total > out_cap) { ret = -1; goto done; }
-    cuts[0] = 0;
     {
+        int64_t tA = n_threads;
+        if (tA > n_pair) tA = n_pair > 0 ? n_pair : 1;
+        for (int64_t t = 0; t < tA; ++t) {
+            rg[t].pa0 = n_pair * t / tA;
+            rg[t].pa1 = n_pair * (t + 1) / tA;
+        }
+        if (tA <= 1) {
+            if (n_pair) cons_pair_worker(&rg[0]);
+        } else {
+            pthread_t tid[16];
+            int64_t spawned = 0;
+            for (int64_t t = 0; t < tA; ++t) {
+                if (pthread_create(&tid[t], NULL, cons_pair_worker, &rg[t]) != 0) break;
+                spawned++;
+            }
+            for (int64_t t = spawned; t < tA; ++t) cons_pair_worker(&rg[t]);
+            for (int64_t t = 0; t < spawned; ++t) pthread_join(tid[t], NULL);
+        }
+    }
+
+    /* ---- stage B: window plan (cheap sequential scan) ---- */
+    pos = (int64_t *)malloc(max_nv * sizeof(int64_t));
+    win_s = (uint64_t *)malloc((total_scm ? total_scm : 1) * sizeof(uint64_t));
+    win_beg = (int64_t *)malloc((total_scm ? total_scm : 1) * sizeof(int64_t));
+    win_l = (int64_t *)malloc((total_scm ? total_scm : 1) * sizeof(int64_t));
+    win_pad = (int64_t *)malloc((total_scm ? total_scm : 1) * sizeof(int64_t));
+    win_len = (int64_t *)malloc((total_scm ? total_scm : 1) * sizeof(int64_t));
+    wv_off = (int64_t *)malloc((n_vtx + 1) * sizeof(int64_t));
+    if (!pos || !win_s || !win_beg || !win_l || !win_pad || !win_len || !wv_off)
+        goto done;
+    int64_t n_win = 0;
+    for (int64_t i = 0; i < n_vtx; ++i) {
+        wv_off[i] = n_win;
+        if (!live[i]) continue;
+        const uint64_t *v = va_flat + va_off[i];
+        int64_t nv = va_off[i + 1] - va_off[i];
+        if (nv == 0) continue;
+        pos[0] = 0;
+        const int64_t *pd = pair_d + pair_voff[i];
+        for (int64_t j = 1; j < nv; ++j) pos[j] = pos[j - 1] + pd[j - 1];
+        int64_t j = 0, end_pos = 0;
+        while (j < nv) {
+            while (j + 1 < nv && pos[j + 1] <= end_pos) ++j;
+            int64_t beg_pos = pos[j];
+            int64_t beg = end_pos - beg_pos, padn = 0;
+            if (beg < 0) { padn = -beg; beg = 0; }
+            win_s[n_win] = v[j];
+            win_beg[n_win] = beg;
+            win_l[n_win] = w - beg;
+            win_pad[n_win] = padn;
+            ++n_win;
+            end_pos = beg_pos + w;
+            ++j;
+        }
+    }
+    wv_off[n_vtx] = n_win;
+
+    /* ---- stage C: window emission, balanced by planned output ---- */
+    {
+        int64_t tC = n_threads;
+        if (tC > n_win) tC = n_win > 0 ? n_win : 1;
+        int64_t plan_total = 0;
+        for (int64_t q = 0; q < n_win; ++q)
+            plan_total += win_pad[q] + win_l[q];
+        int64_t q = 0, acc = 0;
+        for (int64_t t = 0; t < tC; ++t) {
+            rg[t].win_s = win_s; rg[t].win_beg = win_beg;
+            rg[t].win_l = win_l; rg[t].win_pad = win_pad;
+            rg[t].win_len = win_len;
+            rg[t].w0 = q;
+            int64_t target = plan_total * (t + 1) / tC;
+            while (q < n_win && acc < target) acc += win_pad[q] + win_l[q], ++q;
+            if (t == tC - 1) q = n_win;
+            rg[t].w1 = q;
+            int64_t mass = 0;
+            for (int64_t x = rg[t].w0; x < rg[t].w1; ++x)
+                mass += win_pad[x] + win_l[x];
+            rg[t].buf_cap = mass * 2 + 4096;
+            rg[t].buf = (uint8_t *)malloc(rg[t].buf_cap);
+            rg[t].emitted = 0; rg[t].err = 0;
+            if (!rg[t].buf) goto done;
+        }
+        if (tC <= 1) {
+            if (n_win) cons_win_worker(&rg[0]);
+        } else {
+            pthread_t tid[16];
+            int64_t spawned = 0;
+            for (int64_t t = 0; t < tC; ++t) {
+                if (pthread_create(&tid[t], NULL, cons_win_worker, &rg[t]) != 0) break;
+                spawned++;
+            }
+            for (int64_t t = spawned; t < tC; ++t) cons_win_worker(&rg[t]);
+            for (int64_t t = 0; t < spawned; ++t) pthread_join(tid[t], NULL);
+        }
+        int err = 0;
+        int64_t total = 0;
+        for (int64_t t = 0; t < tC; ++t) { err |= rg[t].err; total += rg[t].emitted; }
+        if (err) { ret = -2; goto done; }
+        if (total > out_cap) { ret = -1; goto done; }
         int64_t outp = 0;
-        for (int64_t t = 0; t < n_threads; ++t) {
+        for (int64_t t = 0; t < tC; ++t) {
             memcpy(out + outp, rg[t].buf, rg[t].emitted);
             outp += rg[t].emitted;
         }
-    }
-    {
-        int64_t acc = 0;
-        for (int64_t i = 0; i < n_vtx; ++i) {
-            acc += vlen[i];
-            cuts[i + 1] = acc;
+        cuts[0] = 0;
+        {
+            int64_t accw = 0, qq = 0;
+            for (int64_t i = 0; i < n_vtx; ++i) {
+                for (; qq < wv_off[i + 1]; ++qq) accw += win_len[qq];
+                cuts[i + 1] = accw;
+            }
         }
+        ret = total;
     }
-    ret = total;
 done:
-    for (int64_t t = 0; t < n_threads; ++t) free(rg[t].buf);
-    free(vlen);
+    for (int64_t t = 0; t < 16; ++t) free(rg[t].buf);
+    free(pair_a); free(pair_b); free(pair_d); free(pair_voff);
+    free(pos); free(win_s); free(win_beg); free(win_l); free(win_pad);
+    free(win_len); free(wv_off);
     return ret;
 }
 
