@@ -106,16 +106,32 @@ def _open_maybe_gz(path: str):
 
 def read_source_bytes(path: str) -> bytes:
     """Entire (decompressed) contents of any supported source; used by
-    the fused native parse path.  Plain local files bypass the stream
-    wrappers (one bulk read instead of buffered readinto chunks)."""
+    the fused native parse path.
+
+    Plain uncompressed local files return a read-only ``mmap`` (a
+    bytes-like the native bindings consume zero-copy): instead of a
+    serial whole-file read on the critical path, pages fault in on
+    demand inside the parallel parse workers, with ``MADV_WILLNEED``
+    starting kernel readahead up front."""
     if path != "-" and not path.lstrip().startswith("<") and not path.startswith(
         ("http://", "https://", "ftp://")
     ):
         with open(path, "rb") as f:
-            raw = f.read()
-        if raw[:2] == b"\x1f\x8b":
-            return gzip.decompress(raw)
-        return raw
+            if f.read(2) == b"\x1f\x8b":
+                f.seek(0)
+                return gzip.decompress(f.read())
+            try:
+                import mmap as _mmap
+
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+                try:
+                    mm.madvise(_mmap.MADV_WILLNEED)
+                except (AttributeError, OSError):
+                    pass
+                return mm  # type: ignore[return-value]
+            except (ValueError, OSError):  # empty file / no mmap support
+                f.seek(0)
+                return f.read()
     with _open_maybe_gz(path) as fp:
         return fp.read()
 

@@ -277,12 +277,12 @@ def segment_record_cuts(data: bytes, n_seg: int):
     record; quality bytes can be '@'/'>' so only line counting is safe."""
     if n_seg <= 1:
         return None
-    if data.startswith(b">") and find_pattern2(data, b"\n@") < 0:
+    if data[:1] == b">" and find_pattern2(data, b"\n@") < 0:
         return fasta_record_cuts(data, n_seg)
-    if data.startswith(b"@"):
+    if data[:1] == b"@":
         nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
-        n_lines = len(nl) + (0 if data.endswith(b"\n") else 1)
-        if n_lines % 4 != 0 and not data.endswith(b"\n"):
+        n_lines = len(nl) + (0 if data[-1:] == b"\n" else 1)
+        if n_lines % 4 != 0 and not data[-1:] == b"\n":
             return None
         n_rec = n_lines // 4
         if n_rec < n_seg * 2:
