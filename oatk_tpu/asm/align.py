@@ -429,7 +429,14 @@ def chain_tables(g, idx, flat):
     nfr = np.diff(cc)
     n_a = np.diff(rc)
     n_a_chain = np.repeat(n_a, n_a)
-    score = np.where(n_a_chain == 1, 1.0, 1.0 / np.maximum(n_a_chain, 1))
+    # reproduce the object loop's score = frac(1/n_a + max_score)
+    # BIT-exactly: the addition rounds, so frac(s) differs from a bare
+    # 1/n_a in the last ulp whenever 1/n_a is not dyadic -- and these
+    # scores feed float accumulations compared against the C reference
+    ms_chain = np.repeat(flat["max_score"].astype(np.float64), n_a)
+    s_val = 1.0 / np.maximum(n_a_chain, 1) + ms_chain
+    score = s_val - np.floor(s_val)
+    score[score < 2.220446049250313e-16] = 1.0
 
     # per-fragment uniq: prefix sums of the unique-syncmer mask over the
     # flat vertex syncmer arrays
