@@ -108,11 +108,21 @@ class RaDB(list):
             return int(self.flat["read_aln_off"][-1]) > 0
         return list.__len__(self) > 0
 
-    def n_aln(self) -> int:
-        """Number of alignment chains, without materializing."""
-        if self._lazy:
-            return int(self.flat["read_aln_off"][-1])
-        return list.__len__(self)
+    def __contains__(self, item):
+        self._materialize()
+        return list.__contains__(self, item)
+
+    def append(self, item):
+        self._materialize()
+        list.append(self, item)
+
+    def extend(self, items):
+        self._materialize()
+        list.extend(self, items)
+
+    def insert(self, i, item):
+        self._materialize()
+        list.insert(self, i, item)
 
 
 def _align_one(
@@ -465,8 +475,6 @@ def chain_tables(g, idx, flat):
     is_last = np.zeros(F, bool)
     is_last[cc[1:][nfr > 0] - 1] = True
     t = np.flatnonzero(~is_last)
-    if len(t) and t[-1] == F - 1:  # trailing empty-chain guard
-        t = t[:-1]
     pair_chain = frag_chain[t]
 
     # arc lookup over ALL storage arcs: stable-sorted (v<<32|w) keys,
@@ -489,6 +497,13 @@ def chain_tables(g, idx, flat):
     if len(uk) == 0 or not np.all(uk[pos] == qk):
         return None
     ai = ui[pos]
+    from ..graph.asmg import UINT64_MAX
+
+    if np.any(g.alink[ai] == np.uint64(UINT64_MAX)):
+        # unassigned link ids (arcs added after the last finalize):
+        # the object loops handle them via big-int dict keys; bincount
+        # cannot, so fall back
+        return None
     l_id = (g.alink[ai].astype(np.int64) << 1) | g.acomp[ai].astype(np.int64)
     c_id = l_id ^ ((g.av[ai].astype(np.int64) ^ 1) != g.aw[ai].astype(np.int64))
     return dict(

@@ -364,8 +364,8 @@ def ensure_vtx_seq(utg):
     EC Python fallback actually walks vtx_seq, and calls this first."""
     buf = getattr(utg, "_seq_buf", None)
     cuts = getattr(utg, "_seq_cuts", None)
-    if buf is None or cuts is None:
-        return
+    if buf is None or cuts is None or len(cuts) != utg.n_vtx + 1:
+        return  # stale cache (graph mutated since the consensus pass)
     for i in range(utg.n_vtx):
         if not utg.vtx_del[i] and utg.vtx_seq[i] is None:
             utg.vtx_seq[i] = buf[int(cuts[i]) : int(cuts[i + 1])].tobytes().decode()

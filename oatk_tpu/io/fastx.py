@@ -117,9 +117,9 @@ def read_source_bytes(path: str) -> bytes:
         ("http://", "https://", "ftp://")
     ):
         with open(path, "rb") as f:
-            if f.read(2) == b"\x1f\x8b":
-                f.seek(0)
-                return gzip.decompress(f.read())
+            magic = f.read(2)
+            if magic == b"\x1f\x8b":
+                return gzip.decompress(magic + f.read())
             try:
                 import mmap as _mmap
 
@@ -129,9 +129,11 @@ def read_source_bytes(path: str) -> bytes:
                 except (AttributeError, OSError):
                     pass
                 return mm  # type: ignore[return-value]
-            except (ValueError, OSError):  # empty file / no mmap support
-                f.seek(0)
-                return f.read()
+            except (ValueError, OSError):
+                # empty file, or a non-mmapable local path (named pipe,
+                # /dev/stdin): fall back to a plain stream read -- the
+                # consumed magic probe is prepended, no seek needed
+                return magic + f.read()
     with _open_maybe_gz(path) as fp:
         return fp.read()
 
