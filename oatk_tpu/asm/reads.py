@@ -227,16 +227,20 @@ def extract_all_syncmers(
     return db
 
 
-def _parse_pack_segment(data: bytes, c0: int, c1: int, w: int, s: int, batch_bases: int):
+def _parse_pack_segment(
+    data: bytes, c0: int, c1: int, w: int, s: int, batch_bases: int, out3=None
+):
     """Worker: native parse+hoco of one byte range [c0, c1), then 2-bit
     pack all its chunks into upload blobs.  Runs off the main thread
     (the C parse releases the GIL) so segment i+1 parses while segment
     i's blobs upload/compute on the device.  The range is parsed in
-    place — no segment slice copy.  Returns (parse_result,
-    [(chunk_read_idxs, B, Lp, max_out, n_cap, blob)]) or None."""
+    place — no segment slice copy — and with ``out3`` straight into the
+    caller's whole-file arrays (no per-segment allocation either).
+    Returns (parse_result, [(chunk_read_idxs, B, Lp, max_out, n_cap,
+    blob)]) or None."""
     from .. import native
 
-    res = native.parse_fastx_hoco(data, c0, c1)
+    res = native.parse_fastx_hoco(data, c0, c1, out=out3)
     if res is None:
         return None
     names, rawlen, offs, codes, rl, isn = res
@@ -429,16 +433,26 @@ def load_and_extract(
             # the per-chunk relay-tunnel latencies overlap (~max instead
             # of ~sum; copy_to_host_async is a no-op through the tunnel)
             fetch_pool = ThreadPoolExecutor(8)
-            # whole-file hoco flats, filled segment-by-segment on worker
-            # threads (numpy slice assignment drops the GIL): replaces
-            # the end-of-load np.concatenate of ~4x-file-size arrays,
-            # whose single-thread memcpy sat on the critical path
+            # whole-file hoco arrays: each segment parses DIRECTLY into
+            # its own byte-range region (hoco length never exceeds raw
+            # bytes, so regions are disjoint), then a leftward memmove
+            # compacts codes/rl to the contiguous layout hoco_off
+            # describes.  Destinations never overlap other segments'
+            # sources (dest_i ends at cursor_{i+1} <= c0_{i+1}), so the
+            # moves run in parallel on the fetch pool.  isn stays at the
+            # parse positions: per-read is_n views don't need contiguity.
             codes_full = np.empty(len(data), np.uint8)
             rl_full = np.empty(len(data), np.uint32)
+            isn_full = np.empty(len(data), np.uint8)
+            import ctypes as _ct
 
-            def _copy_seg(codes, rl, h, base):
-                codes_full[base : base + h] = codes[:h]
-                rl_full[base : base + h] = rl[:h]
+            _codes_ptr = codes_full.ctypes.data
+            _rl_ptr = rl_full.ctypes.data
+
+            def _move_seg(h, src, dst):
+                if h and src != dst:
+                    _ct.memmove(_codes_ptr + dst, _codes_ptr + src, h)
+                    _ct.memmove(_rl_ptr + dst * 4, _rl_ptr + src * 4, h * 4)
 
             failed = False
             seg_results: list = []
@@ -472,10 +486,14 @@ def load_and_extract(
                 file_cursor = 0
                 with ThreadPoolExecutor(min(4, len(bounds))) as ex:
                     futs = [
-                        ex.submit(_parse_pack_segment, data, c0, c1, w, s, batch_bases)
+                        ex.submit(
+                            _parse_pack_segment, data, c0, c1, w, s, batch_bases,
+                            (codes_full[c0:c1], rl_full[c0:c1], isn_full[c0:c1]),
+                        )
                         for c0, c1 in bounds
                     ]
-                    for fut in futs:  # consume in order; dispatch as ready
+                    for (c0, _c1), fut in zip(bounds, futs):
+                        # consume in order; dispatch as ready
                         _t0 = _time.perf_counter()
                         pr = fut.result()
                         _t0 = _acc("parse_wait", _t0)
@@ -485,9 +503,7 @@ def load_and_extract(
                         res, chunks = pr
                         h_end = int(res[2][len(res[0])])
                         copy_futs.append(
-                            fetch_pool.submit(
-                                _copy_seg, res[3], res[4], h_end, file_cursor
-                            )
+                            fetch_pool.submit(_move_seg, h_end, c0, file_cursor)
                         )
                         disp = []
                         for (chunk, B, Lp, max_out, n_cap, blob) in chunks:

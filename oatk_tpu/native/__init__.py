@@ -221,16 +221,21 @@ def find_pattern2(data: bytes, pat: bytes, start: int = 0, end: int | None = Non
     return r + start if r >= 0 else -1
 
 
-def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None):
+def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None, out=None):
     """Parse + hoco-compress a FASTA/FASTQ byte range natively.
 
     ``start``/``end`` bound the parse to data[start:end] WITHOUT copying
     the segment (the pipelined loader splits one big buffer into ~4 MB
     segments; slicing bytes would memcpy the whole file again).
 
+    ``out`` = (codes[u8], rl[u32], isn[u8]) contiguous arrays of length
+    >= end-start: parse straight into caller storage (the loader hands
+    disjoint regions of its whole-file arrays, skipping the per-segment
+    allocation page-faults AND the copy-out).
+
     Returns (names, rawlen[i64], offs[i64 n+1], codes[u8], rl[u32],
-    isn[u8]) with per-read hoco streams concatenated, or None when the
-    native library is unavailable.
+    isn[u8]) with per-read hoco streams concatenated (views of ``out``
+    when given), or None when the native library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -240,9 +245,12 @@ def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None):
     n = end - start
     max_reads = max(16, count_header_marks(data, start, end))
     max_hoco = n  # hoco never exceeds raw length
-    codes = np.empty(max_hoco, np.uint8)
-    rl = np.empty(max_hoco, np.uint32)
-    isn = np.empty(max_hoco, np.uint8)
+    if out is not None:
+        codes, rl, isn = out
+    else:
+        codes = np.empty(max_hoco, np.uint8)
+        rl = np.empty(max_hoco, np.uint32)
+        isn = np.empty(max_hoco, np.uint8)
     offs = np.empty(max_reads + 1, np.int64)
     rawlen = np.empty(max_reads, np.int64)
     hdr_beg = np.empty(max_reads, np.int64)
