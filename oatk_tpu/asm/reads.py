@@ -437,10 +437,17 @@ def load_and_extract(
             # its own byte-range region (hoco length never exceeds raw
             # bytes, so regions are disjoint), then a leftward memmove
             # compacts codes/rl to the contiguous layout hoco_off
-            # describes.  Destinations never overlap other segments'
-            # sources (dest_i ends at cursor_{i+1} <= c0_{i+1}), so the
-            # moves run in parallel on the fetch pool.  isn stays at the
-            # parse positions: per-read is_n views don't need contiguity.
+            # describes.  The moves MUST run sequentially in submission
+            # order: once hoco shrink accumulates, dest_i = [cursor_i,
+            # cursor_i+h_i) can overlap the source [c0_m, c0_m+h_m) of
+            # ANY earlier segment m<i (cursor_i <= c0_m+h_m whenever
+            # total shrink before m exceeds the raw bytes of segments
+            # m..i-1), so a concurrent move_m would read bytes move_i
+            # already overwrote.  In order, dest_i only overlaps sources
+            # already fully consumed (and its own, which one memmove
+            # handles); it never reaches src_j for j>i since dest_i ends
+            # at cursor_{i+1} <= c1_i <= c0_j.  isn stays at the parse
+            # positions: per-read is_n views don't need contiguity.
             codes_full = np.empty(len(data), np.uint8)
             rl_full = np.empty(len(data), np.uint32)
             isn_full = np.empty(len(data), np.uint8)
@@ -454,6 +461,7 @@ def load_and_extract(
                     _ct.memmove(_codes_ptr + dst, _codes_ptr + src, h)
                     _ct.memmove(_rl_ptr + dst * 4, _rl_ptr + src * 4, h * 4)
 
+            move_pool = ThreadPoolExecutor(1)  # ordered, one at a time
             failed = False
             seg_results: list = []
             copy_futs: list = []
@@ -503,7 +511,7 @@ def load_and_extract(
                         res, chunks = pr
                         h_end = int(res[2][len(res[0])])
                         copy_futs.append(
-                            fetch_pool.submit(_move_seg, h_end, c0, file_cursor)
+                            move_pool.submit(_move_seg, h_end, c0, file_cursor)
                         )
                         disp = []
                         for (chunk, B, Lp, max_out, n_cap, blob) in chunks:
@@ -536,6 +544,7 @@ def load_and_extract(
                 break
             if failed:
                 fetch_pool.shutdown(wait=True)
+                move_pool.shutdown(wait=True)
                 return None
             _t0 = _time.perf_counter()
             for f in copy_futs:
@@ -556,6 +565,7 @@ def load_and_extract(
             rl_parts.append(rl_full[:file_cursor])
             _t0 = _acc("assemble_total", _t0)
             fetch_pool.shutdown(wait=True)
+            move_pool.shutdown(wait=True)
             _acc("pool_shutdown", _t0)
             continue
 

@@ -175,3 +175,35 @@ def test_bounded_parse_equals_slice_parse(reads):
         assert a[0] == b[0]
         for x, y in zip(a[1:], b[1:]):
             assert np.array_equal(x, y)
+
+
+def test_compaction_order_hp_rich_many_segments(tmp_path, monkeypatch):
+    """Regression lock for the segment-compaction ordering hazard.
+
+    Each segment parses in place at its byte range, then a leftward
+    memmove compacts it to the cumulative hoco cursor.  With large hoco
+    shrink (homopolymer-rich reads, ~60%+) the destination of move i
+    overlaps the sources of earlier segments, so moves executed out of
+    order / concurrently corrupt the shared flats (caught live as
+    off-by-N homopolymer runs in the final GFA at 30 Mbp).  This case
+    maximizes the overlap: ~50 segments of hp-rich reads, and asserts
+    the flats and every per-read view equal the oracle.
+    """
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    g = random_genome(rng, 20_000, hp_prob=0.5, max_hp=12)
+    reads = sample_reads(rng, g, coverage=60, read_len=1500, err_rate=0.005)
+    fa = tmp_path / "hp.fa"
+    _write_fa(str(fa), reads)
+    monkeypatch.setattr(R, "_SEG_BYTES", 24 * 1024)
+    db = R.load_and_extract([str(fa)], W, S, impl="pallas")
+    assert db is not None
+    _assert_same(db, _oracle_db([str(fa)]))
+    for i, r in enumerate(db.reads):
+        o0, o1 = int(db.hoco_off[i]), int(db.hoco_off[i + 1])
+        assert np.array_equal(db.hoco_flat[o0:o1], r.hoco_code)
+        assert np.array_equal(db.rl_flat[o0:o1], r.ho_rl)
