@@ -88,6 +88,20 @@ def _syncasm_impl(
     files, k, s, min_k_cov, min_a_cov_f, bubble_size, tip_size, weak_cross,
     do_ec, do_unzip, max_data, out, use_device, verbose, shards,
 ) -> SyncasmResult:
+    import os as _os
+    import time as _time
+
+    _tm: dict[str, float] = {}
+    _tick = [_time.perf_counter()]
+
+    def _t(stage: str) -> None:
+        # OATK_TPU_TIMEIT stage accounting ([T::syncasm] on stderr at
+        # return); no-op cost when disabled is one perf_counter call
+        now = _time.perf_counter()
+        _tm[stage] = _tm.get(stage, 0.0) + (now - _tick[0])
+        _tick[0] = now
+
+    _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
     collector = None
     if shards >= 1 and not use_device:
         log_info("--cpu disables the device mesh; ignoring --shards", func="syncasm")
@@ -105,6 +119,7 @@ def _syncasm_impl(
         read_db, collector = load_and_extract_sharded(files, k, s, mesh, max_data)
     else:
         read_db = load_reads(files, k, s, max_data, use_device)
+    _t("load")
     log_info(f"collected syncmers from {read_db.n} target sequence(s)", func="syncasm")
     # DB collection runs before the (silent-output-independent) stat
     # pass: the stat's k-mer grouping then counts dense syncmer ids via
@@ -123,7 +138,9 @@ def _syncasm_impl(
             scm_db = collect_syncmer_db(read_db)
     else:
         scm_db = collect_syncmer_db(read_db)
+    _t("collect_db")
     read_db_stat(read_db, sys.stderr, verbose)
+    _t("stat")
 
     if min_k_cov == 0:
         st = read_db.stats
@@ -138,15 +155,22 @@ def _syncasm_impl(
     if do_ec:
         from .ec import read_error_correction
 
+        _t("_")
         scg0 = make_syncmer_graph(read_db, scm_db, 0, 0.0)
+        _t("ec_graph0")
         scg_consensus(read_db, scg0, hoco_seq=True, save_seq=True, fo=None)
+        _t("ec_consensus0")
         read_error_correction(
             read_db, scg0, 0.02, min_k_cov, min_k_cov * 10, min_k_cov, min_a_cov_f, verbose
         )
+        _t("ec")
         read_db_stat(read_db, sys.stderr, verbose)
+        _t("stat2")
 
     log_info("make syncmer graph", func="syncasm")
+    _t("_")
     scg = make_syncmer_graph(read_db, scm_db, min_k_cov, min_a_cov_f)
+    _t("make_graph")
     if scg.is_empty():
         log_error("empty syncmer graph", func="syncasm")
         return SyncasmResult(read_db, scm_db, None)
@@ -156,11 +180,15 @@ def _syncasm_impl(
         scg_subgraph_stat(scg, sys.stderr)
 
     log_info("syncmer graph unitigging", func="syncasm")
+    _t("_")
     process_mergeable_unitigs(scg)
+    _t("unitig")
     log_info("syncmer graph stats after unitigging", func="syncasm")
     scg_stat(scg, sys.stderr)
+    _t("_")
     with open(out + ".utg.gfa", "w") as fo:
         scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
+    _t("utg_gfa")
     if verbose > 1:
         scg_subgraph_stat(scg, sys.stderr)
 
@@ -187,24 +215,33 @@ def _syncasm_impl(
         updated = 1
         while updated and rounds < do_unzip:
             rounds += 1
+            _t("_")
             ra_db = scg_read_alignment(read_db, scg, for_unzip=True, old_ra_db=ra_db)
+            _t("unzip_align")
             scg_update_utg_cov(scg)
             updated = scg_multiplex(scg, ra_db, max_n_scm, 10, 0.3)
+            _t("multiplex")
             if verbose:
                 log_info(
                     f"syncmer graph stats after multiplexing round {rounds}", func="syncasm"
                 )
                 scg_stat(scg, sys.stderr)
 
+        _t("_")
         ra_db = scg_read_alignment(read_db, scg, for_unzip=True, old_ra_db=ra_db)
+        _t("unzip_align")
         scg_ra_arc_coverage(scg, read_db, ra_db, refine=False, verbose=verbose)
         remove_weak_crosslink(scg.utg, weak_cross, 10, False, verbose)
 
         scg_demultiplex(scg)
+        _t("demux")
         ra_db = scg_read_alignment(read_db, scg, for_unzip=False)
+        _t("unzip_align2")
         scg_ra_utg_coverage(scg, read_db, ra_db, verbose)
         scg_ra_arc_coverage(scg, read_db, ra_db, refine=True, verbose=verbose)
+        _t("unzip_cov")
         scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=None)
+        _t("unzip_consensus")
 
         cleaned = 1
         while cleaned:
@@ -218,13 +255,22 @@ def _syncasm_impl(
     from .align import scg_read_alignment
     from .coverage import scg_ra_arc_coverage, scg_ra_utg_coverage
 
+    _t("_")
     ra_db = scg_read_alignment(read_db, scg, for_unzip=False)
+    _t("final_align")
     scg_ra_utg_coverage(scg, read_db, ra_db, verbose)
     scg_ra_arc_coverage(scg, read_db, ra_db, refine=True, verbose=verbose)
+    _t("final_cov")
 
     log_info("syncmer graph stats after final processing", func="syncasm")
     scg_stat(scg, sys.stderr)
+    _t("_")
     with open(out + ".utg.final.gfa", "w") as fo:
         scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
+    _t("final_gfa")
+    if _timeit and _tm:
+        _tm.pop("_", None)
+        parts = " ".join(f"{k_}={v * 1000:.1f}ms" for k_, v in _tm.items())
+        print(f"[T::syncasm] {parts}", file=sys.stderr, flush=True)
 
     return SyncasmResult(read_db, scm_db, scg, ra_db)
