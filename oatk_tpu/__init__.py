@@ -53,5 +53,14 @@ if "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # The cache key hashes the module AFTER strip-debuginfo, but a
+        # Pallas call embeds its Mosaic payload (locations included) in
+        # a custom_call backend_config the pass cannot reach.  With full
+        # tracebacks in locations, the CALLER chain (bench.py vs CLI vs
+        # pipeline, even unrelated line-number shifts) leaks into the
+        # payload and silently forks the cache key -- every entry point
+        # then pays the ~80 s first-compile of the same kernel.  Keep
+        # locations to the defining frame only.
+        _jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # pragma: no cover - older jax without the knobs
         pass
