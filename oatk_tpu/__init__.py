@@ -45,6 +45,25 @@ if _os.environ.get("OATK_TPU_HUGEPAGE", "0") != "1":
     except Exception:  # pragma: no cover - private symbol moved/removed
         pass  # purely a perf tweak; never block the import
 
+# Keep large allocations on the reusable brk heap.  On microVM kernels
+# (Firecracker here) EVERY newly faulted anonymous page takes a host
+# roundtrip -- measured 5-8 s/GB first touch, and parallel faulting is
+# WORSE (41 s/GB across 4 threads).  glibc mmaps allocations above
+# M_MMAP_THRESHOLD (128 KB default) and munmaps them on free, so each
+# big numpy temporary re-pays the full fault cost; raising the
+# threshold (and the trim threshold, so the heap top is not returned)
+# makes freed pages reusable: repeat 800 MB alloc+touch drops 6.8 s ->
+# 0.4 s.  Values are clamped to INT_MAX (mallopt takes int).
+if _os.environ.get("OATK_TPU_MALLOC_REUSE", "1") == "1":
+    try:
+        import ctypes as _ct
+
+        _libc = _ct.CDLL("libc.so.6")
+        _libc.mallopt(-3, 0x7FFFFFFF)  # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 0x7FFFFFFF)  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc libc
+        pass
+
 _cache_dir = _os.environ.get("OATK_TPU_CACHE", "/tmp/oatk_tpu_jax_cache")
 # CPU-only runs skip the cache: XLA:CPU persists AOT code whose machine
 # features may not match a later host (it warns about possible SIGILL),
