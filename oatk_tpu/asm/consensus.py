@@ -362,6 +362,24 @@ def ensure_vtx_seq(utg):
     The batched scg_consensus path skips eager decoding (the scg0 call
     would decode tens of thousands of single-syncmer strings); only the
     EC Python fallback actually walks vtx_seq, and calls this first."""
+    lz = getattr(utg, "_seq_lazy", None)
+    if lz is not None:
+        code_flat, lsrc, lrev, w = lz
+        if len(lsrc) != utg.n_vtx:
+            return  # stale cache (graph mutated since the consensus pass)
+        for i in range(utg.n_vtx):
+            if utg.vtx_del[i] or utg.vtx_seq[i] is not None:
+                continue
+            st = int(lsrc[i])
+            if st < 0:
+                utg.vtx_seq[i] = "N" * w
+            elif lrev[i]:
+                utg.vtx_seq[i] = (
+                    _NT[3 - code_flat[st : st + w][::-1]].tobytes().decode()
+                )
+            else:
+                utg.vtx_seq[i] = _NT[code_flat[st : st + w]].tobytes().decode()
+        return
     buf = getattr(utg, "_seq_buf", None)
     cuts = getattr(utg, "_seq_cuts", None)
     if buf is None or cuts is None or len(cuts) != utg.n_vtx + 1:
@@ -418,6 +436,20 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     With the native library, all vertices (and all arcs) are processed
     in single batched C calls -- per-call ctypes dispatch dominated
     large unfiltered graphs otherwise."""
+    import os as _os
+    import time as _time
+
+    _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
+    _marks: list[tuple[str, float]] = []
+    _last = _time.perf_counter()
+
+    def _t(name):
+        nonlocal _last
+        if _timeit:
+            now = _time.perf_counter()
+            _marks.append((name, now - _last))
+            _last = now
+
     utg = scg.utg
     scm_db = scg.scm_db
     w = read_db.k
@@ -425,6 +457,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     flats = _Flats.build(read_db, scm_db)
     if fo:
         fo.write("H\tVN:Z:1.0\n")
+    _t("flats")
 
     n_vtx = utg.n_vtx
     batched = flats is not None and n_vtx > 0
@@ -440,38 +473,82 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             np.fromiter((len(utg.vtx_a[i]) for i in range(n_vtx)), np.int64, count=n_vtx),
             out=va_off[1:],
         )
+        _t("va_flat")
         live = (~np.asarray(utg.vtx_del[:n_vtx], bool)).astype(np.uint8)
-        # window-sum bound covers hoco emission; dna run-length expansion
-        # beyond the 2x margin regrows
-        cap = max(4096, 2 * int(va_off[-1]) * w)
-        while True:
-            buf = np.empty(cap, np.uint8)
-            cuts = np.empty(n_vtx + 1, np.int64)
-            ret = native.utg_consensus_emit_batch(
-                va_flat, va_off, live, w, hoco_seq,
-                flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
-                flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
-                buf, cuts,
-            )
-            if ret >= 0:
-                break
-            cap *= 4
+        va_len = np.diff(va_off)
+        # Lazy hoco consensus (the EC-graph call): every vertex is one
+        # syncmer and no read has an EC flag yet, so each vertex's hoco
+        # consensus is exactly the first occurrence's window in the hoco
+        # stream (scm_consensus_fill semantics with all occurrences
+        # un-corrected).  Record (stream offset, rev) per vertex instead
+        # of materializing the ~100 MB ASCII buffer; native EC and
+        # ensure_vtx_seq decode on demand.
+        lazy = (
+            hoco_seq
+            and save_seq
+            and fo is None
+            and bool(np.all(va_len == 1))
+            and not bool((flats.kflat & np.uint64(1)).any())
+        )
+        if lazy:
+            hoco_total = len(flats.code_flat)
+            s_ids = (va_flat >> np.uint64(1)).astype(np.int64)
+            vrev = (va_flat & np.uint64(1)).astype(np.uint32)
+            mo0 = flats.mp_off[s_ids]
+            has = flats.mp_off[s_ids + 1] > mo0
+            lsrc = np.full(n_vtx, -1, np.int64)
+            lrev = np.zeros(n_vtx, np.uint8)
+            if np.any(has):
+                e0 = flats.mp_flat[mo0[has]]
+                sid = (e0 >> np.uint64(32)).astype(np.int64)
+                idx = ((e0 >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+                praw = flats.mflat[flats.moff[sid] + idx]
+                r = ((praw & np.uint32(1)).astype(np.uint32) ^ vrev[has]).astype(np.uint8)
+                st = flats.hoff[sid] + (praw >> np.uint32(1)).astype(np.int64)
+                if bool(np.all((st >= 0) & (st + w <= hoco_total))):
+                    lsrc[has] = st
+                    lrev[has] = r
+                else:
+                    lazy = False  # corrupt-entry guard: materialize instead
+        if not lazy:
+            # window-sum bound covers hoco emission; dna run-length
+            # expansion beyond the 2x margin regrows
+            cap = max(4096, 2 * int(va_off[-1]) * w)
+            while True:
+                buf = np.empty(cap, np.uint8)
+                cuts = np.empty(n_vtx + 1, np.int64)
+                ret = native.utg_consensus_emit_batch(
+                    va_flat, va_off, live, w, hoco_seq,
+                    flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
+                    flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
+                    buf, cuts,
+                )
+                if ret >= 0:
+                    break
+                cap *= 4
+        _t("emit_batch")
         if save_seq:
-            # raw emission buffer for native EC; vtx_seq strings are NOT
-            # decoded here -- the EC Python fallback decodes on demand
-            # via ensure_vtx_seq (the scg0 call would otherwise decode
-            # tens of thousands of single-syncmer strings for nothing)
-            utg._seq_buf = buf[: int(ret)].copy()
-            utg._seq_cuts = cuts.copy()
+            if lazy:
+                utg._seq_buf = None
+                utg._seq_cuts = None
+                utg._seq_lazy = (flats.code_flat, lsrc, lrev, w)
+            else:
+                # raw emission buffer for native EC; vtx_seq strings are
+                # NOT decoded here -- the EC Python fallback decodes on
+                # demand via ensure_vtx_seq (the scg0 call would
+                # otherwise decode tens of thousands of single-syncmer
+                # strings for nothing)
+                utg._seq_buf = buf[: int(ret)].copy()
+                utg._seq_cuts = cuts.copy()
+                utg._seq_lazy = None
         # per-vertex lengths/coverages vectorized; fresh coverages for
         # single-syncmer vertices collapse to that syncmer's own count
         # (_utg_avg_cov of one value is the value, whichever sel branch)
         live_b = live.view(bool)
-        lens_all = np.diff(cuts)
+        lens_all = np.full(n_vtx, w, np.int64) if lazy else np.diff(cuts)
         cov_f = np.fromiter(
             (utg.vtx_cov[i] for i in range(n_vtx)), np.float64, count=n_vtx
         )
-        va_len = np.diff(va_off)
         need = live_b & (cov_f == 0)
         single = need & (va_len == 1)
         if np.any(single):
@@ -489,6 +566,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
         new_cov = np.where(live_b, cov_f.astype(np.int64), old_cov)
         utg.vtx_len[:n_vtx] = new_len.tolist()
         utg.vtx_cov[:n_vtx] = new_cov.tolist()
+        _t("lens_covs")
         if fo is not None:
             for i in np.flatnonzero(live_b).tolist():
                 l = int(lens_all[i])
@@ -516,6 +594,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 )
 
     utg._flush_pending()
+    _t("emit_gfa")
     n_arc = len(utg.av)
     als_batch = None
     if batched and n_arc:
@@ -538,6 +617,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             if ret >= 0:
                 break
             scratch_cap *= 4
+        _t("arc_batch")
 
     if als_batch is not None and fo is None and n_arc:
         # no GFA emission: the batched overlaps scatter straight into
@@ -552,6 +632,16 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             p = part[sel]
             ok = p >= 0
             utg.als[p[ok]] = vals[ok]
+            if _timeit:
+                _t("arcs")
+                import sys as _sys
+
+                print(
+                    "[T::scg_consensus] "
+                    + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
+                    file=_sys.stderr,
+                    flush=True,
+                )
             return
     for ai in range(n_arc):
         if utg.adel[ai] or utg.acomp[ai]:
@@ -590,3 +680,12 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             cov = int(utg.acov[ai])
             fo.write(f"L\tu{v>>1}\t{'+-'[v&1]}\tu{t>>1}\t{'+-'[t&1]}\t{l}M\tEC:i:{cov}\n")
             fo.write(f"L\tu{t>>1}\t{'-+'[t&1]}\tu{v>>1}\t{'-+'[v&1]}\t{l}M\tEC:i:{cov}\n")
+    if _timeit:
+        _t("arcs")
+        import sys as _sys
+
+        print(
+            "[T::scg_consensus] " + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
+            file=_sys.stderr,
+            flush=True,
+        )

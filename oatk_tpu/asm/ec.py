@@ -286,9 +286,17 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
     g = scg.utg
     g._flush_pending()
     n_vtx = g.n_vtx
+    lz = getattr(g, "_seq_lazy", None)
+    lazy_src = lazy_rev = lazy_codes = None
     buf = getattr(g, "_seq_buf", None)
     cuts = getattr(g, "_seq_cuts", None)
-    if buf is not None and cuts is not None and len(cuts) == n_vtx + 1:
+    if lz is not None and len(lz[1]) == n_vtx:
+        # lazy consensus: native EC decodes vertex windows straight from
+        # the hoco code stream (no materialized ASCII buffer at all)
+        lazy_codes, lazy_src, lazy_rev = lz[0], lz[1], lz[2]
+        seq_flat = np.zeros(0, np.uint8)
+        seq_off = np.zeros(n_vtx + 1, np.int64)
+    elif buf is not None and cuts is not None and len(cuts) == n_vtx + 1:
         # consensus pass cached its raw emission buffer: no str round trip
         seq_flat = buf
         seq_off = cuts
@@ -334,6 +342,7 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         np.ascontiguousarray(scg.scm_db.del_, np.uint8),
         kflat, mflat, moff, code_flat, hoff, hoco_l,
         read_db.k, max_edist,
+        lazy_src=lazy_src, lazy_rev=lazy_rev, lazy_codes=lazy_codes,
     )
     if res is None:
         return False

@@ -384,6 +384,7 @@ class Asmg:
         self.als[:] = 0
         self._seq_buf = None  # invalidate the raw-emission cache
         self._seq_cuts = None
+        self._seq_lazy = None
         for i in range(self.n_vtx):
             self.vtx_seq[i] = None
             self.vtx_len[i] = 0

@@ -154,6 +154,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
@@ -629,8 +630,14 @@ def ec_correct_reads(
     idx_p, idx_n, aw, als, adel, seq_flat, seq_off, vtx_len, scm_del,
     kflat, mflat, moff, code_flat, hoff, hoco_l, w: int, max_edist: float,
     n_threads: int | None = None,
+    lazy_src=None, lazy_rev=None, lazy_codes=None,
 ):
     """Batched graph-path error correction (native/ec.c).
+
+    When ``lazy_src``/``lazy_rev`` are given (per-vertex hoco-stream
+    offset / orientation, offset -1 => all-N vertex), vertex consensus
+    bytes are decoded on demand from ``code_flat`` and
+    ``seq_flat``/``seq_off`` are ignored.
 
     Returns (stats[11], out_kmer, out_mpos, out_cut, out_upd) or None
     when the native library is unavailable / hits an internal limit
@@ -653,6 +660,9 @@ def ec_correct_reads(
             aw.ctypes.data, als.ctypes.data, adel.ctypes.data,
             seq_flat.ctypes.data, seq_off.ctypes.data, vtx_len.ctypes.data,
             scm_del.ctypes.data,
+            lazy_src.ctypes.data if lazy_src is not None else None,
+            lazy_rev.ctypes.data if lazy_rev is not None else None,
+            lazy_codes.ctypes.data if lazy_codes is not None else None,
             kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data, n_reads,
             code_flat.ctypes.data, hoff.ctypes.data, hoco_l.ctypes.data,
             w, ctypes.c_double(max_edist), n_threads,

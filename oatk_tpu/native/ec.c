@@ -91,6 +91,12 @@ typedef struct {
     const i64 *seq_off;   /* [n_vtx+1] */
     const i64 *vtx_len;
     const u8 *scm_del;
+    /* lazy vertex consensus (single-syncmer hoco graphs): per-vertex
+     * (hoco-stream offset, rev) instead of a materialized ASCII buffer;
+     * active when lsrc != NULL (then seq_flat/seq_off are unused) */
+    const i64 *lsrc;
+    const u8 *lrv;
+    const u8 *codes;
     /* scratch */
     wf_t wf;
     dfs_t dfs;
@@ -159,20 +165,48 @@ static void dfs_search(ctx_t *c, i64 sink) {
         i64 w = (i64)c->aw[ai];
         i64 ls = c->als[ai];
         i64 vid = w >> 1;
-        const u8 *k_seq = c->seq_flat + c->seq_off[vid];
         i64 l_seq = c->vtx_len[vid];
 
         if (ib_push(&d->c_path, w) < 0) { c->oom = 1; break; }
         i64 add = l_seq - ls;
         if (add < 0) add = 0;  /* python slices clamp to empty */
         if (bb_reserve(&d->c_seq, add) < 0) { c->oom = 1; break; }
-        if (w & 1) {
-            /* complemented reverse of k_seq[:l_seq-ls] */
-            for (i64 t = add - 1; t >= 0; --t)
-                d->c_seq.p[d->c_seq.n++] = COMP[k_seq[t]];
-        } else {
-            memcpy(d->c_seq.p + d->c_seq.n, k_seq + ls, add);
+        if (c->lsrc) {
+            /* decode the needed window straight from the hoco codes:
+             * vertex consensus byte j = NT[codes[src+j]] (rev=0) or
+             * NT[3-codes[src+L-1-j]] (rev=1); appending either the
+             * suffix k_seq[ls:] (w fwd) or COMP[reverse(k_seq[:add])]
+             * (w rev) collapses to the four direct loops below */
+            i64 src = c->lsrc[vid];
+            u8 *dst = d->c_seq.p + d->c_seq.n;
+            if (src < 0) {
+                memset(dst, 'N', add);
+            } else if (!(w & 1)) {
+                if (!c->lrv[vid])
+                    for (i64 t = 0; t < add; ++t)
+                        dst[t] = NT[c->codes[src + ls + t]];
+                else
+                    for (i64 t = 0; t < add; ++t)
+                        dst[t] = NT[3 - c->codes[src + l_seq - 1 - ls - t]];
+            } else {
+                if (!c->lrv[vid])
+                    for (i64 t = 0; t < add; ++t)
+                        dst[t] = NT[3 - c->codes[src + add - 1 - t]];
+                else
+                    for (i64 t = 0; t < add; ++t)
+                        dst[t] = NT[c->codes[src + l_seq - add + t]];
+            }
             d->c_seq.n += add;
+        } else {
+            const u8 *k_seq = c->seq_flat + c->seq_off[vid];
+            if (w & 1) {
+                /* complemented reverse of k_seq[:l_seq-ls] */
+                for (i64 t = add - 1; t >= 0; --t)
+                    d->c_seq.p[d->c_seq.n++] = COMP[k_seq[t]];
+            } else {
+                memcpy(d->c_seq.p + d->c_seq.n, k_seq + ls, add);
+                d->c_seq.n += add;
+            }
         }
 
         if (wf_run(c, d) < 0) { c->oom = 1; break; }
@@ -267,6 +301,7 @@ typedef struct {
     const u64 *aw; const i64 *als; const u8 *adel;
     const u8 *seq_flat; const i64 *seq_off; const i64 *vtx_len;
     const u8 *scm_del;
+    const i64 *lsrc; const u8 *lrv; const u8 *lcodes;
     const u64 *kflat; const u32 *mflat; const i64 *moff; i64 n_reads;
     const u8 *code_flat; const i64 *hoff; const i64 *hoco_l;
     i64 w; double max_edist;
@@ -428,6 +463,7 @@ static void *ec_worker(void *arg) {
     c.aw = jb->aw; c.als = jb->als; c.adel = jb->adel;
     c.seq_flat = jb->seq_flat; c.seq_off = jb->seq_off; c.vtx_len = jb->vtx_len;
     c.scm_del = jb->scm_del;
+    c.lsrc = jb->lsrc; c.lrv = jb->lrv; c.codes = jb->lcodes;
     u8 *ts_buf = (u8 *)malloc(jb->max_hoco ? jb->max_hoco : 1);
     ibuf_t ck = {0}, cm = {0};
     if (!ts_buf) { atomic_store(&jb->err, 2); goto done; }
@@ -455,6 +491,7 @@ i64 ec_correct_reads(
     const u64 *aw, const i64 *als, const u8 *adel,
     const u8 *seq_flat, const i64 *seq_off, const i64 *vtx_len,
     const u8 *scm_del,
+    const i64 *lsrc, const u8 *lrev, const u8 *lcodes,
     const u64 *kflat, const u32 *mflat, const i64 *moff, i64 n_reads,
     const u8 *code_flat, const i64 *hoff, const i64 *hoco_l,
     i64 w, double max_edist, i64 n_threads,
@@ -469,6 +506,7 @@ i64 ec_correct_reads(
     jb->aw = aw; jb->als = als; jb->adel = adel;
     jb->seq_flat = seq_flat; jb->seq_off = seq_off; jb->vtx_len = vtx_len;
     jb->scm_del = scm_del;
+    jb->lsrc = lsrc; jb->lrv = lrev; jb->lcodes = lcodes;
     jb->kflat = kflat; jb->mflat = mflat; jb->moff = moff; jb->n_reads = n_reads;
     jb->code_flat = code_flat; jb->hoff = hoff; jb->hoco_l = hoco_l;
     jb->w = w; jb->max_edist = max_edist;
