@@ -624,7 +624,9 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
         # als (arc + complement), no per-arc Python walk
         from ..graph.asmg import _match_complements
 
-        part = _match_complements(utg.av, utg.aw)
+        part = getattr(utg, "_arc_partner", None)
+        if part is None or len(part) != n_arc:
+            part = _match_complements(utg.av, utg.aw)
         if part is not None:
             sel = np.flatnonzero(~utg.adel & ~utg.acomp)
             vals = als_batch[sel]

@@ -180,6 +180,13 @@ def make_syncmer_graph(
         g.adel = np.concatenate([g.adel, np.zeros(total, bool)])
         g.acomp = np.concatenate([g.acomp, acomp])
         g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
+        # complement pairing is known at construction (fwd at off, comp
+        # at off+1; palindromes self-partner) and keys are unique, so
+        # finalize can skip its sorted-search complement matching
+        partner = np.arange(total, dtype=np.int64)
+        partner[off[has_comp]] = co
+        partner[co] = off[has_comp]
+        g._arc_partner = partner
     g.finalize(True)
     scg = Scg(scm_db=scm_db, utg=g)
     scg.rebuild_index()

@@ -71,6 +71,11 @@ class Asmg:
         self.idx_p: np.ndarray = np.zeros(0, np.int64)
         self.idx_n: np.ndarray = np.zeros(0, np.int64)
         self._pending: list[tuple] = []  # arcs appended since last index
+        # complement-partner indices supplied by bulk builders (arc i's
+        # complement arc is _arc_partner[i]; palindromes self-partner);
+        # lets finalize skip the sorted-search complement matching.
+        # Invalidated (None) by any incremental arc mutation.
+        self._arc_partner: np.ndarray | None = None
 
     # ---------- construction ----------
     @property
@@ -92,6 +97,7 @@ class Asmg:
 
     def add_arc(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
         self._pending.append((v, w, ln, ls, cov, False, bool(comp), link_id))
+        self._arc_partner = None
 
     def add_arc2(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
         """Add an arc and its complement (skips the palindromic duplicate)."""
@@ -125,6 +131,10 @@ class Asmg:
                 order = np.argsort(key, kind="stable")
         else:
             order = np.lexsort((self.aw, self.av))
+        if self._arc_partner is not None:
+            inv = np.empty(len(order), np.int64)
+            inv[order] = np.arange(len(order))
+            self._arc_partner = inv[self._arc_partner[order]]
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
             setattr(self, name, getattr(self, name)[order])
 
@@ -145,6 +155,8 @@ class Asmg:
         """Compact deleted vertices/arcs and renumber (asmg_cleanup)."""
         self._flush_pending()
         vdel = np.array(self.vtx_del, bool)
+        if not vdel.any() and not self.adel.any():
+            return  # nothing to compact
         keep_v = ~vdel
         new_id = np.cumsum(keep_v) - 1
         self.vtx_a = [a for a, k in zip(self.vtx_a, keep_v) if k]
@@ -156,6 +168,13 @@ class Asmg:
         vsrc = (self.av >> np.uint64(1)).astype(np.int64)
         vdst = (self.aw >> np.uint64(1)).astype(np.int64)
         keep_a = ~self.adel & keep_v[vsrc] & keep_v[vdst]
+        if self._arc_partner is not None:
+            part = self._arc_partner
+            if np.array_equal(keep_a[part], keep_a):  # pairs kept together
+                new_pos = np.cumsum(keep_a) - 1
+                self._arc_partner = new_pos[part[keep_a]]
+            else:
+                self._arc_partner = None
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
             setattr(self, name, getattr(self, name)[keep_a])
         self.av = (new_id[(self.av >> np.uint64(1)).astype(np.int64)].astype(np.uint64) << np.uint64(1)) | (
@@ -178,7 +197,21 @@ class Asmg:
             self._flush_pending()
             return 0
         av, aw = self.av[live], self.aw[live]
-        part = _match_complements(av, aw)
+        part = None
+        if self._arc_partner is not None and len(live) == len(self.av):
+            # builder-supplied complement pairing (unique keys by
+            # construction): verify then skip the sorted-search match
+            p = self._arc_partner
+            if np.all(
+                (self.av[p] == (self.aw ^ np.uint64(1)))
+                & (self.aw[p] == (self.av ^ np.uint64(1)))
+                & (p[p] == np.arange(len(p)))
+            ):
+                part = p
+            else:
+                self._arc_partner = None
+        if part is None:
+            part = _match_complements(av, aw)
         if part is None:
             return self._arc_fix_symm_slow()
         found = part >= 0
@@ -202,6 +235,7 @@ class Asmg:
         self.acomp[i[selfm]] ^= True
         added = len(missing)
         if added:
+            self._arc_partner = None  # arrays grow below; indices stale
             mi = i[missing]
             self.av = np.concatenate([self.av, self.aw[mi] ^ np.uint64(1)])
             self.aw = np.concatenate([self.aw, self.av[mi] ^ np.uint64(1)])
@@ -250,10 +284,19 @@ class Asmg:
         self.alink = np.full(n, UINT64_MAX, np.uint64)
         if n == 0:
             return
+        idx = np.arange(n)
+        if self._arc_partner is not None and len(self._arc_partner) == n:
+            partner = self._arc_partner
+            # rep positions are exactly the i <= partner[i] indices, so
+            # the link id (rank of the pair's smaller member) is a
+            # prefix count -- no sort, no searchsorted
+            rep = np.minimum(idx, partner)
+            rank = np.cumsum(idx <= partner) - 1
+            self.alink = rank[rep].astype(np.uint64)
+            return
         part = _match_complements(self.av, self.aw)
         if part is None:
             return self._shrink_link_id_slow()
-        idx = np.arange(n)
         partner = np.where(part >= 0, part, idx)
         rep = np.minimum(idx, partner)
         uniq = np.unique(rep)
