@@ -22,14 +22,35 @@ _NT = np.frombuffer(b"ACGT", np.uint8)
 MAX_RD_LEN = 0x7FFFFFFF
 
 
+def _resolve_rl_m1(read_db: ReadDB, sid: int, p: int, rl: np.ndarray) -> np.ndarray:
+    """Exact run-length-1 values for a window of saturated u8 entries
+    (255 => look up the ReadDB overflow list at global stream positions)."""
+    op = getattr(read_db, "rl_ovf_pos", None)
+    ol = getattr(read_db, "rl_ovf_len", None)
+    if op is None or len(op) == 0 or read_db.hoco_off is None:
+        return rl
+    base = int(read_db.hoco_off[sid]) + p
+    sat = np.flatnonzero(rl == 255)
+    gpos = base + sat
+    j = np.searchsorted(op, gpos)
+    ok = (j < len(op)) & (op[np.minimum(j, len(op) - 1)] == gpos)
+    rl = rl.copy()
+    rl[sat[ok]] = ol[j[ok]]
+    return rl
+
+
 def _hoco_flats(read_db: ReadDB):
-    """(hoff, code_flat, rl_flat): hoco streams are immutable per ReadDB
-    (EC splices only the syncmer arrays), so this caches forever."""
+    """(hoff, code_flat, rl_flat, rl_ovf_pos, rl_ovf_len): hoco streams
+    are immutable per ReadDB (EC splices only the syncmer arrays), so
+    this caches forever.  rl_flat is u8 run-length-1 saturated at 255
+    (reference sr_t layout); the sorted overflow pair holds exact values
+    for saturated positions."""
     cached = getattr(read_db, "_hoco_fcache", None)
     if cached is not None:
         return cached
     reads = read_db.reads
     n = len(reads)
+    z64 = np.zeros(0, np.int64)
     if (
         getattr(read_db, "hoco_flat", None) is not None
         and read_db.hoco_off is not None
@@ -37,7 +58,9 @@ def _hoco_flats(read_db: ReadDB):
     ):
         # the native loader already holds the whole-run hoco streams
         # (per-read arrays are views into them): zero-copy reuse
-        hf = (read_db.hoco_off[:n], read_db.hoco_flat, read_db.rl_flat)
+        op = read_db.rl_ovf_pos if read_db.rl_ovf_pos is not None else z64
+        ol = read_db.rl_ovf_len if read_db.rl_ovf_len is not None else z64
+        hf = (read_db.hoco_off[:n], read_db.hoco_flat, read_db.rl_flat, op, ol)
     else:
         hl = np.fromiter((r.hoco_l for r in reads), np.int64, count=n)
         hoff = np.zeros(n, np.int64)
@@ -47,11 +70,20 @@ def _hoco_flats(read_db: ReadDB):
             np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False)
             if n else np.zeros(0, np.uint8)
         )
-        rl = (
-            np.concatenate([r.ho_rl for r in reads]).astype(np.uint32, copy=False)
-            if n else np.zeros(0, np.uint32)
+        rl_exact = (
+            np.concatenate([r.ho_rl for r in reads]) if n else np.zeros(0, np.uint32)
         )
-        hf = (hoff, code, rl)
+        if rl_exact.dtype == np.uint8:
+            # already the saturated layout (views of a loader stream)
+            rl, op, ol = rl_exact, z64, z64
+        else:
+            # exact run-1 values from the oracle/jnp paths: saturate and
+            # record the (rare) overflow entries
+            big = np.flatnonzero(rl_exact >= 255)
+            rl = np.minimum(rl_exact, 255).astype(np.uint8)
+            op = big.astype(np.int64)
+            ol = rl_exact[big].astype(np.int64)
+        hf = (hoff, code, rl, op, ol)
     read_db._hoco_fcache = hf
     return hf
 
@@ -127,7 +159,9 @@ class _Flats:
         self.moff = rf.moff
         self.kflat = rf.kflat
         self.mflat = rf.mflat
-        self.hoff, self.code_flat, self.rl_flat = _hoco_flats(read_db)
+        (self.hoff, self.code_flat, self.rl_flat,
+         ovf_pos, ovf_len) = _hoco_flats(read_db)
+        self.rl_ovf = (ovf_pos, ovf_len)
         # syncmer occurrence lists flattened (for whole-unitig C emission);
         # the DB keeps its flat backing array, so reuse it when present
         ns = scm_db.n
@@ -249,6 +283,7 @@ def syncmer_consensus(
             flats.kflat, flats.mflat, flats.moff,
             flats.code_flat, flats.rl_flat, flats.hoff,
             not hoco_seq, base, totrl,
+            rl_ovf=flats.rl_ovf,
         )
         if m_seq == 0:
             out.append(b"N" * l)
@@ -287,7 +322,9 @@ def syncmer_consensus(
             if hoco_seq:
                 break
             tot_rl = np.zeros(l, np.int64)
-        rl = rd.ho_rl[p : p + l].astype(np.int64) - 1  # stored run-1 in reference
+        rl = rd.ho_rl[p : p + l].astype(np.int64)  # stores run-1
+        if rd.ho_rl.dtype == np.uint8 and np.any(rl == 255):
+            rl = _resolve_rl_m1(read_db, sid, p, rl)
         if r:
             rl = rl[::-1]
         tot_rl += rl
@@ -329,6 +366,7 @@ def unitig_consensus(
                 vv, w, hoco_seq, flats.mp_flat, flats.mp_off,
                 flats.kflat, flats.mflat, flats.moff,
                 flats.code_flat, flats.rl_flat, flats.hoff, buf,
+                rl_ovf=flats.rl_ovf,
             )
             if ret >= 0:
                 out.append(buf[:ret].tobytes())
@@ -522,6 +560,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                     flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
                     flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
                     buf, cuts,
+                    rl_ovf=flats.rl_ovf,
                 )
                 if ret >= 0:
                     break
@@ -613,6 +652,7 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
                 flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
                 scratch, als_batch,
+                rl_ovf=flats.rl_ovf,
             )
             if ret >= 0:
                 break

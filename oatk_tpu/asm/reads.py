@@ -31,8 +31,12 @@ class ReadDB:
     # (consensus _Flats) reuse them instead of re-concatenating ~100 MB
     # of per-read arrays.  Immutable: EC splices only syncmer arrays.
     hoco_flat: np.ndarray | None = None  # uint8 codes
-    rl_flat: np.ndarray | None = None  # uint32 run lengths
+    rl_flat: np.ndarray | None = None  # uint8 run length - 1, saturated 255
     hoco_off: np.ndarray | None = None  # int64 [n+1] read offsets
+    # exact run-length-1 values for saturated rl_flat entries, sorted by
+    # global stream position (the reference's ho_l_rl overflow list)
+    rl_ovf_pos: np.ndarray | None = None  # int64 global hoco positions
+    rl_ovf_len: np.ndarray | None = None  # int64 exact run-length-1
 
     @property
     def n(self) -> int:
@@ -243,7 +247,7 @@ def _parse_pack_segment(
     res = native.parse_fastx_hoco(data, c0, c1, out=out3)
     if res is None:
         return None
-    names, rawlen, offs, codes, rl, isn = res
+    names, rawlen, offs, codes, rl, isn = res[:6]
     n_reads = len(names)
     hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
 
@@ -353,6 +357,8 @@ def load_and_extract(
     code_parts: list[np.ndarray] = []
     rl_parts: list[np.ndarray] = []
     off_parts: list[np.ndarray] = []
+    ovf_pos_parts: list[np.ndarray] = []
+    ovf_len_parts: list[np.ndarray] = []
     off_base = 0
     import time as _time
 
@@ -369,7 +375,7 @@ def load_and_extract(
         ``flats`` = (codes_full, rl_full, base), hoco views point into
         the whole-file flat arrays (copied there by a worker thread)
         instead of the per-segment parse buffers."""
-        names, rawlen, offs, codes, rl, isn = res
+        names, rawlen, offs, codes, rl, isn = res[:6]
         if flats is not None:
             codes_full, rl_full, vbase = flats
             codes = codes_full[vbase : vbase + int(offs[keep])]
@@ -449,7 +455,7 @@ def load_and_extract(
             # at cursor_{i+1} <= c1_i <= c0_j.  isn stays at the parse
             # positions: per-read is_n views don't need contiguity.
             codes_full = np.empty(len(data), np.uint8)
-            rl_full = np.empty(len(data), np.uint32)
+            rl_full = np.empty(len(data), np.uint8)
             isn_full = np.empty(len(data), np.uint8)
             import ctypes as _ct
 
@@ -459,7 +465,7 @@ def load_and_extract(
             def _move_seg(h, src, dst):
                 if h and src != dst:
                     _ct.memmove(_codes_ptr + dst, _codes_ptr + src, h)
-                    _ct.memmove(_rl_ptr + dst * 4, _rl_ptr + src * 4, h * 4)
+                    _ct.memmove(_rl_ptr + dst, _rl_ptr + src, h)
 
             move_pool = ThreadPoolExecutor(1)  # ordered, one at a time
             failed = False
@@ -551,7 +557,7 @@ def load_and_extract(
                 f.result()
             _t0 = _acc("copy_wait", _t0)
             for res, disp, vbase in seg_results:
-                names, rawlen, offs, codes, rl, isn = res
+                names, rawlen, offs, codes, rl, isn = res[:6]
                 keep = len(names)
                 db.reads.extend(
                     assemble(res, disp, keep, sid0, (codes_full, rl_full, vbase))
@@ -559,6 +565,10 @@ def load_and_extract(
                 total_raw += int(rawlen.sum())
                 h_end = int(offs[keep])
                 off_parts.append(offs[:keep] + off_base)
+                if len(res[6]):
+                    # run-length overflow entries: segment-local -> global
+                    ovf_pos_parts.append(res[6] + off_base)
+                    ovf_len_parts.append(res[7])
                 off_base += h_end
                 sid0 += keep
             code_parts.append(codes_full[:file_cursor])
@@ -573,7 +583,7 @@ def load_and_extract(
         res = native.parse_fastx_hoco_mt(data)
         if res is None:
             return None
-        names, rawlen, offs, codes, rl, isn = res
+        names, rawlen, offs, codes, rl, isn = res[:6]
         n_reads = len(names)
         hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
 
@@ -624,6 +634,10 @@ def load_and_extract(
         code_parts.append(codes[:h_end])
         rl_parts.append(rl[:h_end])
         off_parts.append(offs[:keep] + off_base)
+        if len(res[6]):
+            sel = res[6] < h_end  # entries of reads beyond the -D cap drop
+            ovf_pos_parts.append(res[6][sel] + off_base)
+            ovf_len_parts.append(res[7][sel])
         off_base += h_end
         sid0 += keep
         if total_raw >= max_data:
@@ -638,6 +652,9 @@ def load_and_extract(
             code_parts[0] if len(code_parts) == 1 else np.concatenate(code_parts)
         )
         db.rl_flat = rl_parts[0] if len(rl_parts) == 1 else np.concatenate(rl_parts)
+        z = np.zeros(0, np.int64)
+        db.rl_ovf_pos = np.concatenate(ovf_pos_parts) if ovf_pos_parts else z
+        db.rl_ovf_len = np.concatenate(ovf_len_parts) if ovf_len_parts else z
         db.hoco_off = np.concatenate(
             off_parts + [np.asarray([off_base], np.int64)]
         ).astype(np.int64, copy=False)

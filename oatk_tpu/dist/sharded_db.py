@@ -345,19 +345,19 @@ def load_and_extract_sharded(
         # reader dominated large sharded runs)
         names_l, hoco = [], []
         total_bases = 0
-        flat_parts = []  # (codes, rl, offs) per file for whole-run reuse
+        flat_parts = []  # (codes, rl, offs, ovf_pos, ovf_len) per file
         for path in paths:
             res = _native.parse_fastx_hoco_mt(read_source_bytes(path))
             if res is None:
                 break
-            names, rawlen, offs, codes, rlv, isn = res
+            names, rawlen, offs, codes, rlv, isn, ovf_p, ovf_l = res
             isn_b = isn.astype(bool)
             for i in range(len(names)):
                 o0, o1 = int(offs[i]), int(offs[i + 1])
                 hoco.append((codes[o0:o1], rlv[o0:o1], isn_b[o0:o1]))
             names_l.extend(names)
             total_bases += int(rawlen.sum())
-            flat_parts.append((codes, rlv, offs))
+            flat_parts.append((codes, rlv, offs, ovf_p, ovf_l))
         else:
             res = True
         if res is None:
@@ -382,8 +382,13 @@ def load_and_extract_sharded(
         # consumers (_Flats) reuse these instead of re-concatenating
         base = 0
         offs_all = []
-        for codes, rlv, offs in flat_parts:
+        ovf_pos_all = []
+        ovf_len_all = []
+        for codes, rlv, offs, ovf_p, ovf_l in flat_parts:
             offs_all.append(offs[:-1].astype(np.int64) + base)
+            if len(ovf_p):
+                ovf_pos_all.append(ovf_p + base)
+                ovf_len_all.append(ovf_l)
             base += int(offs[-1])
         db.hoco_flat = (
             flat_parts[0][0] if len(flat_parts) == 1
@@ -393,6 +398,9 @@ def load_and_extract_sharded(
             flat_parts[0][1] if len(flat_parts) == 1
             else np.concatenate([p[1] for p in flat_parts])
         )
+        z64 = np.zeros(0, np.int64)
+        db.rl_ovf_pos = np.concatenate(ovf_pos_all) if ovf_pos_all else z64
+        db.rl_ovf_len = np.concatenate(ovf_len_all) if ovf_len_all else z64
         db.hoco_off = np.concatenate(
             offs_all + [np.asarray([base], np.int64)]
         ).astype(np.int64, copy=False)

@@ -39,7 +39,10 @@ class ReadSyncmers:
     name: str
     hoco_l: int
     hoco_code: np.ndarray  # [hoco_l] uint8 base codes 0..3 (ambiguous -> 0)
-    ho_rl: np.ndarray  # [hoco_l] uint32 homopolymer run length (>= 1)
+    ho_rl: np.ndarray  # [hoco_l] run length MINUS ONE (reference sr_t
+    # ho_rl semantics, /root/reference/syncmer.h:56).  Oracle/jnp paths
+    # store exact uint32 values; the native loader stores uint8
+    # saturated at 255 with exact entries in ReadDB.rl_ovf_*
     is_n: np.ndarray  # [hoco_l] bool, ambiguous base positions
     m_pos: np.ndarray  # [n] uint32: hoco_pos << 1 | rev
     s_mer: np.ndarray  # [n] uint64: smer payload (code<<1 | flag bit)
@@ -55,7 +58,9 @@ def hoco_compress_np(seq_ascii: np.ndarray):
 
     Returns (hoco_code, ho_rl, is_n).  Ambiguous bases are kept
     uncompressed (one hoco position each, code 0); runs of an identical
-    valid base collapse to one position whose run length is the run size.
+    valid base collapse to one position; ho_rl holds run length MINUS
+    ONE (exact uint32 -- the reference's sr_t stores the same quantity
+    as u8 with an overflow list, /root/reference/syncmer.h:56).
     """
     c = SEQ_NT4[seq_ascii]
     L = len(c)
@@ -71,7 +76,7 @@ def hoco_compress_np(seq_ascii: np.ndarray):
     nxt = np.empty(len(idx), dtype=np.int64)
     nxt[:-1] = idx[1:]
     nxt[-1] = L
-    ho_rl = (nxt - idx).astype(np.uint32)
+    ho_rl = (nxt - idx - 1).astype(np.uint32)
     code = c[idx]
     is_n = code == 4
     code = np.where(is_n, 0, code).astype(np.uint8)

@@ -52,6 +52,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.pack_rows.restype = None
         lib.pack_rows.argtypes = [
@@ -82,7 +83,9 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.utg_consensus_emit_batch.restype = ctypes.c_int64
@@ -92,7 +95,9 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
@@ -104,7 +109,9 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.scm_consensus_fill.restype = ctypes.c_int64
@@ -113,6 +120,7 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.align_batch.restype = ctypes.c_int64
@@ -229,14 +237,17 @@ def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None, out=No
     the segment (the pipelined loader splits one big buffer into ~4 MB
     segments; slicing bytes would memcpy the whole file again).
 
-    ``out`` = (codes[u8], rl[u32], isn[u8]) contiguous arrays of length
+    ``out`` = (codes[u8], rl[u8], isn[u8]) contiguous arrays of length
     >= end-start: parse straight into caller storage (the loader hands
     disjoint regions of its whole-file arrays, skipping the per-segment
     allocation page-faults AND the copy-out).
 
-    Returns (names, rawlen[i64], offs[i64 n+1], codes[u8], rl[u32],
-    isn[u8]) with per-read hoco streams concatenated (views of ``out``
-    when given), or None when the native library is unavailable.
+    Returns (names, rawlen[i64], offs[i64 n+1], codes[u8],
+    rl[u8 run-length-1 saturated at 255], isn[u8], ovf_pos[i64],
+    ovf_len[i64]) with per-read hoco streams concatenated (views of
+    ``out`` when given) and (ovf_pos, ovf_len) the sorted exact
+    run-length-1 entries for every saturated position (local to this
+    call's output), or None when the native library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -250,29 +261,41 @@ def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None, out=No
         codes, rl, isn = out
     else:
         codes = np.empty(max_hoco, np.uint8)
-        rl = np.empty(max_hoco, np.uint32)
+        rl = np.empty(max_hoco, np.uint8)
         isn = np.empty(max_hoco, np.uint8)
     offs = np.empty(max_reads + 1, np.int64)
     rawlen = np.empty(max_reads, np.int64)
     hdr_beg = np.empty(max_reads, np.int64)
     hdr_end = np.empty(max_reads, np.int64)
-    n_hoco = ctypes.c_int64(0)
     buf = np.frombuffer(data, np.uint8)
-    ret = lib.parse_fastx_hoco(
-        buf.ctypes.data + start, n,
-        codes.ctypes.data, rl.ctypes.data, isn.ctypes.data,
-        offs.ctypes.data, rawlen.ctypes.data,
-        hdr_beg.ctypes.data, hdr_end.ctypes.data,
-        max_reads, max_hoco, ctypes.byref(n_hoco),
-    )
+    max_ovf = 1024
+    while True:
+        n_hoco = ctypes.c_int64(0)
+        n_ovf = ctypes.c_int64(0)
+        ovf_pos = np.empty(max_ovf, np.int64)
+        ovf_len = np.empty(max_ovf, np.int64)
+        ret = lib.parse_fastx_hoco(
+            buf.ctypes.data + start, n,
+            codes.ctypes.data, rl.ctypes.data, isn.ctypes.data,
+            offs.ctypes.data, rawlen.ctypes.data,
+            hdr_beg.ctypes.data, hdr_end.ctypes.data,
+            max_reads, max_hoco, ctypes.byref(n_hoco),
+            ovf_pos.ctypes.data, ovf_len.ctypes.data, max_ovf,
+            ctypes.byref(n_ovf),
+        )
+        if ret != -3:
+            break
+        max_ovf *= 8  # freak homopolymer density: regrow and re-parse
     if ret < 0:
         return None
     n_reads = int(ret)
     h = int(n_hoco.value)
+    no = int(n_ovf.value)
     names = [
         data[start + hdr_beg[i] : start + hdr_end[i]].decode() for i in range(n_reads)
     ]
-    return names, rawlen[:n_reads], offs[: n_reads + 1].copy(), codes[:h], rl[:h], isn[:h]
+    return (names, rawlen[:n_reads], offs[: n_reads + 1].copy(),
+            codes[:h], rl[:h], isn[:h], ovf_pos[:no], ovf_len[:no])
 
 
 def segment_record_cuts(data: bytes, n_seg: int):
@@ -361,13 +384,21 @@ def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
     offs[0] = 0
     pos = 0
     base = 0
+    ovf_pos_parts = []
+    ovf_len_parts = []
     for p in parts:
         seg_offs = p[2]
         n = len(p[0])
         offs[pos + 1 : pos + n + 1] = seg_offs[1:] + base
+        if len(p[6]):
+            ovf_pos_parts.append(p[6] + base)
+            ovf_len_parts.append(p[7])
         base += seg_offs[-1]
         pos += n
-    return names, rawlen, offs, codes, rlv, isn
+    z = np.zeros(0, np.int64)
+    ovf_pos = np.concatenate(ovf_pos_parts) if ovf_pos_parts else z
+    ovf_len = np.concatenate(ovf_len_parts) if ovf_len_parts else z
+    return names, rawlen, offs, codes, rlv, isn, ovf_pos, ovf_len
 
 
 def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:
@@ -385,14 +416,16 @@ def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:
 
 def utg_consensus_emit(
     v, w: int, hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
-    code_flat, rl_flat, hoff, out,
+    code_flat, rl_flat, hoff, out, rl_ovf=None,
 ) -> int:
     lib = _load()
+    op, ol, no = _rl_ovf_ptrs(rl_ovf)
     return lib.utg_consensus_emit(
         v.ctypes.data, len(v), w, 1 if hoco_seq else 0,
         mp_flat.ctypes.data, mp_off.ctypes.data,
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        op, ol, no,
         len(code_flat), out.ctypes.data, len(out),
     )
 
@@ -400,11 +433,12 @@ def utg_consensus_emit(
 def utg_consensus_emit_batch(
     va_flat, va_off, live, w: int, hoco_seq: bool, mp_flat, mp_off,
     kflat, mflat, moff, code_flat, rl_flat, hoff, out, cuts,
-    n_threads: int | None = None,
+    n_threads: int | None = None, rl_ovf=None,
 ) -> int:
     lib = _load()
     if n_threads is None:
         n_threads = n_threads_default()
+    op, ol, no = _rl_ovf_ptrs(rl_ovf)
     return lib.utg_consensus_emit_batch(
         va_flat.ctypes.data, va_off.ctypes.data,
         live.ctypes.data, len(live),
@@ -412,6 +446,7 @@ def utg_consensus_emit_batch(
         mp_flat.ctypes.data, mp_off.ctypes.data,
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        op, ol, no,
         len(code_flat), n_threads,
         out.ctypes.data, len(out), cuts.ctypes.data,
     )
@@ -420,9 +455,10 @@ def utg_consensus_emit_batch(
 def arc_overlap_batch(
     av, aw, aln, adel, acomp, va_flat, va_off, vtx_len, w: int,
     hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
-    code_flat, rl_flat, hoff, scratch, out_als,
+    code_flat, rl_flat, hoff, scratch, out_als, rl_ovf=None,
 ) -> int:
     lib = _load()
+    op, ol, no = _rl_ovf_ptrs(rl_ovf)
     return lib.arc_overlap_batch(
         av.ctypes.data, aw.ctypes.data, aln.ctypes.data,
         adel.ctypes.data, acomp.ctypes.data, len(av),
@@ -431,6 +467,7 @@ def arc_overlap_batch(
         mp_flat.ctypes.data, mp_off.ctypes.data,
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        op, ol, no,
         len(code_flat), scratch.ctypes.data, len(scratch), out_als.ctypes.data,
     )
 
@@ -446,15 +483,27 @@ def scm_overlap_mode(pos1, pos2, rc1: int, rc2: int, kflat, mflat, moff) -> int:
 def scm_consensus_fill(
     mpos, rev: int, beg: int, l: int, kflat, mflat, moff,
     code_flat, rl_flat, hoff, need_rl: bool, base_out, totrl_out,
+    rl_ovf=None,
 ) -> int:
     lib = _load()
+    op, ol, no = _rl_ovf_ptrs(rl_ovf)
     return lib.scm_consensus_fill(
         mpos.ctypes.data, len(mpos), rev, beg, l,
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
+        op, ol, no,
         1 if need_rl else 0, len(code_flat), base_out.ctypes.data,
         totrl_out.ctypes.data if totrl_out is not None else None,
     )
+
+
+def _rl_ovf_ptrs(rl_ovf):
+    """(ptr, ptr, n) for an optional (ovf_pos, ovf_len) run-length
+    overflow pair (u8 rl stores run-1 saturated at 255)."""
+    if rl_ovf is None or len(rl_ovf[0]) == 0:
+        return None, None, 0
+    op, ol = rl_ovf
+    return op.ctypes.data, ol.ctypes.data, len(op)
 
 
 def n_threads_default() -> int:

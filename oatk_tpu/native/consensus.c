@@ -7,13 +7,34 @@
  *   kflat[moff[sid]+idx]  u64 syncmer id<<1|ec_flag per read syncmer
  *   mflat[moff[sid]+idx]  u32 hoco_pos<<1|rev per read syncmer
  *   code_flat[hoff[sid]+p] u8 hoco base codes
- *   rl_flat[hoff[sid]+p]   u32 homopolymer run lengths (>=1)
+ *   rl_flat[hoff[sid]+p]   u8 homopolymer run length MINUS ONE,
+ *                          saturated at 255 (reference sr_t layout);
+ *                          exact values for saturated entries live in
+ *                          the sorted (rl_ovf_pos, rl_ovf_len) overflow
+ *                          list threaded through every entry point
  */
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
 
 #define SCM_IDX_MASK 0x7FFFFFFFLL
+
+/* run length - 1 at a global hoco position: the u8 value, or the exact
+ * overflow entry when saturated (255 always has one by construction) */
+static inline int64_t rl_m1_at(const uint8_t *rl, int64_t pos,
+                               const int64_t *ovf_pos, const int64_t *ovf_len,
+                               int64_t n_ovf)
+{
+    uint8_t v = rl[pos];
+    if (v != 255) return v;
+    int64_t lo = 0, hi = n_ovf;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (ovf_pos[mid] < pos) lo = mid + 1; else hi = mid;
+    }
+    if (lo < n_ovf && ovf_pos[lo] == pos) return ovf_len[lo];
+    return 255; /* saturated with no entry (foreign stream): best effort */
+}
 
 /* Mode of per-read adjacent distances between two syncmers; ties break
  * count desc then distance asc.  pos arrays are sorted by read id. */
@@ -92,8 +113,10 @@ int64_t scm_consensus_fill(const uint64_t *mpos, int64_t n_occ,
                            int64_t rev, int64_t beg, int64_t l,
                            const uint64_t *kflat, const uint32_t *mflat,
                            const int64_t *moff,
-                           const uint8_t *code_flat, const uint32_t *rl_flat,
+                           const uint8_t *code_flat, const uint8_t *rl_flat,
                            const int64_t *hoff,
+                           const int64_t *rl_ovf_pos, const int64_t *rl_ovf_len,
+                           int64_t n_rl_ovf,
                            int64_t need_rl, int64_t hoco_total,
                            uint8_t *base_out, int64_t *totrl_out)
 {
@@ -120,9 +143,13 @@ int64_t scm_consensus_fill(const uint64_t *mpos, int64_t n_occ,
             if (!need_rl) return 1;
         }
         if (r)
-            for (j = 0; j < l; ++j) totrl_out[j] += (int64_t)rl_flat[st + l - 1 - j] - 1;
+            for (j = 0; j < l; ++j)
+                totrl_out[j] += rl_m1_at(rl_flat, st + l - 1 - j,
+                                         rl_ovf_pos, rl_ovf_len, n_rl_ovf);
         else
-            for (j = 0; j < l; ++j) totrl_out[j] += (int64_t)rl_flat[st + j] - 1;
+            for (j = 0; j < l; ++j)
+                totrl_out[j] += rl_m1_at(rl_flat, st + j,
+                                         rl_ovf_pos, rl_ovf_len, n_rl_ovf);
         ++m_seq;
     }
     return have_base ? m_seq : 0;
@@ -140,8 +167,10 @@ int64_t utg_consensus_emit(const uint64_t *v, int64_t nv,
                            const uint64_t *mp_flat, const int64_t *mp_off,
                            const uint64_t *kflat, const uint32_t *mflat,
                            const int64_t *moff,
-                           const uint8_t *code_flat, const uint32_t *rl_flat,
-                           const int64_t *hoff, int64_t hoco_total,
+                           const uint8_t *code_flat, const uint8_t *rl_flat,
+                           const int64_t *hoff,
+                           const int64_t *rl_ovf_pos, const int64_t *rl_ovf_len,
+                           int64_t n_rl_ovf, int64_t hoco_total,
                            uint8_t *out, int64_t out_cap)
 {
     static const char NT[4] = {'A', 'C', 'G', 'T'};
@@ -179,6 +208,7 @@ int64_t utg_consensus_emit(const uint64_t *v, int64_t nv,
         int64_t m_seq = scm_consensus_fill(
             mp_flat + mp_off[s], mp_off[s + 1] - mp_off[s], rev, beg, l,
             kflat, mflat, moff, code_flat, rl_flat, hoff,
+            rl_ovf_pos, rl_ovf_len, n_rl_ovf,
             !hoco_seq, hoco_total, base, totrl);
         if (m_seq == 0) {
             if (outp + l > out_cap) goto full;
@@ -224,8 +254,9 @@ typedef struct {
     int64_t w, hoco_seq;
     const uint64_t *mp_flat; const int64_t *mp_off;
     const uint64_t *kflat; const uint32_t *mflat; const int64_t *moff;
-    const uint8_t *code_flat; const uint32_t *rl_flat;
+    const uint8_t *code_flat; const uint8_t *rl_flat;
     const int64_t *hoff; int64_t hoco_total;
+    const int64_t *rl_ovf_pos, *rl_ovf_len; int64_t n_rl_ovf;
     /* stage A range */
     const uint64_t *pair_a, *pair_b;
     int64_t *pair_d;
@@ -277,6 +308,7 @@ static void *cons_win_worker(void *arg) {
             r->mp_flat + r->mp_off[s], r->mp_off[s + 1] - r->mp_off[s],
             rev, beg, l,
             r->kflat, r->mflat, r->moff, r->code_flat, r->rl_flat, r->hoff,
+            r->rl_ovf_pos, r->rl_ovf_len, r->n_rl_ovf,
             !r->hoco_seq, r->hoco_total, base, totrl);
         int64_t body;
         if (m_seq == 0 || r->hoco_seq) {
@@ -314,8 +346,10 @@ int64_t utg_consensus_emit_batch(
     int64_t w, int64_t hoco_seq,
     const uint64_t *mp_flat, const int64_t *mp_off,
     const uint64_t *kflat, const uint32_t *mflat, const int64_t *moff,
-    const uint8_t *code_flat, const uint32_t *rl_flat,
-    const int64_t *hoff, int64_t hoco_total,
+    const uint8_t *code_flat, const uint8_t *rl_flat,
+    const int64_t *hoff,
+    const int64_t *rl_ovf_pos, const int64_t *rl_ovf_len, int64_t n_rl_ovf,
+    int64_t hoco_total,
     int64_t n_threads,
     uint8_t *out, int64_t out_cap, int64_t *cuts)
 {
@@ -368,6 +402,8 @@ int64_t utg_consensus_emit_batch(
         rg[t].kflat = kflat; rg[t].mflat = mflat; rg[t].moff = moff;
         rg[t].code_flat = code_flat; rg[t].rl_flat = rl_flat;
         rg[t].hoff = hoff; rg[t].hoco_total = hoco_total;
+        rg[t].rl_ovf_pos = rl_ovf_pos; rg[t].rl_ovf_len = rl_ovf_len;
+        rg[t].n_rl_ovf = n_rl_ovf;
         rg[t].pair_a = pair_a; rg[t].pair_b = pair_b; rg[t].pair_d = pair_d;
     }
     {
@@ -506,8 +542,10 @@ int64_t arc_overlap_batch(
     int64_t w, int64_t hoco_seq,
     const uint64_t *mp_flat, const int64_t *mp_off,
     const uint64_t *kflat, const uint32_t *mflat, const int64_t *moff,
-    const uint8_t *code_flat, const uint32_t *rl_flat,
-    const int64_t *hoff, int64_t hoco_total,
+    const uint8_t *code_flat, const uint8_t *rl_flat,
+    const int64_t *hoff,
+    const int64_t *rl_ovf_pos, const int64_t *rl_ovf_len, int64_t n_rl_ovf,
+    int64_t hoco_total,
     uint8_t *scratch, int64_t scratch_cap,
     int64_t *out_als)
 {
@@ -525,8 +563,9 @@ int64_t arc_overlap_batch(
             const uint64_t *sub = (v & 1) ? a : a + (na - ln);
             l = utg_consensus_emit(sub, ln, w, hoco_seq,
                                    mp_flat, mp_off, kflat, mflat, moff,
-                                   code_flat, rl_flat, hoff, hoco_total,
-                                   scratch, scratch_cap);
+                                   code_flat, rl_flat, hoff,
+                                   rl_ovf_pos, rl_ovf_len, n_rl_ovf,
+                                   hoco_total, scratch, scratch_cap);
             if (l < 0) { free(base); free(totrl); return -1; }
         } else {
             int64_t z = v & 1;
@@ -550,6 +589,7 @@ int64_t arc_overlap_batch(
                     mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
                     rc1, beg, win,
                     kflat, mflat, moff, code_flat, rl_flat, hoff,
+                    rl_ovf_pos, rl_ovf_len, n_rl_ovf,
                     !hoco_seq, hoco_total, base, totrl);
                 if (m_seq > 0 && !hoco_seq) {
                     for (int64_t j = 0; j < win; ++j)

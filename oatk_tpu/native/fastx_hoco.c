@@ -24,24 +24,45 @@ static const uint8_t NT4[256] = {
  *
  * Outputs (caller-allocated):
  *   codes   [max_hoco]  u8: hoco base codes (0-3; ambiguous -> 0)
- *   rl      [max_hoco]  u32: run length per hoco position (>= 1)
+ *   rl      [max_hoco]  u8: run length MINUS ONE per hoco position,
+ *           saturated at 255 (the reference sr_t layout,
+ *           /root/reference/syncmer.h:56): 255 always has an exact
+ *           entry in the overflow list below
  *   isn     [max_hoco]  u8: 1 where ambiguous
  *   offs    [max_reads+1] i64: per-read start offsets into the above
  *   rawlen  [max_reads] i64: raw (uncompressed) read length
  *   hdr_beg/hdr_end [max_reads] i64: header name spans in `data`
+ *   ovf_pos/ovf_len [max_ovf] i64: overflow entries (hoco position
+ *           relative to this call's output, exact run length - 1) for
+ *           every run with run-1 >= 255; count in *n_ovf_out
  *
- * Returns number of reads parsed, or -1 if capacity exceeded
- * (n_hoco_out then holds the required hoco capacity lower bound).
+ * Returns number of reads parsed, -1 if hoco/read capacity exceeded
+ * (n_hoco_out then holds the required hoco capacity lower bound),
+ * -3 if the overflow list capacity is exceeded.
  */
 int64_t parse_fastx_hoco(
     const uint8_t *data, int64_t len,
-    uint8_t *codes, uint32_t *rl, uint8_t *isn,
+    uint8_t *codes, uint8_t *rl, uint8_t *isn,
     int64_t *offs, int64_t *rawlen,
     int64_t *hdr_beg, int64_t *hdr_end,
     int64_t max_reads, int64_t max_hoco,
-    int64_t *n_hoco_out)
+    int64_t *n_hoco_out,
+    int64_t *ovf_pos, int64_t *ovf_len, int64_t max_ovf,
+    int64_t *n_ovf_out)
 {
-    int64_t i = 0, n_reads = 0, h = 0;
+    int64_t i = 0, n_reads = 0, h = 0, n_ovf = 0;
+    int64_t run = 0; /* current homopolymer run length (codes[h-1]) */
+
+#define CLOSE_RUN() do { \
+        if (run >= 256) { \
+            rl[h - 1] = 255; \
+            if (n_ovf >= max_ovf) return -3; \
+            ovf_pos[n_ovf] = h - 1; ovf_len[n_ovf] = run - 1; ++n_ovf; \
+        } else if (run > 0) { \
+            rl[h - 1] = (uint8_t)(run - 1); \
+        } \
+        run = 0; \
+    } while (0)
 
     while (i < len) {
         /* skip blank lines */
@@ -73,20 +94,22 @@ int64_t parse_fastx_hoco(
                 uint8_t c = NT4[b];
                 ++raw;
                 if (c == 4) {
+                    CLOSE_RUN();
                     if (h >= max_hoco) goto overflow;
                     codes[h] = 0;
-                    rl[h] = 1;
+                    rl[h] = 0;
                     isn[h] = 1;
                     ++h;
                     prev = 255;
                 } else if (c == prev) {
-                    ++rl[h - 1];
+                    ++run;
                 } else {
+                    CLOSE_RUN();
                     if (h >= max_hoco) goto overflow;
                     codes[h] = c;
-                    rl[h] = 1;
                     isn[h] = 0;
                     ++h;
+                    run = 1;
                     prev = c;
                 }
             }
@@ -94,6 +117,7 @@ int64_t parse_fastx_hoco(
             if (!is_fq) continue;
             break; /* FASTQ: exactly one sequence line */
         }
+        CLOSE_RUN();
         if (is_fq) {
             /* skip '+' line and quality line */
             while (i < len && data[i] != '\n') ++i;
@@ -106,11 +130,13 @@ int64_t parse_fastx_hoco(
     }
     offs[n_reads] = h;
     *n_hoco_out = h;
+    *n_ovf_out = n_ovf;
     return n_reads;
 
 overflow:
     *n_hoco_out = h + (len - i); /* generous lower bound */
     return -1;
+#undef CLOSE_RUN
 }
 
 /* 2-bit pack concatenated hoco codes per read into per-read padded rows.

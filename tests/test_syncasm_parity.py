@@ -94,3 +94,27 @@ def test_utg_gfa_parity_with_repeat(tmp_path):
     ref_pref, my_pref = _run_pair(tmp_path, reads, k=251, s=17, c=3)
     _assert_gfa_equal(f"{ref_pref}.utg.gfa", f"{my_pref}.utg.gfa")
     _assert_gfa_equal(f"{ref_pref}.utg.final.gfa", f"{my_pref}.utg.final.gfa")
+
+
+def test_utg_gfa_parity_long_homopolymers(tmp_path):
+    """Run-length overflow path: homopolymer runs far beyond 255 bp must
+    survive the u8 run-1 storage (saturated entries resolved through the
+    overflow list, the reference sr_t ho_l_rl analogue) and reproduce
+    the reference's run-length-expanded consensus byte-for-byte."""
+    rng = np.random.default_rng(31)
+    a = random_genome(rng, 6000)
+    b = random_genome(rng, 6000)
+    c = random_genome(rng, 5000)
+    # three monster homopolymers (300/700/1200 bp) inside unique context
+    genome = a + "A" * 300 + b + "G" * 700 + c + "T" * 1200
+    reads = sample_reads(rng, genome, coverage=14, read_len=2500)
+    ref_pref, my_pref = _run_pair(tmp_path, reads, k=251, s=17, c=3)
+    _assert_gfa_equal(f"{ref_pref}.utg.gfa", f"{my_pref}.utg.gfa")
+    _assert_gfa_equal(f"{ref_pref}.utg.final.gfa", f"{my_pref}.utg.final.gfa")
+    # the expanded homopolymers must actually be present in a segment
+    # (.utg.gfa: the final graph collapses entirely on this tiny genome,
+    # identically on both sides)
+    seqs = "".join(seq for seq, *_ in _parse_gfa(f"{my_pref}.utg.gfa")[0].values())
+    assert ("A" * 300 in seqs or "T" * 300 in seqs)
+    assert ("G" * 700 in seqs or "C" * 700 in seqs)
+    assert ("T" * 1200 in seqs or "A" * 1200 in seqs)

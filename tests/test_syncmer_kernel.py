@@ -58,8 +58,9 @@ def test_kernel_default_params(rng):
 def test_hoco_roundtrip(rng):
     seq = np.frombuffer(random_read(rng, 500, hp_prob=0.3, n_prob=0.01).encode(), np.uint8)
     code, rl, is_n = hoco_compress_np(seq)
-    # expanding hoco by run lengths reproduces the read (with N->A substitution)
-    out = np.repeat(np.where(is_n, 4, code), rl)
+    # expanding hoco by run lengths (stored as run-1) reproduces the
+    # read (with N->A substitution)
+    out = np.repeat(np.where(is_n, 4, code), rl.astype(np.int64) + 1)
     from oatk_tpu.kernels.oracle import SEQ_NT4
 
     orig = SEQ_NT4[seq]
