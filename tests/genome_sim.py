@@ -1,24 +1,42 @@
-"""Synthetic circular genome + HiFi-like read simulator for parity tests."""
+"""Synthetic circular genome + HiFi-like read simulator for parity tests.
+
+All generators are vectorized (Gbp-scale datasets generate in seconds,
+not tens of minutes of per-base Python loops).  Seeded datasets are
+deterministic per numpy version; parity tests regenerate BOTH sides'
+outputs from the same reads, so dataset identity across code revisions
+is not required."""
 from __future__ import annotations
 
 import numpy as np
 
-_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_COMP_TAB = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgt", b"TGCAtgca"):
+    _COMP_TAB[_a] = _b
 
 
 def revcomp(s: str) -> str:
-    return "".join(_COMP[c] for c in reversed(s))
+    a = np.frombuffer(s.encode(), np.uint8)
+    return _COMP_TAB[a][::-1].tobytes().decode()
+
+
+_NT = np.frombuffer(b"ACGT", np.uint8)
 
 
 def random_genome(rng, length: int, hp_prob: float = 0.15, max_hp: int = 8) -> str:
-    """Random circular genome with homopolymer runs."""
-    out = []
-    while len(out) < length:
-        b = "ACGT"[rng.integers(4)]
-        out.append(b)
-        if rng.random() < hp_prob:
-            out.extend(b * int(rng.integers(1, max_hp)))
-    return "".join(out[:length])
+    """Random circular genome with homopolymer runs (each emitted base
+    extends into a run of 1+integers(1, max_hp) with prob hp_prob)."""
+    parts = []
+    have = 0
+    while have < length:
+        n = max(1024, int((length - have) / (1 + hp_prob * max_hp / 2)) + 16)
+        codes = rng.integers(0, 4, size=n).astype(np.uint8)
+        hp = rng.random(n) < hp_prob
+        ext = rng.integers(1, max_hp, size=n)
+        rep = 1 + np.where(hp, ext, 0)
+        chunk = np.repeat(_NT[codes], rep)
+        parts.append(chunk)
+        have += len(chunk)
+    return np.concatenate(parts)[:length].tobytes().decode()
 
 
 def sample_reads(
@@ -58,31 +76,36 @@ def inject_errors(rng, seq: str, rate: float, hp_frac: float = 0.0) -> str:
     which homopolymer compression absorbs -- hp_frac ~0.85 models that;
     the default 0 keeps the harsher legacy uniform profile used by the
     existing seeded parity tests."""
-    out = []
-    for c in seq:
-        r = rng.random()
-        if r >= rate:
-            out.append(c)
-            continue
-        if rng.random() < hp_frac:
-            # hoco-invisible homopolymer length error
-            if rng.random() < 0.5:
-                out.append(c)
-                out.append(c)  # lengthen the run
-            elif out and out[-1] == c:
-                pass  # shorten the run (skip c)
-            else:
-                out.append(c)
-                out.append(c)
-            continue
-        kind = rng.integers(3)
-        if kind == 0:  # substitution
-            out.append("ACGT"[rng.integers(4)])
-        elif kind == 1:  # insertion
-            out.append(c)
-            out.append("ACGT"[rng.integers(4)])
-        # kind == 2: deletion (skip)
-    return "".join(out)
+    a = np.frombuffer(seq.encode(), np.uint8)
+    n = len(a)
+    err = rng.random(n) < rate
+    idx = np.flatnonzero(err)
+    if len(idx) == 0:
+        return seq
+    ne = len(idx)
+    is_hp = rng.random(ne) < hp_frac
+    rep = np.ones(n, np.int64)
+    # hp-length errors: lengthen (dup) with prob .5, else shorten when
+    # the left neighbour matches (a run continues), else dup anyway
+    hp_i = idx[is_hp]
+    dup = rng.random(len(hp_i)) < 0.5
+    left_same = np.zeros(len(hp_i), bool)
+    nz = hp_i > 0
+    left_same[nz] = a[hp_i[nz] - 1] == a[hp_i[nz]]
+    rep[hp_i] = np.where(dup | ~left_same, 2, 0)
+    # other errors: substitution / insertion / deletion in equal parts
+    ot_i = idx[~is_hp]
+    kind = rng.integers(0, 3, size=len(ot_i))
+    rnd1 = _NT[rng.integers(0, 4, size=len(ot_i))]
+    rep[ot_i[kind == 2]] = 0
+    rep[ot_i[kind == 1]] = 2
+    out = np.repeat(a, rep)
+    cum = np.cumsum(rep)  # cum[i]-1 = last output copy of input i
+    sub = ot_i[kind == 0]
+    out[cum[sub] - 1] = rnd1[kind == 0]
+    ins = ot_i[kind == 1]
+    out[cum[ins] - 1] = rnd1[kind == 1]
+    return out.tobytes().decode()
 
 
 def write_reads(path: str, reads: list[str], prefix: str = "read"):

@@ -161,12 +161,24 @@ def main():
 
     rng = np.random.default_rng(20260817)
     mito, pltd = build_genomes(rng, args.scale)
-    reads = build_reads(rng, mito, pltd, args.mbp)
-    total_bp = sum(len(r) for r in reads)
     fa = wd / "reads.fa"
-    if not fa.exists():
+    if fa.exists():
+        # reuse the workdir dataset (Gbp-scale generation is minutes);
+        # the genomes above are re-derived so segment classification and
+        # annotation scatter stay consistent with the stored reads
+        n_reads = total_bp = 0
+        with open(fa) as f:
+            for line in f:
+                if line.startswith(">"):
+                    n_reads += 1
+                else:
+                    total_bp += len(line) - 1
+        print(f"dataset (reused): {n_reads} reads, {total_bp/1e6:.1f} Mbp", flush=True)
+    else:
+        reads = build_reads(rng, mito, pltd, args.mbp)
+        total_bp = sum(len(r) for r in reads)
         write_fa(fa, reads)
-    print(f"dataset: {len(reads)} reads, {total_bp/1e6:.1f} Mbp", flush=True)
+        print(f"dataset: {len(reads)} reads, {total_bp/1e6:.1f} Mbp", flush=True)
 
     flags = ["-k", "1001", "-s", "31", "-c", "30", "--unzip-round", "3"]
 
