@@ -502,15 +502,24 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     if batched:
         from .. import native
 
-        va_flat = (
-            np.concatenate([np.asarray(utg.vtx_a[i], np.uint64) for i in range(n_vtx)])
-            if n_vtx else np.zeros(0, np.uint64)
-        )
-        va_off = np.zeros(n_vtx + 1, np.int64)
-        np.cumsum(
-            np.fromiter((len(utg.vtx_a[i]) for i in range(n_vtx)), np.int64, count=n_vtx),
-            out=va_off[1:],
-        )
+        vf = getattr(utg, "_va_flat", None)
+        vo = getattr(utg, "_va_off", None)
+        if vf is not None and vo is not None and len(vo) == n_vtx + 1:
+            va_flat, va_off = vf, vo
+        else:
+            va_flat = (
+                np.concatenate(
+                    [np.asarray(utg.vtx_a[i], np.uint64) for i in range(n_vtx)]
+                )
+                if n_vtx else np.zeros(0, np.uint64)
+            )
+            va_off = np.zeros(n_vtx + 1, np.int64)
+            np.cumsum(
+                np.fromiter(
+                    (len(utg.vtx_a[i]) for i in range(n_vtx)), np.int64, count=n_vtx
+                ),
+                out=va_off[1:],
+            )
         _t("va_flat")
         live = (~np.asarray(utg.vtx_del[:n_vtx], bool)).astype(np.uint8)
         va_len = np.diff(va_off)
@@ -585,26 +594,40 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
         # (_utg_avg_cov of one value is the value, whichever sel branch)
         live_b = live.view(bool)
         lens_all = np.full(n_vtx, w, np.int64) if lazy else np.diff(cuts)
-        cov_f = np.fromiter(
-            (utg.vtx_cov[i] for i in range(n_vtx)), np.float64, count=n_vtx
-        )
-        need = live_b & (cov_f == 0)
-        single = need & (va_len == 1)
-        if np.any(single):
-            s1 = (va_flat[va_off[:-1][single]] >> np.uint64(1)).astype(np.int64)
-            cov_f[single] = scm_db.cov[s1]
-        for i in np.flatnonzero(need & (va_len != 1)).tolist():
-            cov_f[i] = _utg_avg_cov(scg, i)
-        old_len = np.fromiter(
-            (utg.vtx_len[i] for i in range(n_vtx)), np.int64, count=n_vtx
-        )
-        new_len = np.where(live_b, lens_all, old_len)
-        old_cov = np.fromiter(
-            (utg.vtx_cov[i] for i in range(n_vtx)), np.int64, count=n_vtx
-        )
-        new_cov = np.where(live_b, cov_f.astype(np.int64), old_cov)
-        utg.vtx_len[:n_vtx] = new_len.tolist()
-        utg.vtx_cov[:n_vtx] = new_cov.tolist()
+        if lazy:
+            # EC-graph call: nothing downstream reads scg0's vtx_cov
+            # (native/python EC consume seqs, lens and arcs; the graph
+            # is dropped after EC), so skip the cov recomputation; the
+            # emitted length of a single-syncmer hoco window is w
+            if bool(np.all(live_b)):
+                utg.vtx_len[:n_vtx] = [w] * n_vtx
+            else:
+                old_len = np.fromiter(
+                    (utg.vtx_len[i] for i in range(n_vtx)), np.int64, count=n_vtx
+                )
+                utg.vtx_len[:n_vtx] = np.where(live_b, w, old_len).tolist()
+            cov_f = None
+        else:
+            cov_f = np.fromiter(
+                (utg.vtx_cov[i] for i in range(n_vtx)), np.float64, count=n_vtx
+            )
+            need = live_b & (cov_f == 0)
+            single = need & (va_len == 1)
+            if np.any(single):
+                s1 = (va_flat[va_off[:-1][single]] >> np.uint64(1)).astype(np.int64)
+                cov_f[single] = scm_db.cov[s1]
+            for i in np.flatnonzero(need & (va_len != 1)).tolist():
+                cov_f[i] = _utg_avg_cov(scg, i)
+            old_len = np.fromiter(
+                (utg.vtx_len[i] for i in range(n_vtx)), np.int64, count=n_vtx
+            )
+            new_len = np.where(live_b, lens_all, old_len)
+            old_cov = np.fromiter(
+                (utg.vtx_cov[i] for i in range(n_vtx)), np.int64, count=n_vtx
+            )
+            new_cov = np.where(live_b, cov_f.astype(np.int64), old_cov)
+            utg.vtx_len[:n_vtx] = new_len.tolist()
+            utg.vtx_cov[:n_vtx] = new_cov.tolist()
         _t("lens_covs")
         if fo is not None:
             for i in np.flatnonzero(live_b).tolist():

@@ -76,12 +76,24 @@ def syncasm(
         import jax as _jax
 
         prof_ctx = _jax.profiler.trace(prof_dir)
-    with prof_ctx:
-        return _syncasm_impl(
-            files, k, s, min_k_cov, min_a_cov_f, bubble_size, tip_size,
-            weak_cross, do_ec, do_unzip, max_data, out, use_device, verbose,
-            shards,
-        )
+    # cyclic GC off for the run: the per-vertex/per-read object
+    # populations (hundreds of thousands at Gbp scale) make every gen-2
+    # collection scan them, costing ~seconds per assembly; nothing in
+    # the pipeline relies on cycle collection (arrays + flat objects)
+    import gc as _gc
+
+    gc_was_on = _gc.isenabled()
+    _gc.disable()
+    try:
+        with prof_ctx:
+            return _syncasm_impl(
+                files, k, s, min_k_cov, min_a_cov_f, bubble_size, tip_size,
+                weak_cross, do_ec, do_unzip, max_data, out, use_device, verbose,
+                shards,
+            )
+    finally:
+        if gc_was_on:
+            _gc.enable()
 
 
 def _syncasm_impl(

@@ -52,10 +52,22 @@ class Scg:
 def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
     vdel = np.asarray(utg.vtx_del, bool)
     live = np.flatnonzero(~vdel)
-    arrs = [utg.vtx_a[i] for i in live]
+    vf = getattr(utg, "_va_flat", None)
+    vo = getattr(utg, "_va_off", None)
+    if vf is not None and vo is not None and len(vo) == utg.n_vtx + 1:
+        lens_all = np.diff(vo)
+        if len(live) == utg.n_vtx:
+            lens, cat = lens_all, vf
+        else:
+            lens = lens_all[live]
+            cat = vf[np.repeat(~vdel, lens_all)]
+        arrs = True if len(cat) else []
+    else:
+        arrs = [utg.vtx_a[i] for i in live]
+        if arrs:
+            lens = np.fromiter(map(len, arrs), np.int64, count=len(arrs))
+            cat = np.concatenate(arrs)
     if arrs:
-        lens = np.fromiter(map(len, arrs), np.int64, count=len(arrs))
-        cat = np.concatenate(arrs)
         scm = (cat >> np.uint64(1)).astype(np.int64)
         rev = (cat & np.uint64(1)).astype(np.int64)
         uid = np.repeat(live.astype(np.int64), lens)
@@ -106,6 +118,20 @@ def _read_adjacent_pairs(read_db: ReadDB):
 def make_syncmer_graph(
     read_db: ReadDB, scm_db: SyncmerDB, min_k_cov: int, min_a_cov_f: float
 ) -> Scg:
+    import os as _os
+    import time as _time
+
+    _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
+    _marks = []
+    _last = _time.perf_counter()
+
+    def _t(name):
+        nonlocal _last
+        if _timeit:
+            now = _time.perf_counter()
+            _marks.append((name, now - _last))
+            _last = now
+
     g = Asmg()
     # filter by kmer coverage (persistently marks scm_db.del_)
     scm_db.del_ |= scm_db.cov < np.uint32(min_k_cov)
@@ -114,13 +140,17 @@ def make_syncmer_graph(
     # dominated profiles on high-error inputs)
     ids2 = (np.arange(n, dtype=np.uint64) << np.uint64(1)).reshape(n, 1)
     g.vtx_a = list(ids2)
+    g._va_flat = ids2.reshape(n).copy()
+    g._va_off = np.arange(n + 1, dtype=np.int64)
     g.vtx_seq = [None] * n
     g.vtx_len = [0] * n
     g.vtx_cov = scm_db.cov.astype(np.int64).tolist()
     g.vtx_del = np.asarray(scm_db.del_).tolist()
     g.vtx_circ = [False] * n
+    _t("vtx")
 
     cv0, cv1 = _read_adjacent_pairs(read_db)
+    _t("pairs")
     if len(cv0):
         hi = max(int(cv0.max()), int(cv1.max())) if len(cv0) else 0
         if hi < (1 << 32):
@@ -187,9 +217,21 @@ def make_syncmer_graph(
         partner[off[has_comp]] = co
         partner[co] = off[has_comp]
         g._arc_partner = partner
+    _t("arcs")
     g.finalize(True)
+    _t("finalize")
     scg = Scg(scm_db=scm_db, utg=g)
     scg.rebuild_index()
+    if _timeit:
+        _t("index")
+        import sys as _sys
+
+        print(
+            "[T::make_syncmer_graph] "
+            + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
+            file=_sys.stderr,
+            flush=True,
+        )
     return scg
 
 

@@ -71,6 +71,12 @@ class Asmg:
         self.idx_p: np.ndarray = np.zeros(0, np.int64)
         self.idx_n: np.ndarray = np.zeros(0, np.int64)
         self._pending: list[tuple] = []  # arcs appended since last index
+        # flat concatenation of vtx_a (+ offsets) supplied by bulk
+        # builders; lets flat consumers (consensus, inverted index) skip
+        # the per-vertex listcomp+concat.  Invalidated on any vtx_a
+        # mutation.
+        self._va_flat: np.ndarray | None = None
+        self._va_off: np.ndarray | None = None
         # complement-partner indices supplied by bulk builders (arc i's
         # complement arc is _arc_partner[i]; palindromes self-partner);
         # lets finalize skip the sorted-search complement matching.
@@ -87,6 +93,8 @@ class Asmg:
         return len(self.av) + len(self._pending)
 
     def add_vtx(self, a=None, seq=None, length=0, cov=0, circ=False, deleted=False) -> int:
+        self._va_flat = None
+        self._va_off = None
         self.vtx_a.append(a)
         self.vtx_seq.append(seq)
         self.vtx_len.append(int(length))
@@ -157,6 +165,8 @@ class Asmg:
         vdel = np.array(self.vtx_del, bool)
         if not vdel.any() and not self.adel.any():
             return  # nothing to compact
+        self._va_flat = None
+        self._va_off = None
         keep_v = ~vdel
         new_id = np.cumsum(keep_v) - 1
         self.vtx_a = [a for a, k in zip(self.vtx_a, keep_v) if k]
@@ -318,6 +328,36 @@ class Asmg:
                 link += 1
 
     def finalize(self, do_cleanup: bool):
+        import os as _os
+
+        if _os.environ.get("OATK_TPU_TIMEIT"):
+            import sys as _sys
+            import time as _time
+
+            t0 = _time.perf_counter()
+            if do_cleanup:
+                self._cleanup()
+            t1 = _time.perf_counter()
+            self.arc_sort()
+            t2 = _time.perf_counter()
+            self.arc_index()
+            t3 = _time.perf_counter()
+            added = self._arc_fix_symm()
+            t4 = _time.perf_counter()
+            if added:
+                self.arc_sort()
+                self.arc_index()
+            t5 = _time.perf_counter()
+            self.shrink_link_id()
+            t6 = _time.perf_counter()
+            print(
+                f"[T::finalize] cleanup={1e3*(t1-t0):.1f}ms sort={1e3*(t2-t1):.1f}ms"
+                f" index={1e3*(t3-t2):.1f}ms fix_symm={1e3*(t4-t3):.1f}ms"
+                f" resort={1e3*(t5-t4):.1f}ms shrink={1e3*(t6-t5):.1f}ms",
+                file=_sys.stderr,
+                flush=True,
+            )
+            return
         if do_cleanup:
             self._cleanup()
         self.arc_sort()

@@ -113,6 +113,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64,
         ]
         lib.scm_consensus_fill.restype = ctypes.c_int64
         lib.scm_consensus_fill.argtypes = [
@@ -456,8 +457,11 @@ def arc_overlap_batch(
     av, aw, aln, adel, acomp, va_flat, va_off, vtx_len, w: int,
     hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
     code_flat, rl_flat, hoff, scratch, out_als, rl_ovf=None,
+    n_threads: int | None = None,
 ) -> int:
     lib = _load()
+    if n_threads is None:
+        n_threads = n_threads_default()
     op, ol, no = _rl_ovf_ptrs(rl_ovf)
     return lib.arc_overlap_batch(
         av.ctypes.data, aw.ctypes.data, aln.ctypes.data,
@@ -469,6 +473,7 @@ def arc_overlap_batch(
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
         op, ol, no,
         len(code_flat), scratch.ctypes.data, len(scratch), out_als.ctypes.data,
+        n_threads,
     )
 
 

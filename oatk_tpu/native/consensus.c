@@ -535,6 +535,100 @@ done:
  * when the overlap is < w).  out_als[ai] = computed l for processed
  * arcs, untouched otherwise.  Returns 0, or -1 when scratch_cap is too
  * small for a sub-unitig emission (caller regrows). */
+typedef struct {
+    const uint64_t *av, *aw; const int64_t *aln;
+    const uint8_t *adel, *acomp; int64_t n_arc;
+    const uint64_t *va_flat; const int64_t *va_off, *vtx_len;
+    int64_t w, hoco_seq;
+    const uint64_t *mp_flat; const int64_t *mp_off;
+    const uint64_t *kflat; const uint32_t *mflat; const int64_t *moff;
+    const uint8_t *code_flat, *rl_flat;
+    const int64_t *hoff;
+    const int64_t *rl_ovf_pos, *rl_ovf_len; int64_t n_rl_ovf;
+    int64_t hoco_total;
+    int64_t scratch_cap;
+    int64_t *out_als;
+    _Atomic long long next;
+    _Atomic int err;  /* 1 = scratch too small, 2 = alloc failure */
+} aob_t;
+
+#include <stdatomic.h>
+
+static void *aob_worker(void *argp) {
+    aob_t *c = (aob_t *)argp;
+    int64_t w = c->w;
+    uint8_t *base = (uint8_t *)malloc(w);
+    int64_t *totrl = (int64_t *)malloc(w * sizeof(int64_t));
+    uint8_t *scratch = (uint8_t *)malloc(c->scratch_cap ? c->scratch_cap : 1);
+    if (!base || !totrl || !scratch) {
+        free(base); free(totrl); free(scratch);
+        atomic_store(&c->err, 2);
+        return NULL;
+    }
+    const uint64_t *av = c->av, *aw = c->aw;
+    const int64_t *aln = c->aln;
+    for (;;) {
+        int64_t a0 = atomic_fetch_add(&c->next, 256);
+        if (a0 >= c->n_arc || atomic_load(&c->err)) break;
+        int64_t a1 = a0 + 256 < c->n_arc ? a0 + 256 : c->n_arc;
+        for (int64_t ai = a0; ai < a1; ++ai) {
+        if (c->adel[ai] || c->acomp[ai]) continue;
+        int64_t v = (int64_t)av[ai], t = (int64_t)aw[ai];
+        int64_t ln = aln[ai];
+        int64_t l;
+        const uint64_t *a = c->va_flat + c->va_off[v >> 1];
+        int64_t na = c->va_off[(v >> 1) + 1] - c->va_off[v >> 1];
+        if (ln > 0) {
+            const uint64_t *sub = (v & 1) ? a : a + (na - ln);
+            l = utg_consensus_emit(sub, ln, w, c->hoco_seq,
+                                   c->mp_flat, c->mp_off, c->kflat, c->mflat, c->moff,
+                                   c->code_flat, c->rl_flat, c->hoff,
+                                   c->rl_ovf_pos, c->rl_ovf_len, c->n_rl_ovf,
+                                   c->hoco_total, scratch, c->scratch_cap);
+            if (l < 0) { atomic_store(&c->err, 1); break; }
+        } else {
+            int64_t z = v & 1;
+            int64_t vv = (int64_t)(z ? a[0] : a[na - 1]) ^ z;
+            const uint64_t *a2 = c->va_flat + c->va_off[t >> 1];
+            int64_t na2 = c->va_off[(t >> 1) + 1] - c->va_off[t >> 1];
+            int64_t z2 = t & 1;
+            int64_t tt = (int64_t)(z2 ? a2[na2 - 1] : a2[0]) ^ z2;
+            int64_t m1 = vv >> 1, rc1 = vv & 1, m2 = tt >> 1, rc2 = tt & 1;
+            l = scm_overlap_mode(c->mp_flat + c->mp_off[m1], c->mp_off[m1 + 1] - c->mp_off[m1],
+                                 c->mp_flat + c->mp_off[m2], c->mp_off[m2 + 1] - c->mp_off[m2],
+                                 rc1, rc2, c->kflat, c->mflat, c->moff);
+            if (l < w) {
+                /* syncmer_consensus(vv>>1, vv&1, beg=l) emitted length */
+                int64_t beg = l, bl = 0;
+                if (beg < 0) { bl = -beg; beg = 0; }
+                int64_t win = w - beg;
+                bl += win;
+                memset(totrl, 0, win * sizeof(int64_t));
+                int64_t m_seq = scm_consensus_fill(
+                    c->mp_flat + c->mp_off[m1], c->mp_off[m1 + 1] - c->mp_off[m1],
+                    rc1, beg, win,
+                    c->kflat, c->mflat, c->moff, c->code_flat, c->rl_flat, c->hoff,
+                    c->rl_ovf_pos, c->rl_ovf_len, c->n_rl_ovf,
+                    !c->hoco_seq, c->hoco_total, base, totrl);
+                if (m_seq > 0 && !c->hoco_seq) {
+                    for (int64_t j = 0; j < win; ++j)
+                        bl += (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
+                }
+                l = bl;
+            } else {
+                l = 0;
+            }
+        }
+        int64_t lv = c->vtx_len[v >> 1], lt = c->vtx_len[t >> 1];
+        if (l > lv) l = lv;
+        if (l > lt) l = lt;
+        c->out_als[ai] = l;
+        }
+    }
+    free(base); free(totrl); free(scratch);
+    return NULL;
+}
+
 int64_t arc_overlap_batch(
     const uint64_t *av, const uint64_t *aw, const int64_t *aln,
     const uint8_t *adel, const uint8_t *acomp, int64_t n_arc,
@@ -547,64 +641,38 @@ int64_t arc_overlap_batch(
     const int64_t *rl_ovf_pos, const int64_t *rl_ovf_len, int64_t n_rl_ovf,
     int64_t hoco_total,
     uint8_t *scratch, int64_t scratch_cap,
-    int64_t *out_als)
+    int64_t *out_als, int64_t n_threads)
 {
-    uint8_t *base = (uint8_t *)malloc(w);
-    int64_t *totrl = (int64_t *)malloc(w * sizeof(int64_t));
-    if (!base || !totrl) { free(base); free(totrl); return -1; }
-    for (int64_t ai = 0; ai < n_arc; ++ai) {
-        if (adel[ai] || acomp[ai]) continue;
-        int64_t v = (int64_t)av[ai], t = (int64_t)aw[ai];
-        int64_t ln = aln[ai];
-        int64_t l;
-        const uint64_t *a = va_flat + va_off[v >> 1];
-        int64_t na = va_off[(v >> 1) + 1] - va_off[v >> 1];
-        if (ln > 0) {
-            const uint64_t *sub = (v & 1) ? a : a + (na - ln);
-            l = utg_consensus_emit(sub, ln, w, hoco_seq,
-                                   mp_flat, mp_off, kflat, mflat, moff,
-                                   code_flat, rl_flat, hoff,
-                                   rl_ovf_pos, rl_ovf_len, n_rl_ovf,
-                                   hoco_total, scratch, scratch_cap);
-            if (l < 0) { free(base); free(totrl); return -1; }
-        } else {
-            int64_t z = v & 1;
-            int64_t vv = (int64_t)(z ? a[0] : a[na - 1]) ^ z;
-            const uint64_t *a2 = va_flat + va_off[t >> 1];
-            int64_t na2 = va_off[(t >> 1) + 1] - va_off[t >> 1];
-            int64_t z2 = t & 1;
-            int64_t tt = (int64_t)(z2 ? a2[na2 - 1] : a2[0]) ^ z2;
-            int64_t m1 = vv >> 1, rc1 = vv & 1, m2 = tt >> 1, rc2 = tt & 1;
-            l = scm_overlap_mode(mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
-                                 mp_flat + mp_off[m2], mp_off[m2 + 1] - mp_off[m2],
-                                 rc1, rc2, kflat, mflat, moff);
-            if (l < w) {
-                /* syncmer_consensus(vv>>1, vv&1, beg=l) emitted length */
-                int64_t beg = l, bl = 0;
-                if (beg < 0) { bl = -beg; beg = 0; }
-                int64_t win = w - beg;
-                bl += win;
-                memset(totrl, 0, win * sizeof(int64_t));
-                int64_t m_seq = scm_consensus_fill(
-                    mp_flat + mp_off[m1], mp_off[m1 + 1] - mp_off[m1],
-                    rc1, beg, win,
-                    kflat, mflat, moff, code_flat, rl_flat, hoff,
-                    rl_ovf_pos, rl_ovf_len, n_rl_ovf,
-                    !hoco_seq, hoco_total, base, totrl);
-                if (m_seq > 0 && !hoco_seq) {
-                    for (int64_t j = 0; j < win; ++j)
-                        bl += (int64_t)floor((double)totrl[j] / (double)m_seq + 0.5);
-                }
-                l = bl;
-            } else {
-                l = 0;
-            }
+    (void)scratch;  /* workers allocate their own (kept for ABI shape) */
+    aob_t c;
+    memset(&c, 0, sizeof(c));
+    c.av = av; c.aw = aw; c.aln = aln; c.adel = adel; c.acomp = acomp;
+    c.n_arc = n_arc; c.va_flat = va_flat; c.va_off = va_off;
+    c.vtx_len = vtx_len; c.w = w; c.hoco_seq = hoco_seq;
+    c.mp_flat = mp_flat; c.mp_off = mp_off;
+    c.kflat = kflat; c.mflat = mflat; c.moff = moff;
+    c.code_flat = code_flat; c.rl_flat = rl_flat; c.hoff = hoff;
+    c.rl_ovf_pos = rl_ovf_pos; c.rl_ovf_len = rl_ovf_len; c.n_rl_ovf = n_rl_ovf;
+    c.hoco_total = hoco_total; c.scratch_cap = scratch_cap;
+    c.out_als = out_als;
+    atomic_init(&c.next, 0);
+    atomic_init(&c.err, 0);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if (n_arc < 4096) n_threads = 1;
+    if (n_threads == 1) {
+        aob_worker(&c);
+    } else {
+        pthread_t tid[16];
+        int64_t spawned = 0;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            if (pthread_create(&tid[t], NULL, aob_worker, &c) != 0) break;
+            spawned++;
         }
-        int64_t lv = vtx_len[v >> 1], lt = vtx_len[t >> 1];
-        if (l > lv) l = lv;
-        if (l > lt) l = lt;
-        out_als[ai] = l;
+        if (spawned == 0) aob_worker(&c);
+        for (int64_t t = 0; t < spawned; ++t) pthread_join(tid[t], NULL);
     }
-    free(base); free(totrl);
-    return 0;
+    int e = atomic_load(&c.err);
+    return e ? (e == 1 ? -1 : -2) : 0;
 }
+
