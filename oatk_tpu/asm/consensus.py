@@ -573,6 +573,8 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 )
                 if ret >= 0:
                     break
+                if ret == -2:
+                    raise MemoryError("utg_consensus_emit_batch allocation failure")
                 cap *= 4
         _t("emit_batch")
         if save_seq:
@@ -664,7 +666,6 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
         als_batch = np.full(n_arc, -1, np.int64)
         scratch_cap = max(4096, 4 * w * 64)
         while True:
-            scratch = np.empty(scratch_cap, np.uint8)
             ret = native.arc_overlap_batch(
                 np.ascontiguousarray(utg.av, np.uint64),
                 np.ascontiguousarray(utg.aw, np.uint64),
@@ -674,11 +675,13 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
                 va_flat, va_off, vtx_len_arr, w, hoco_seq,
                 flats.mp_flat, flats.mp_off, flats.kflat, flats.mflat,
                 flats.moff, flats.code_flat, flats.rl_flat, flats.hoff,
-                scratch, als_batch,
+                scratch_cap, als_batch,
                 rl_ovf=flats.rl_ovf,
             )
             if ret >= 0:
                 break
+            if ret == -2:
+                raise MemoryError("arc_overlap_batch worker allocation failure")
             scratch_cap *= 4
         _t("arc_batch")
 

@@ -211,12 +211,31 @@ def make_syncmer_graph(
         g.acomp = np.concatenate([g.acomp, acomp])
         g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
         # complement pairing is known at construction (fwd at off, comp
-        # at off+1; palindromes self-partner) and keys are unique, so
-        # finalize can skip its sorted-search complement matching
-        partner = np.arange(total, dtype=np.int64)
-        partner[off[has_comp]] = co
-        partner[co] = off[has_comp]
-        g._arc_partner = partner
+        # at off+1; palindromes self-partner), so finalize can skip its
+        # sorted-search complement matching -- but ONLY when the arc
+        # key set is duplicate-free.  Duplicates arise when a pair key
+        # (s0,s1) and its complement key (s1^1,s0^1) BOTH occur as
+        # canonical pair keys (e.g. a tandem-duplicated syncmer read
+        # from both strands: (a,a) and (a^1,a^1)): each generates the
+        # other as its complement arc, and the reference's fix_symm /
+        # link-id semantics on duplicate keys follow first-occurrence
+        # overwrite order, which _match_complements preserves by
+        # bailing to the sequential walk.  Self-complementary keys
+        # (s1 == s0^1) are palindromic single arcs, not duplicates.
+        if hi < (1 << 32) and len(s0):
+            own_key = (s0.astype(np.uint64) << np.uint64(32)) | s1.astype(np.uint64)
+            comp_key = ((s1.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) | (
+                s0.astype(np.uint64) ^ np.uint64(1)
+            )
+            pk = packed[starts][ok]  # kept unique keys, still sorted
+            j = np.searchsorted(pk, comp_key)
+            jc = np.minimum(j, len(pk) - 1)
+            dup = (j < len(pk)) & (pk[jc] == comp_key) & (comp_key != own_key)
+            if not np.any(dup):
+                partner = np.arange(total, dtype=np.int64)
+                partner[off[has_comp]] = co
+                partner[co] = off[has_comp]
+                g._arc_partner = partner
     _t("arcs")
     g.finalize(True)
     _t("finalize")

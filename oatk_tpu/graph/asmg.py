@@ -330,42 +330,47 @@ class Asmg:
     def finalize(self, do_cleanup: bool):
         import os as _os
 
+        _t = None
         if _os.environ.get("OATK_TPU_TIMEIT"):
             import sys as _sys
             import time as _time
 
-            t0 = _time.perf_counter()
-            if do_cleanup:
-                self._cleanup()
-            t1 = _time.perf_counter()
+            _marks: list[tuple[str, float]] = []
+            _prev = [_time.perf_counter()]
+
+            def _t(name, _marks=_marks, _prev=_prev):  # noqa: ANN001
+                now = _time.perf_counter()
+                _marks.append((name, now - _prev[0]))
+                _prev[0] = now
+
+        if do_cleanup:
+            self._cleanup()
+        if _t:
+            _t("cleanup")
+        self.arc_sort()
+        if _t:
+            _t("sort")
+        self.arc_index()
+        if _t:
+            _t("index")
+        added = self._arc_fix_symm()
+        if _t:
+            _t("fix_symm")
+        if added:
             self.arc_sort()
-            t2 = _time.perf_counter()
             self.arc_index()
-            t3 = _time.perf_counter()
-            added = self._arc_fix_symm()
-            t4 = _time.perf_counter()
-            if added:
-                self.arc_sort()
-                self.arc_index()
-            t5 = _time.perf_counter()
-            self.shrink_link_id()
-            t6 = _time.perf_counter()
+        if _t:
+            _t("resort")
+        self.shrink_link_id()
+        if _t:
+            _t("shrink")
+            import sys as _sys
+
             print(
-                f"[T::finalize] cleanup={1e3*(t1-t0):.1f}ms sort={1e3*(t2-t1):.1f}ms"
-                f" index={1e3*(t3-t2):.1f}ms fix_symm={1e3*(t4-t3):.1f}ms"
-                f" resort={1e3*(t5-t4):.1f}ms shrink={1e3*(t6-t5):.1f}ms",
+                "[T::finalize] " + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
                 file=_sys.stderr,
                 flush=True,
             )
-            return
-        if do_cleanup:
-            self._cleanup()
-        self.arc_sort()
-        self.arc_index()
-        if self._arc_fix_symm():
-            self.arc_sort()
-            self.arc_index()
-        self.shrink_link_id()
 
     # ---------- accessors ----------
     def arc_range(self, v: int) -> range:

@@ -151,9 +151,11 @@ def _hoco_phase(seq: jnp.ndarray, lens: jnp.ndarray):
     )
     nxt_raw = jnp.concatenate([raw_of[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
     h_in = pos_idx[None, :] < hoco_l[:, None]
+    # run length MINUS ONE, matching the ReadSyncmers.ho_rl convention
+    # (reference sr_t, /root/reference/syncmer.h:56)
     ho_rl = jnp.where(
         h_in,
-        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of,
+        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of - 1,
         0,
     ).astype(jnp.int32)
     eff_n = is_n | ~h_in
@@ -396,9 +398,11 @@ def extract_syncmers_batch(
     )
     nxt_raw = jnp.concatenate([raw_of[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
     h_in = pos_idx[None, :] < hoco_l[:, None]
+    # run length MINUS ONE, matching the ReadSyncmers.ho_rl convention
+    # (reference sr_t, /root/reference/syncmer.h:56)
     ho_rl = jnp.where(
         h_in,
-        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of,
+        jnp.where(nxt_raw >= 0, nxt_raw, lens[:, None]) - raw_of - 1,
         0,
     ).astype(jnp.int32)
 

@@ -456,9 +456,12 @@ def utg_consensus_emit_batch(
 def arc_overlap_batch(
     av, aw, aln, adel, acomp, va_flat, va_off, vtx_len, w: int,
     hoco_seq: bool, mp_flat, mp_off, kflat, mflat, moff,
-    code_flat, rl_flat, hoff, scratch, out_als, rl_ovf=None,
+    code_flat, rl_flat, hoff, scratch_cap: int, out_als, rl_ovf=None,
     n_threads: int | None = None,
 ) -> int:
+    """Workers allocate their own scratch of ``scratch_cap`` bytes (the
+    C pointer arg is vestigial); returns 0 ok, -1 scratch too small
+    (caller regrows), -2 worker allocation failure (fatal)."""
     lib = _load()
     if n_threads is None:
         n_threads = n_threads_default()
@@ -472,7 +475,7 @@ def arc_overlap_batch(
         kflat.ctypes.data, mflat.ctypes.data, moff.ctypes.data,
         code_flat.ctypes.data, rl_flat.ctypes.data, hoff.ctypes.data,
         op, ol, no,
-        len(code_flat), scratch.ctypes.data, len(scratch), out_als.ctypes.data,
+        len(code_flat), None, scratch_cap, out_als.ctypes.data,
         n_threads,
     )
 

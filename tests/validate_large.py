@@ -162,10 +162,19 @@ def main():
     rng = np.random.default_rng(20260817)
     mito, pltd = build_genomes(rng, args.scale)
     fa = wd / "reads.fa"
+    meta = wd / "reads.meta"
+    stamp = f"mbp={args.mbp} scale={args.scale}"
     if fa.exists():
         # reuse the workdir dataset (Gbp-scale generation is minutes);
         # the genomes above are re-derived so segment classification and
         # annotation scatter stay consistent with the stored reads
+        have = meta.read_text().strip() if meta.exists() else "<unstamped>"
+        if have != stamp:
+            sys.exit(
+                f"workdir {wd} holds a dataset generated with '{have}', "
+                f"but this run asked for '{stamp}'; use a fresh --workdir "
+                f"or delete reads.fa"
+            )
         n_reads = total_bp = 0
         with open(fa) as f:
             for line in f:
@@ -178,6 +187,7 @@ def main():
         reads = build_reads(rng, mito, pltd, args.mbp)
         total_bp = sum(len(r) for r in reads)
         write_fa(fa, reads)
+        meta.write_text(stamp + "\n")
         print(f"dataset: {len(reads)} reads, {total_bp/1e6:.1f} Mbp", flush=True)
 
     flags = ["-k", "1001", "-s", "31", "-c", "30", "--unzip-round", "3"]
