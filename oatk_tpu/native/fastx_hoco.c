@@ -88,32 +88,64 @@ int64_t parse_fastx_hoco(
         uint8_t prev = 255;
         while (i < len && data[i] != '>' && data[i] != '+' &&
                !(is_fq && data[i] == '@')) {
-            while (i < len && data[i] != '\n') {
-                uint8_t b = data[i++];
-                if (b == '\r') continue;
-                uint8_t c = NT4[b];
-                ++raw;
-                if (c == 4) {
+            /* line extent up front (memchr beats a per-byte compare);
+             * a trailing \r is stripped, embedded \r (pathological)
+             * falls back to the byte-skipping scan */
+            const uint8_t *nlp = memchr(data + i, '\n', len - i);
+            int64_t q = nlp ? (int64_t)(nlp - data) : len;
+            int64_t qq = (q > i && data[q - 1] == '\r') ? q - 1 : q;
+            if (memchr(data + i, '\r', qq - i) != NULL) {
+                while (i < qq) {
+                    uint8_t b = data[i++];
+                    if (b == '\r') continue;
+                    uint8_t c = NT4[b];
+                    ++raw;
+                    if (c == 4) {
+                        CLOSE_RUN();
+                        if (h >= max_hoco) goto overflow;
+                        codes[h] = 0;
+                        rl[h] = 0;
+                        isn[h] = 1;
+                        ++h;
+                        prev = 255;
+                    } else if (c == prev) {
+                        ++run;
+                    } else {
+                        CLOSE_RUN();
+                        if (h >= max_hoco) goto overflow;
+                        codes[h] = c;
+                        isn[h] = 0;
+                        ++h;
+                        run = 1;
+                        prev = c;
+                    }
+                }
+            } else {
+                raw += qq - i;
+                if (h + (qq - i) > max_hoco) goto overflow;
+                for (int64_t x = i; x < qq; ++x) {
+                    uint8_t c = NT4[data[x]];
+                    if (c == prev) {
+                        ++run;
+                        continue;
+                    }
                     CLOSE_RUN();
-                    if (h >= max_hoco) goto overflow;
-                    codes[h] = 0;
-                    rl[h] = 0;
-                    isn[h] = 1;
-                    ++h;
-                    prev = 255;
-                } else if (c == prev) {
-                    ++run;
-                } else {
-                    CLOSE_RUN();
-                    if (h >= max_hoco) goto overflow;
-                    codes[h] = c;
-                    isn[h] = 0;
-                    ++h;
-                    run = 1;
-                    prev = c;
+                    if (c == 4) {
+                        codes[h] = 0;
+                        rl[h] = 0;
+                        isn[h] = 1;
+                        ++h;
+                        prev = 255;
+                    } else {
+                        codes[h] = c;
+                        isn[h] = 0;
+                        ++h;
+                        run = 1;
+                        prev = c;
+                    }
                 }
             }
-            ++i;
+            i = q + 1;
             if (!is_fq) continue;
             break; /* FASTQ: exactly one sequence line */
         }
