@@ -139,7 +139,9 @@ def make_syncmer_graph(
     # bulk vertex creation (one per syncmer; a 40k-call add_vtx loop
     # dominated profiles on high-error inputs)
     ids2 = (np.arange(n, dtype=np.uint64) << np.uint64(1)).reshape(n, 1)
-    g.vtx_a = list(ids2)
+    from ..graph.asmg import LazyRows
+
+    g.vtx_a = LazyRows(ids2)
     g._va_flat = ids2.reshape(n).copy()
     g._va_off = np.arange(n + 1, dtype=np.int64)
     g.vtx_seq = [None] * n

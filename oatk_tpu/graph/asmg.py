@@ -51,6 +51,28 @@ def _match_complements(av: np.ndarray, aw: np.ndarray):
     return np.where(found, order[pos_c], -1)
 
 
+class LazyRows:
+    """List-like per-vertex syncmer lists backed by one 2-D array
+    (bulk builders create one single-syncmer vertex per row; a 1.2M-entry
+    list of array views costs ~1 s + GC pressure at Gbp scale).  Reads
+    materialize row views on demand; mutation sites (add_vtx) convert to
+    a real list first."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a: np.ndarray):
+        self.a = a
+
+    def __len__(self):
+        return len(self.a)
+
+    def __getitem__(self, i):
+        return self.a[i]
+
+    def __iter__(self):
+        return iter(self.a)
+
+
 class Asmg:
     def __init__(self):
         self.vtx_a: list[np.ndarray | None] = []  # syncmer lists (id<<1|rev)
@@ -95,6 +117,8 @@ class Asmg:
     def add_vtx(self, a=None, seq=None, length=0, cov=0, circ=False, deleted=False) -> int:
         self._va_flat = None
         self._va_off = None
+        if not isinstance(self.vtx_a, list):
+            self.vtx_a = list(self.vtx_a)  # materialize LazyRows
         self.vtx_a.append(a)
         self.vtx_seq.append(seq)
         self.vtx_len.append(int(length))
