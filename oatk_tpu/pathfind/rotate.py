@@ -103,7 +103,15 @@ def _path_rotate_core(asg: Asg, path: Path, db: AnnotDB, og_type: int) -> float:
 
     ds = sum((float(p) - i) ** 2 for i, p in enumerate(p_ord))
     n = len(p_ord)
-    return 1.0 - 6 * ds / n / (float(n) * n - 1)
+    denom = float(n) * n - 1
+    if denom == 0.0:
+        # reference arithmetic (path.c:1704) with n == 1 divides 0 by 0:
+        # IEEE yields NaN, which C lets flow (NaN comparisons are all
+        # false, so the rotation keeps the reversed orientation and the
+        # path sort/selection treat it as tying) -- reproduce that
+        # instead of raising ZeroDivisionError
+        return float("nan")
+    return 1.0 - 6 * ds / n / denom
 
 
 def path_rotate(asg: Asg, path: Path, db: AnnotDB, og_type: int):

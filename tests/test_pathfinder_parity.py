@@ -179,3 +179,14 @@ def test_pathfinder_repeat_graph(tmp_path, rng):
     mito = tmp_path / "mito.txt"
     _write_tblout(mito, hits)
     _run_both(tmp_path, gfa, mito_txt=mito)
+
+
+def test_single_gene_srcc_nan_parity(tmp_path):
+    """SRCC with one total gene divides 0 by 0: the reference's IEEE
+    arithmetic yields NaN that flows through rotation/sort/selection
+    (path.c:1704); the Python port must reproduce that instead of
+    raising ZeroDivisionError.  Regression for stress seed 50001."""
+    import stress_pathfinder
+
+    desc = stress_pathfinder.one_case(50001, tmp_path)
+    assert "skipped" not in desc or desc  # byte-compared inside one_case
