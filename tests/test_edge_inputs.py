@@ -84,3 +84,40 @@ def test_lowercase_and_u_bases(tmp_path, rng):
     ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=101, s=13, c=2)
     assert ref_rc == 0
     _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_multiline_fasta_records(tmp_path, rng):
+    """Sequences wrapped at 60/80/7 columns parse identically to the
+    reference (homopolymer runs span line breaks; the memchr-based line
+    scan keeps prev/run state across lines of one record)."""
+    g = random_genome(rng, 8000, hp_prob=0.3)
+    src = g + g
+    parts = []
+    for i, width in enumerate([60, 80, 7, 133, 1]):
+        for j in range(8):
+            st = int(rng.integers(8000))
+            seq = src[st : st + 1500]
+            wrapped = "\n".join(seq[x : x + width] for x in range(0, len(seq), width))
+            parts.append(f">r{i}_{j}\n{wrapped}\n")
+    ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=101, s=13, c=2)
+    assert ref_rc == 0
+    _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_crlf_line_endings(tmp_path, rng):
+    """CRLF (and a stray mid-line CR) inputs parse identically to the
+    reference's kseq-style handling."""
+    g = random_genome(rng, 6000)
+    src = g + g
+    parts = []
+    for i in range(24):
+        st = int(rng.integers(6000))
+        seq = src[st : st + 1200]
+        if i % 2 == 0:
+            wrapped = "\r\n".join(seq[x : x + 70] for x in range(0, len(seq), 70))
+            parts.append(f">r{i}\r\n{wrapped}\r\n")
+        else:
+            parts.append(f">r{i}\n{seq}\n")
+    ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=101, s=13, c=2)
+    assert ref_rc == 0
+    _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
