@@ -93,6 +93,35 @@ def _pad_rows(n: int, bsz: int) -> int:
     return min(max(64, _round_up(n, 64)), bsz)
 
 
+_false_buf = np.zeros(1 << 14, bool)
+
+
+def _false_view(n: int) -> np.ndarray:
+    """Read-only all-False view for N-free reads (Ns are rare; one
+    shared buffer replaces a per-read dense flag array)."""
+    global _false_buf
+    if n > len(_false_buf):
+        _false_buf = np.zeros(max(n, 2 * len(_false_buf)), bool)
+    return _false_buf[:n]
+
+
+def _read_isn_views(isn_pos: np.ndarray, offs: np.ndarray, n_reads: int):
+    """Per-read is_n bool arrays from the sparse ambiguous-position
+    list (positions in the same coordinates as ``offs``)."""
+    lo = np.searchsorted(isn_pos, offs[:n_reads])
+    hi = np.searchsorted(isn_pos, offs[1 : n_reads + 1])
+    out = [None] * n_reads
+    for ri in range(n_reads):
+        l0 = int(offs[ri + 1]) - int(offs[ri])
+        if hi[ri] > lo[ri]:
+            d = np.zeros(l0, bool)
+            d[isn_pos[lo[ri] : hi[ri]] - int(offs[ri])] = True
+            out[ri] = d
+        else:
+            out[ri] = _false_view(l0)
+    return out
+
+
 def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
     """Decode the kernel's single-transfer [3, max_out+1] int64 result:
     row0 = flat_idx<<1|z (slot max_out = n_sel), row1 = smer payload,
@@ -247,7 +276,7 @@ def _parse_pack_segment(
     res = native.parse_fastx_hoco(data, c0, c1, out=out3)
     if res is None:
         return None
-    names, rawlen, offs, codes, rl, isn = res[:6]
+    names, rawlen, offs, codes, rl, isn_idx = res[:6]
     n_reads = len(names)
     hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
 
@@ -257,7 +286,8 @@ def _parse_pack_segment(
         buckets.setdefault(_bucket_len(L), []).append(i)
 
     chunks = []
-    isn_idx = np.flatnonzero(isn)  # one segment-wide pass (Ns are rare)
+    # sparse ambiguous positions straight from the parser (parse-local
+    # coordinates, same as offs)
     for Lp, idxs in sorted(buckets.items()):
         bsz = max(1, batch_bases // Lp)
         for start in range(0, len(idxs), bsz):
@@ -375,13 +405,13 @@ def load_and_extract(
         ``flats`` = (codes_full, rl_full, base), hoco views point into
         the whole-file flat arrays (copied there by a worker thread)
         instead of the per-segment parse buffers."""
-        names, rawlen, offs, codes, rl, isn = res[:6]
+        names, rawlen, offs, codes, rl, isn_pos = res[:6]
         if flats is not None:
             codes_full, rl_full, vbase = flats
             codes = codes_full[vbase : vbase + int(offs[keep])]
             rl = rl_full[vbase : vbase + int(offs[keep])]
         reads: list = [None] * keep
-        isn_b = isn.view(np.bool_)  # native parse emits 0/1 u8: free reinterpret
+        isn_views = _read_isn_views(isn_pos, offs, keep)
         for chunk, B, Lp, max_out, n_cap, blob, out in disp:
             _t0 = _time.perf_counter()
             if hasattr(out, "result"):  # prefetched on a fetch thread
@@ -411,7 +441,7 @@ def load_and_extract(
                     hoco_l=o1 - o0,
                     hoco_code=codes[o0:o1],
                     ho_rl=rl[o0:o1],
-                    is_n=isn_b[o0:o1],
+                    is_n=isn_views[ri],
                     m_pos=mpos_all[lo:hi],
                     s_mer=smer_all[lo:hi],
                     k_mer=kmer_all[lo:hi],
@@ -452,11 +482,10 @@ def load_and_extract(
             # already overwrote.  In order, dest_i only overlaps sources
             # already fully consumed (and its own, which one memmove
             # handles); it never reaches src_j for j>i since dest_i ends
-            # at cursor_{i+1} <= c1_i <= c0_j.  isn stays at the parse
-            # positions: per-read is_n views don't need contiguity.
+            # at cursor_{i+1} <= c1_i <= c0_j.  Ambiguous positions are
+            # sparse parser outputs; no dense isn buffer exists at all.
             codes_full = np.empty(len(data), np.uint8)
             rl_full = np.empty(len(data), np.uint8)
-            isn_full = np.empty(len(data), np.uint8)
             import ctypes as _ct
 
             _codes_ptr = codes_full.ctypes.data
@@ -502,7 +531,7 @@ def load_and_extract(
                     futs = [
                         ex.submit(
                             _parse_pack_segment, data, c0, c1, w, s, batch_bases,
-                            (codes_full[c0:c1], rl_full[c0:c1], isn_full[c0:c1]),
+                            (codes_full[c0:c1], rl_full[c0:c1]),
                         )
                         for c0, c1 in bounds
                     ]
@@ -557,7 +586,7 @@ def load_and_extract(
                 f.result()
             _t0 = _acc("copy_wait", _t0)
             for res, disp, vbase in seg_results:
-                names, rawlen, offs, codes, rl, isn = res[:6]
+                names, rawlen, offs = res[0], res[1], res[2]
                 keep = len(names)
                 db.reads.extend(
                     assemble(res, disp, keep, sid0, (codes_full, rl_full, vbase))
@@ -583,7 +612,7 @@ def load_and_extract(
         res = native.parse_fastx_hoco_mt(data)
         if res is None:
             return None
-        names, rawlen, offs, codes, rl, isn = res[:6]
+        names, rawlen, offs, codes, rl, isn_idx = res[:6]
         n_reads = len(names)
         hoco_l = (offs[1:] - offs[:-1]).astype(np.int64)
 
@@ -601,7 +630,6 @@ def load_and_extract(
             buckets.setdefault(Lp, []).append(i)
 
         disp = []
-        isn_idx = np.flatnonzero(isn)
         for Lp, idxs in sorted(buckets.items()):
             bsz = max(1, batch_bases // Lp)
             for start in range(0, len(idxs), bsz):

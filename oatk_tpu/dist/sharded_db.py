@@ -346,15 +346,17 @@ def load_and_extract_sharded(
         names_l, hoco = [], []
         total_bases = 0
         flat_parts = []  # (codes, rl, offs, ovf_pos, ovf_len) per file
+        from ..asm.reads import _read_isn_views
+
         for path in paths:
             res = _native.parse_fastx_hoco_mt(read_source_bytes(path))
             if res is None:
                 break
-            names, rawlen, offs, codes, rlv, isn, ovf_p, ovf_l = res
-            isn_b = isn.astype(bool)
+            names, rawlen, offs, codes, rlv, isn_pos, ovf_p, ovf_l = res
+            isn_views = _read_isn_views(isn_pos, offs, len(names))
             for i in range(len(names)):
                 o0, o1 = int(offs[i]), int(offs[i + 1])
-                hoco.append((codes[o0:o1], rlv[o0:o1], isn_b[o0:o1]))
+                hoco.append((codes[o0:o1], rlv[o0:o1], isn_views[i]))
             names_l.extend(names)
             total_bases += int(rawlen.sum())
             flat_parts.append((codes, rlv, offs, ovf_p, ovf_l))

@@ -48,7 +48,8 @@ def _load():
         lib.parse_fastx_hoco.restype = ctypes.c_int64
         lib.parse_fastx_hoco.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -238,17 +239,20 @@ def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None, out=No
     the segment (the pipelined loader splits one big buffer into ~4 MB
     segments; slicing bytes would memcpy the whole file again).
 
-    ``out`` = (codes[u8], rl[u8], isn[u8]) contiguous arrays of length
+    ``out`` = (codes[u8], rl[u8]) contiguous arrays of length
     >= end-start: parse straight into caller storage (the loader hands
     disjoint regions of its whole-file arrays, skipping the per-segment
     allocation page-faults AND the copy-out).
 
     Returns (names, rawlen[i64], offs[i64 n+1], codes[u8],
-    rl[u8 run-length-1 saturated at 255], isn[u8], ovf_pos[i64],
+    rl[u8 run-length-1 saturated at 255], isn_pos[i64], ovf_pos[i64],
     ovf_len[i64]) with per-read hoco streams concatenated (views of
-    ``out`` when given) and (ovf_pos, ovf_len) the sorted exact
-    run-length-1 entries for every saturated position (local to this
-    call's output), or None when the native library is unavailable.
+    ``out`` when given); isn_pos holds the sorted hoco positions of
+    ambiguous bases (sparse: Ns are rare, a dense flag array costs
+    1 GB/Gbp of peak RSS) and (ovf_pos, ovf_len) the sorted exact
+    run-length-1 entries for every saturated position (both local to
+    this call's output), or None when the native library is
+    unavailable.
     """
     lib = _load()
     if lib is None:
@@ -259,44 +263,52 @@ def parse_fastx_hoco(data: bytes, start: int = 0, end: int | None = None, out=No
     max_reads = max(16, count_header_marks(data, start, end))
     max_hoco = n  # hoco never exceeds raw length
     if out is not None:
-        codes, rl, isn = out
+        codes, rl = out
     else:
         codes = np.empty(max_hoco, np.uint8)
         rl = np.empty(max_hoco, np.uint8)
-        isn = np.empty(max_hoco, np.uint8)
     offs = np.empty(max_reads + 1, np.int64)
     rawlen = np.empty(max_reads, np.int64)
     hdr_beg = np.empty(max_reads, np.int64)
     hdr_end = np.empty(max_reads, np.int64)
     buf = np.frombuffer(data, np.uint8)
     max_ovf = 1024
+    max_isn = 4096
     while True:
         n_hoco = ctypes.c_int64(0)
         n_ovf = ctypes.c_int64(0)
+        n_isn = ctypes.c_int64(0)
         ovf_pos = np.empty(max_ovf, np.int64)
         ovf_len = np.empty(max_ovf, np.int64)
+        isn_pos = np.empty(max_isn, np.int64)
         ret = lib.parse_fastx_hoco(
             buf.ctypes.data + start, n,
-            codes.ctypes.data, rl.ctypes.data, isn.ctypes.data,
+            codes.ctypes.data, rl.ctypes.data,
+            isn_pos.ctypes.data, max_isn, ctypes.byref(n_isn),
             offs.ctypes.data, rawlen.ctypes.data,
             hdr_beg.ctypes.data, hdr_end.ctypes.data,
             max_reads, max_hoco, ctypes.byref(n_hoco),
             ovf_pos.ctypes.data, ovf_len.ctypes.data, max_ovf,
             ctypes.byref(n_ovf),
         )
-        if ret != -3:
-            break
-        max_ovf *= 8  # freak homopolymer density: regrow and re-parse
+        if ret == -3:
+            max_ovf *= 8  # freak homopolymer density: regrow and re-parse
+            continue
+        if ret == -4:
+            max_isn *= 8  # N-dense input: regrow and re-parse
+            continue
+        break
     if ret < 0:
         return None
     n_reads = int(ret)
     h = int(n_hoco.value)
     no = int(n_ovf.value)
+    ni = int(n_isn.value)
     names = [
         data[start + hdr_beg[i] : start + hdr_end[i]].decode() for i in range(n_reads)
     ]
     return (names, rawlen[:n_reads], offs[: n_reads + 1].copy(),
-            codes[:h], rl[:h], isn[:h], ovf_pos[:no], ovf_len[:no])
+            codes[:h], rl[:h], isn_pos[:ni], ovf_pos[:no], ovf_len[:no])
 
 
 def segment_record_cuts(data: bytes, n_seg: int):
@@ -380,26 +392,29 @@ def parse_fastx_hoco_mt(data: bytes, n_threads: int | None = None):
     rawlen = np.concatenate([p[1] for p in parts])
     codes = np.concatenate([p[3] for p in parts])
     rlv = np.concatenate([p[4] for p in parts])
-    isn = np.concatenate([p[5] for p in parts])
     offs = np.empty(len(names) + 1, np.int64)
     offs[0] = 0
     pos = 0
     base = 0
+    isn_pos_parts = []
     ovf_pos_parts = []
     ovf_len_parts = []
     for p in parts:
         seg_offs = p[2]
         n = len(p[0])
         offs[pos + 1 : pos + n + 1] = seg_offs[1:] + base
+        if len(p[5]):
+            isn_pos_parts.append(p[5] + base)
         if len(p[6]):
             ovf_pos_parts.append(p[6] + base)
             ovf_len_parts.append(p[7])
         base += seg_offs[-1]
         pos += n
     z = np.zeros(0, np.int64)
+    isn_pos = np.concatenate(isn_pos_parts) if isn_pos_parts else z
     ovf_pos = np.concatenate(ovf_pos_parts) if ovf_pos_parts else z
     ovf_len = np.concatenate(ovf_len_parts) if ovf_len_parts else z
-    return names, rawlen, offs, codes, rlv, isn, ovf_pos, ovf_len
+    return names, rawlen, offs, codes, rlv, isn_pos, ovf_pos, ovf_len
 
 
 def wf_ed_core_native(ts, qs, is_ext: int, bw: int, hdr, k) -> int:

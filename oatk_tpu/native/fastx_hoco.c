@@ -28,7 +28,10 @@ static const uint8_t NT4[256] = {
  *           saturated at 255 (the reference sr_t layout,
  *           /root/reference/syncmer.h:56): 255 always has an exact
  *           entry in the overflow list below
- *   isn     [max_hoco]  u8: 1 where ambiguous
+ *   isn_pos [max_isn] i64: hoco positions (relative to this call's
+ *           output) of ambiguous bases, sorted; count in *n_isn_out.
+ *           Ns are rare, so the sparse list replaces a raw-length
+ *           dense byte array (1 GB/Gbp of peak RSS)
  *   offs    [max_reads+1] i64: per-read start offsets into the above
  *   rawlen  [max_reads] i64: raw (uncompressed) read length
  *   hdr_beg/hdr_end [max_reads] i64: header name spans in `data`
@@ -38,11 +41,13 @@ static const uint8_t NT4[256] = {
  *
  * Returns number of reads parsed, -1 if hoco/read capacity exceeded
  * (n_hoco_out then holds the required hoco capacity lower bound),
- * -3 if the overflow list capacity is exceeded.
+ * -3 if the overflow list capacity is exceeded, -4 if the ambiguous
+ * position list capacity is exceeded.
  */
 int64_t parse_fastx_hoco(
     const uint8_t *data, int64_t len,
-    uint8_t *codes, uint8_t *rl, uint8_t *isn,
+    uint8_t *codes, uint8_t *rl,
+    int64_t *isn_pos, int64_t max_isn, int64_t *n_isn_out,
     int64_t *offs, int64_t *rawlen,
     int64_t *hdr_beg, int64_t *hdr_end,
     int64_t max_reads, int64_t max_hoco,
@@ -50,6 +55,7 @@ int64_t parse_fastx_hoco(
     int64_t *ovf_pos, int64_t *ovf_len, int64_t max_ovf,
     int64_t *n_ovf_out)
 {
+    int64_t n_isn = 0;
     int64_t i = 0, n_reads = 0, h = 0, n_ovf = 0;
     int64_t run = 0; /* current homopolymer run length (codes[h-1]) */
 
@@ -105,7 +111,8 @@ int64_t parse_fastx_hoco(
                         if (h >= max_hoco) goto overflow;
                         codes[h] = 0;
                         rl[h] = 0;
-                        isn[h] = 1;
+                        if (n_isn >= max_isn) return -4;
+                        isn_pos[n_isn++] = h;
                         ++h;
                         prev = 255;
                     } else if (c == prev) {
@@ -114,7 +121,6 @@ int64_t parse_fastx_hoco(
                         CLOSE_RUN();
                         if (h >= max_hoco) goto overflow;
                         codes[h] = c;
-                        isn[h] = 0;
                         ++h;
                         run = 1;
                         prev = c;
@@ -133,12 +139,12 @@ int64_t parse_fastx_hoco(
                     if (c == 4) {
                         codes[h] = 0;
                         rl[h] = 0;
-                        isn[h] = 1;
+                        if (n_isn >= max_isn) return -4;
+                        isn_pos[n_isn++] = h;
                         ++h;
                         prev = 255;
                     } else {
                         codes[h] = c;
-                        isn[h] = 0;
                         ++h;
                         run = 1;
                         prev = c;
@@ -163,6 +169,7 @@ int64_t parse_fastx_hoco(
     offs[n_reads] = h;
     *n_hoco_out = h;
     *n_ovf_out = n_ovf;
+    *n_isn_out = n_isn;
     return n_reads;
 
 overflow:
