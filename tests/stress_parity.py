@@ -51,8 +51,32 @@ def one_case(seed: int, tmp: Path) -> str:
         hp = float(rng.choice([0.0, 0.85]))
         reads += sample_reads(rng, g, cov, rl, err_rate=err, hp_frac=hp)
     rng.shuffle(reads)
-    fa = tmp / "reads.fa"
-    write_reads(str(fa), reads)
+    # randomized container format: FASTA / FASTQ / gzip / multiline
+    fmt = ["fa", "fa", "fq", "fa.gz", "fq.gz", "fa_wrap"][int(rng.integers(6))]
+    if fmt.startswith("fq"):
+        body = "".join(
+            f"@read{i}\n{r}\n+\n{'I' * len(r)}\n" for i, r in enumerate(reads)
+        )
+        fa = tmp / "reads.fq"
+    elif fmt == "fa_wrap":
+        body = "".join(
+            f">read{i}\n"
+            + "\n".join(r[x : x + 80] for x in range(0, len(r), 80))
+            + "\n"
+            for i, r in enumerate(reads)
+        )
+        fa = tmp / "reads.fa"
+    else:
+        body = "".join(f">read{i}\n{r}\n" for i, r in enumerate(reads))
+        fa = tmp / "reads.fa"
+    if fmt.endswith(".gz"):
+        import gzip as _gz
+
+        fa = tmp / (fa.name + ".gz")
+        with _gz.open(fa, "wt") as f:
+            f.write(body)
+    else:
+        fa.write_text(body)
 
     do_ec = bool(rng.random() < 0.5)
     unzip = int(rng.choice([0, 3]))
@@ -73,7 +97,7 @@ def one_case(seed: int, tmp: Path) -> str:
     _assert_gfa_equal(tmp / "ref.utg.gfa", tmp / "mine.utg.gfa")
     _assert_gfa_equal(tmp / "ref.utg.final.gfa", tmp / "mine.utg.final.gfa")
     return (f"k={k} s={s} c={c} ec={int(do_ec)} unzip={unzip} "
-            f"shards={shards} reads={len(reads)}")
+            f"shards={shards} reads={len(reads)} fmt={fmt}")
 
 
 def main():

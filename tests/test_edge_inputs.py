@@ -121,3 +121,49 @@ def test_crlf_line_endings(tmp_path, rng):
     ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=101, s=13, c=2)
     assert ref_rc == 0
     _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
+
+
+def test_survives_input_that_segfaults_reference(tmp_path, rng):
+    """Stress seed 30019 makes the reference binary segfault (rc -11)
+    during unzip multiplexing; the rebuild must complete cleanly on the
+    same reads (producing its own consistent output -- there is no
+    oracle to compare against here, the reference never finishes)."""
+    import subprocess
+
+    from genome_sim import sample_reads
+
+    r = np.random.default_rng(30019)
+    ks = [(91, 13), (151, 13), (251, 17), (501, 21)][int(r.integers(4))]
+    k, s = ks
+    n_genomes = int(r.integers(1, 3))
+    genome_parts = []
+    for _ in range(n_genomes):
+        glen = int(r.integers(6000, 25000))
+        g = random_genome(r, glen)
+        if r.random() < 0.5:
+            rep = random_genome(r, int(r.integers(1500, 4000)))
+            g = g + rep + random_genome(r, int(r.integers(3000, 8000))) + rep
+        genome_parts.append(g)
+    reads = []
+    for g in genome_parts:
+        cov = float(r.integers(8, 25))
+        rl = int(r.integers(1200, 4000))
+        err = float(r.choice([0.0, 0.0, 0.001, 0.003]))
+        hp = float(r.choice([0.0, 0.85]))
+        reads += sample_reads(r, g, cov, rl, err_rate=err, hp_frac=hp)
+    r.shuffle(reads)
+    fa = tmp_path / "reads.fa"
+    fa.write_text("".join(f">r{i}\n{x}\n" for i, x in enumerate(reads)))
+
+    cp = subprocess.run(
+        [str(REFBIN / "syncasm"), "-k", str(k), "-s", str(s), "-c", "2",
+         "--unzip-round", "3", "-o", str(tmp_path / "ref"), str(fa)],
+        capture_output=True,
+    )
+    assert cp.returncode == -11, "reference no longer crashes; re-pair this case"
+
+    from oatk_tpu.asm.pipeline import syncasm
+
+    syncasm([str(fa)], k=k, s=s, min_k_cov=2, do_ec=True, do_unzip=3,
+            out=str(tmp_path / "mine"))
+    assert (tmp_path / "mine.utg.final.gfa").exists()
