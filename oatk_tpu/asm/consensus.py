@@ -474,19 +474,13 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
     With the native library, all vertices (and all arcs) are processed
     in single batched C calls -- per-call ctypes dispatch dominated
     large unfiltered graphs otherwise."""
-    import os as _os
-    import time as _time
+    from ..utils import stage_timer
 
-    _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
-    _marks: list[tuple[str, float]] = []
-    _last = _time.perf_counter()
+    _tm = stage_timer("scg_consensus")
 
     def _t(name):
-        nonlocal _last
-        if _timeit:
-            now = _time.perf_counter()
-            _marks.append((name, now - _last))
-            _last = now
+        if _tm:
+            _tm(name)
 
     utg = scg.utg
     scm_db = scg.scm_db
@@ -700,16 +694,9 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             p = part[sel]
             ok = p >= 0
             utg.als[p[ok]] = vals[ok]
-            if _timeit:
-                _t("arcs")
-                import sys as _sys
-
-                print(
-                    "[T::scg_consensus] "
-                    + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
-                    file=_sys.stderr,
-                    flush=True,
-                )
+            if _tm:
+                _tm("arcs")
+                _tm.done()
             return
     for ai in range(n_arc):
         if utg.adel[ai] or utg.acomp[ai]:
@@ -748,12 +735,6 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
             cov = int(utg.acov[ai])
             fo.write(f"L\tu{v>>1}\t{'+-'[v&1]}\tu{t>>1}\t{'+-'[t&1]}\t{l}M\tEC:i:{cov}\n")
             fo.write(f"L\tu{t>>1}\t{'-+'[t&1]}\tu{v>>1}\t{'-+'[v&1]}\t{l}M\tEC:i:{cov}\n")
-    if _timeit:
-        _t("arcs")
-        import sys as _sys
-
-        print(
-            "[T::scg_consensus] " + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
-            file=_sys.stderr,
-            flush=True,
-        )
+    if _tm:
+        _tm("arcs")
+        _tm.done()

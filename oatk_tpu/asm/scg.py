@@ -61,13 +61,14 @@ def build_scm_utg_index(utg: Asmg, n_scm: int) -> ScgIndex:
         else:
             lens = lens_all[live]
             cat = vf[np.repeat(~vdel, lens_all)]
-        arrs = True if len(cat) else []
+        have = len(cat) > 0
     else:
         arrs = [utg.vtx_a[i] for i in live]
-        if arrs:
+        have = bool(arrs)
+        if have:
             lens = np.fromiter(map(len, arrs), np.int64, count=len(arrs))
             cat = np.concatenate(arrs)
-    if arrs:
+    if have:
         scm = (cat >> np.uint64(1)).astype(np.int64)
         rev = (cat & np.uint64(1)).astype(np.int64)
         uid = np.repeat(live.astype(np.int64), lens)
@@ -118,20 +119,9 @@ def _read_adjacent_pairs(read_db: ReadDB):
 def make_syncmer_graph(
     read_db: ReadDB, scm_db: SyncmerDB, min_k_cov: int, min_a_cov_f: float
 ) -> Scg:
-    import os as _os
-    import time as _time
+    from ..utils import stage_timer
 
-    _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
-    _marks = []
-    _last = _time.perf_counter()
-
-    def _t(name):
-        nonlocal _last
-        if _timeit:
-            now = _time.perf_counter()
-            _marks.append((name, now - _last))
-            _last = now
-
+    _t = stage_timer("make_syncmer_graph")
     g = Asmg()
     # filter by kmer coverage (persistently marks scm_db.del_)
     scm_db.del_ |= scm_db.cov < np.uint32(min_k_cov)
@@ -142,17 +132,19 @@ def make_syncmer_graph(
     from ..graph.asmg import LazyRows
 
     g.vtx_a = LazyRows(ids2)
-    g._va_flat = ids2.reshape(n).copy()
+    g._va_flat = ids2.reshape(n)  # read-only consumers; no copy
     g._va_off = np.arange(n + 1, dtype=np.int64)
     g.vtx_seq = [None] * n
     g.vtx_len = [0] * n
     g.vtx_cov = scm_db.cov.astype(np.int64).tolist()
     g.vtx_del = np.asarray(scm_db.del_).tolist()
     g.vtx_circ = [False] * n
-    _t("vtx")
+    if _t:
+        _t("vtx")
 
     cv0, cv1 = _read_adjacent_pairs(read_db)
-    _t("pairs")
+    if _t:
+        _t("pairs")
     if len(cv0):
         hi = max(int(cv0.max()), int(cv1.max())) if len(cv0) else 0
         if hi < (1 << 32):
@@ -238,21 +230,16 @@ def make_syncmer_graph(
                 partner[off[has_comp]] = co
                 partner[co] = off[has_comp]
                 g._arc_partner = partner
-    _t("arcs")
+    if _t:
+        _t("arcs")
     g.finalize(True)
-    _t("finalize")
+    if _t:
+        _t("finalize")
     scg = Scg(scm_db=scm_db, utg=g)
     scg.rebuild_index()
-    if _timeit:
+    if _t:
         _t("index")
-        import sys as _sys
-
-        print(
-            "[T::make_syncmer_graph] "
-            + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
-            file=_sys.stderr,
-            flush=True,
-        )
+        _t.done()
     return scg
 
 

@@ -352,21 +352,9 @@ class Asmg:
                 link += 1
 
     def finalize(self, do_cleanup: bool):
-        import os as _os
+        from ..utils import stage_timer
 
-        _t = None
-        if _os.environ.get("OATK_TPU_TIMEIT"):
-            import sys as _sys
-            import time as _time
-
-            _marks: list[tuple[str, float]] = []
-            _prev = [_time.perf_counter()]
-
-            def _t(name, _marks=_marks, _prev=_prev):  # noqa: ANN001
-                now = _time.perf_counter()
-                _marks.append((name, now - _prev[0]))
-                _prev[0] = now
-
+        _t = stage_timer("finalize")
         if do_cleanup:
             self._cleanup()
         if _t:
@@ -388,13 +376,7 @@ class Asmg:
         self.shrink_link_id()
         if _t:
             _t("shrink")
-            import sys as _sys
-
-            print(
-                "[T::finalize] " + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in _marks),
-                file=_sys.stderr,
-                flush=True,
-            )
+            _t.done()
 
     # ---------- accessors ----------
     def arc_range(self, v: int) -> range:

@@ -55,6 +55,41 @@ def timed_stage(name: str):
 VERSION = "1.0"
 
 
+class _StageTimer:
+    """Accumulates named sub-stage durations; prints one
+    ``[T::tag] a=..ms b=..ms`` stderr line on :meth:`done`."""
+
+    __slots__ = ("tag", "marks", "last")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.marks: list[tuple[str, float]] = []
+        self.last = time.perf_counter()
+
+    def __call__(self, name: str) -> None:
+        now = time.perf_counter()
+        self.marks.append((name, now - self.last))
+        self.last = now
+
+    def done(self) -> None:
+        import sys as _sys
+
+        print(
+            f"[T::{self.tag}] "
+            + " ".join(f"{k}={v*1e3:.1f}ms" for k, v in self.marks),
+            file=_sys.stderr,
+            flush=True,
+        )
+
+
+def stage_timer(tag: str) -> _StageTimer | None:
+    """OATK_TPU_TIMEIT sub-stage timer, or None when timing is off
+    (call sites guard with ``if _t:``)."""
+    import os as _os
+
+    return _StageTimer(tag) if _os.environ.get("OATK_TPU_TIMEIT") else None
+
+
 def print_exit_stats(func: str = "main", with_cmd: bool = True) -> None:
     """Version/CMD/time footer as printed by every reference binary
     (/root/reference/run_syncasm.c:442-449, misc.c:129-154)."""
