@@ -328,17 +328,16 @@ def _chunk_n_positions(isn_idx, st, en, Lp):
     return np.concatenate(parts)
 
 
-def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
-    """Fetch a dispatched chunk's packed result; on capacity overflow
-    (pathological syncmer density) re-run the same blob synchronously
-    with a grown buffer instead of failing."""
+def _grow_if_overflow(pk, blob, B, Lp, n_cap, max_out, w, s, interpret):
+    """Given a fetched packed result, handle capacity overflow
+    (pathological syncmer density) by re-running the same blob
+    synchronously with a grown buffer instead of failing."""
     import jax
     import jax.numpy as jnp
 
     from ..kernels.syncmer import extract_hoco_fused_pallas
 
     while True:
-        pk = np.asarray(jax.device_get(out["packed"]))
         n_sel = int(pk[0, max_out])
         if n_sel <= max_out:
             return pk, n_sel, max_out
@@ -346,6 +345,75 @@ def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
         out = extract_hoco_fused_pallas(
             jnp.asarray(blob), B, Lp, n_cap, w, s, max_out, interpret=interpret
         )
+        pk = np.asarray(jax.device_get(out["packed"]))
+
+
+def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
+    """Fetch a dispatched chunk's packed result (sequential -D path)."""
+    import jax
+
+    pk = np.asarray(jax.device_get(out["packed"]))
+    return _grow_if_overflow(pk, blob, B, Lp, n_cap, max_out, w, s, interpret)
+
+
+class _FetchBatcher:
+    """One fetcher thread draining a queue of dispatched device outputs,
+    fetching everything queued in ONE tree ``jax.device_get`` per drain.
+
+    The host<->device relay tunnel serializes transfers with a ~5-40 ms
+    per-message round trip; a tree transfer amortizes that across all
+    ready chunks (measured ~10x cheaper than serial singles and ~2x than
+    an 8-thread fetch pool at 110 Mbp), and a single thread contends far
+    less with the parse workers for the GIL."""
+
+    def __init__(self):
+        import queue as _queue
+        import threading
+
+        self._q: "_queue.SimpleQueue" = _queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, out):
+        """Queue one kernel output dict; returns a Future -> np packed."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((out, fut))
+        return fut
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+
+    def _run(self):
+        import queue as _queue
+
+        import jax
+
+        stop = False
+        while not stop:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            while True:
+                try:
+                    nxt = self._q.get_nowait()
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                batch.append(nxt)
+            try:
+                res = jax.device_get([o["packed"] for o, _ in batch])
+            except BaseException as e:  # surface in the consumer
+                for _, f in batch:
+                    f.set_exception(e)
+                continue
+            for (_, f), pk in zip(batch, res):
+                f.set_result(np.asarray(pk))
 
 
 def load_and_extract(
@@ -414,8 +482,10 @@ def load_and_extract(
         isn_views = _read_isn_views(isn_pos, offs, keep)
         for chunk, B, Lp, max_out, n_cap, blob, out in disp:
             _t0 = _time.perf_counter()
-            if hasattr(out, "result"):  # prefetched on a fetch thread
-                pk, n_sel, max_out = out.result()
+            if hasattr(out, "result"):  # prefetched by the batcher thread
+                pk, n_sel, max_out = _grow_if_overflow(
+                    out.result(), blob, B, Lp, n_cap, max_out, w, s, interpret
+                )
             else:
                 pk, n_sel, max_out = _fetch_chunk(
                     out, blob, B, Lp, n_cap, max_out, w, s, interpret
@@ -464,11 +534,11 @@ def load_and_extract(
             # first-compiles through the tunnel.  Smaller first segment
             # also starts the device pipeline sooner.
             n_seg = max(1, len(data) // _SEG_BYTES)
-            # fetch pool: each chunk's device->host result transfer runs
-            # on its own thread as soon as the chunk is dispatched, so
-            # the per-chunk relay-tunnel latencies overlap (~max instead
-            # of ~sum; copy_to_host_async is a no-op through the tunnel)
-            fetch_pool = ThreadPoolExecutor(8)
+            # fetch batcher: chunk results stream back on ONE thread in
+            # tree-batched device_get drains (the relay tunnel's
+            # per-message round trip dominates these ~0.2 MB results)
+            fetch_pool = ThreadPoolExecutor(1)  # mixed-format guard scan
+            batcher = _FetchBatcher()
             # whole-file hoco arrays: each segment parses DIRECTLY into
             # its own byte-range region (hoco length never exceeds raw
             # bytes, so regions are disjoint), then a leftward memmove
@@ -556,10 +626,7 @@ def load_and_extract(
                             )
                             disp.append((
                                 chunk, B, Lp, max_out, n_cap, blob,
-                                fetch_pool.submit(
-                                    _fetch_chunk, out, blob, B, Lp, n_cap,
-                                    max_out, w, s, interpret,
-                                ),
+                                batcher.submit(out),
                             ))
                         _acc("dispatch", _t0)
                         seg_results.append((res, disp, file_cursor))
@@ -580,6 +647,7 @@ def load_and_extract(
             if failed:
                 fetch_pool.shutdown(wait=True)
                 move_pool.shutdown(wait=True)
+                batcher.close()
                 return None
             _t0 = _time.perf_counter()
             for f in copy_futs:
@@ -605,6 +673,7 @@ def load_and_extract(
             _t0 = _acc("assemble_total", _t0)
             fetch_pool.shutdown(wait=True)
             move_pool.shutdown(wait=True)
+            batcher.close()
             _acc("pool_shutdown", _t0)
             continue
 
