@@ -173,63 +173,104 @@ def make_syncmer_graph(
             & ~dels[uv0 >> 1]
             & ~dels[uv1 >> 1]
         )
-        # bulk arc creation (fwd + complement interleaved in loop order;
-        # palindromic pairs skip the duplicate complement)
         s0, s1, sc = uv0[ok], uv1[ok], counts[ok]
-        has_comp = ((s1 ^ 1) != s0) | ((s0 ^ 1) != s1)
-        rows = 1 + has_comp.astype(np.int64)
-        off = np.zeros(len(s0), np.int64)
-        np.cumsum(rows[:-1], out=off[1:])
-        total = int(rows.sum())
-        av = np.empty(total, np.uint64)
-        aw = np.empty(total, np.uint64)
-        acov = np.empty(total, np.int64)
-        acomp = np.zeros(total, bool)
-        av[off] = s0.astype(np.uint64)
-        aw[off] = s1.astype(np.uint64)
-        acov[off] = sc
-        co = off[has_comp] + 1
-        av[co] = (s1[has_comp] ^ 1).astype(np.uint64)
-        aw[co] = (s0[has_comp] ^ 1).astype(np.uint64)
-        acov[co] = sc[has_comp]
-        acomp[co] = True
-        g._flush_pending()
-        from ..graph.asmg import UINT64_MAX as _U64
-
-        g.av = np.concatenate([g.av, av])
-        g.aw = np.concatenate([g.aw, aw])
-        g.aln = np.concatenate([g.aln, np.zeros(total, np.int64)])
-        g.als = np.concatenate([g.als, np.zeros(total, np.int64)])
-        g.acov = np.concatenate([g.acov, acov])
-        g.adel = np.concatenate([g.adel, np.zeros(total, bool)])
-        g.acomp = np.concatenate([g.acomp, acomp])
-        g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
-        # complement pairing is known at construction (fwd at off, comp
-        # at off+1; palindromes self-partner), so finalize can skip its
-        # sorted-search complement matching -- but ONLY when the arc
-        # key set is duplicate-free.  Duplicates arise when a pair key
-        # (s0,s1) and its complement key (s1^1,s0^1) BOTH occur as
-        # canonical pair keys (e.g. a tandem-duplicated syncmer read
-        # from both strands: (a,a) and (a^1,a^1)): each generates the
-        # other as its complement arc, and the reference's fix_symm /
-        # link-id semantics on duplicate keys follow first-occurrence
-        # overwrite order, which _match_complements preserves by
-        # bailing to the sequential walk.  Self-complementary keys
-        # (s1 == s0^1) are palindromic single arcs, not duplicates.
-        if hi < (1 << 32) and len(s0):
-            own_key = (s0.astype(np.uint64) << np.uint64(32)) | s1.astype(np.uint64)
+        # (s1^1)==s0 iff (s0^1)==s1: one term decides palindromes
+        has_comp = (s1 ^ 1) != s0
+        # Duplicate-key scan: a pair key (s0,s1) and its complement key
+        # (s1^1,s0^1) can BOTH occur as canonical pair keys (e.g. a
+        # tandem-duplicated syncmer read from both strands: (a,a) and
+        # (a^1,a^1)); each then generates the other as its complement
+        # arc, and the reference's fix_symm / link-id semantics on
+        # duplicate keys follow first-occurrence overwrite order, which
+        # only the generic finalize path preserves.  Self-complementary
+        # keys (s1 == s0^1) are palindromic single arcs, not duplicates.
+        nf = len(s0)
+        dup_free = False
+        comp_key = pk = None
+        if hi < (1 << 32) and nf:
+            pk = packed[starts][ok]  # kept unique keys = s0<<32|s1, sorted
             comp_key = ((s1.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) | (
                 s0.astype(np.uint64) ^ np.uint64(1)
             )
-            pk = packed[starts][ok]  # kept unique keys, still sorted
             j = np.searchsorted(pk, comp_key)
             jc = np.minimum(j, len(pk) - 1)
-            dup = (j < len(pk)) & (pk[jc] == comp_key) & (comp_key != own_key)
-            if not np.any(dup):
-                partner = np.arange(total, dtype=np.int64)
-                partner[off[has_comp]] = co
-                partner[co] = off[has_comp]
-                g._arc_partner = partner
+            dup = (j < len(pk)) & (pk[jc] == comp_key) & has_comp
+            dup_free = not np.any(dup)
+        g._flush_pending()
+        from ..graph.asmg import UINT64_MAX as _U64
+
+        if dup_free:
+            # Construct the arc arrays DIRECTLY in finalize's sorted
+            # order: with all nf fwd + nc comp keys distinct, the key
+            # sort is a 2-way merge of the (sorted) fwd keys and the
+            # sorted comp keys, the complement partner of every arc is
+            # known, and the post-fix_symm comp flags are fwd=False /
+            # comp=True / palindrome=True.  finalize then skips its
+            # argsort + 8 permutation gathers and fix_symm's rewrites
+            # entirely -- each avoided fresh allocation also avoids
+            # this microVM's ~6 s/GB first-touch fault tax.
+            csrc = np.flatnonzero(has_comp)  # fwd row of each comp arc
+            oc = np.argsort(comp_key[csrc], kind="stable")
+            csrc_s = csrc[oc]
+            ck_s = comp_key[csrc_s]
+            nc = len(csrc_s)
+            total = nf + nc
+            posF = np.arange(nf, dtype=np.int64) + np.searchsorted(ck_s, pk)
+            posC = np.arange(nc, dtype=np.int64) + np.searchsorted(pk, ck_s)
+            av = np.empty(total, np.uint64)
+            aw = np.empty(total, np.uint64)
+            acov = np.empty(total, np.int64)
+            acomp = np.zeros(total, bool)
+            partner = np.empty(total, np.int64)
+            av[posF] = s0.astype(np.uint64)
+            aw[posF] = s1.astype(np.uint64)
+            acov[posF] = sc
+            pal = posF[~has_comp]
+            acomp[pal] = True  # palindrome: single self-complement arc
+            partner[pal] = pal
+            av[posC] = (s1[csrc_s] ^ 1).astype(np.uint64)
+            aw[posC] = (s0[csrc_s] ^ 1).astype(np.uint64)
+            acov[posC] = sc[csrc_s]
+            acomp[posC] = True
+            pf = posF[csrc_s]
+            partner[pf] = posC
+            partner[posC] = pf
+            g.av, g.aw, g.acov, g.acomp = av, aw, acov, acomp
+            g.aln = np.zeros(total, np.int64)
+            g.als = np.zeros(total, np.int64)
+            g.adel = np.zeros(total, bool)
+            g.alink = np.full(total, _U64, np.uint64)
+            g._arc_partner = partner
+            g._arcs_sorted = True
+            g._arc_symm_clean = True
+        else:
+            # generic path (key overflow or duplicate keys): fwd +
+            # complement interleaved in loop order; finalize does the
+            # full sort / complement match / comp-flag reconciliation
+            rows = 1 + has_comp.astype(np.int64)
+            off = np.zeros(nf, np.int64)
+            np.cumsum(rows[:-1], out=off[1:])
+            total = int(rows.sum())
+            av = np.empty(total, np.uint64)
+            aw = np.empty(total, np.uint64)
+            acov = np.empty(total, np.int64)
+            acomp = np.zeros(total, bool)
+            av[off] = s0.astype(np.uint64)
+            aw[off] = s1.astype(np.uint64)
+            acov[off] = sc
+            co = off[has_comp] + 1
+            av[co] = (s1[has_comp] ^ 1).astype(np.uint64)
+            aw[co] = (s0[has_comp] ^ 1).astype(np.uint64)
+            acov[co] = sc[has_comp]
+            acomp[co] = True
+            g.av = np.concatenate([g.av, av])
+            g.aw = np.concatenate([g.aw, aw])
+            g.aln = np.concatenate([g.aln, np.zeros(total, np.int64)])
+            g.als = np.concatenate([g.als, np.zeros(total, np.int64)])
+            g.acov = np.concatenate([g.acov, acov])
+            g.adel = np.concatenate([g.adel, np.zeros(total, bool)])
+            g.acomp = np.concatenate([g.acomp, acomp])
+            g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
     if _t:
         _t("arcs")
     g.finalize(True)

@@ -104,6 +104,14 @@ class Asmg:
         # lets finalize skip the sorted-search complement matching.
         # Invalidated (None) by any incremental arc mutation.
         self._arc_partner: np.ndarray | None = None
+        # bulk-builder promises, both invalidated by incremental arc
+        # mutation: _arcs_sorted -- the arc arrays are already in
+        # (v,w)-key order, so arc_sort skips its argsort + permutation;
+        # _arc_symm_clean -- every complement is present and acomp /
+        # aln / als already hold their post-fix_symm values, so
+        # _arc_fix_symm only spot-verifies and returns.
+        self._arcs_sorted: bool = False
+        self._arc_symm_clean: bool = False
 
     # ---------- construction ----------
     @property
@@ -130,6 +138,8 @@ class Asmg:
     def add_arc(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
         self._pending.append((v, w, ln, ls, cov, False, bool(comp), link_id))
         self._arc_partner = None
+        self._arcs_sorted = False
+        self._arc_symm_clean = False
 
     def add_arc2(self, v, w, ln=0, ls=0, link_id=UINT64_MAX, cov=0, comp=0):
         """Add an arc and its complement (skips the palindromic duplicate)."""
@@ -154,6 +164,11 @@ class Asmg:
     # ---------- finalize: cleanup + sort + index + symm + link ids ----------
     def arc_sort(self):
         self._flush_pending()
+        if self._arcs_sorted:
+            # builder constructed the arrays in key order (vertex
+            # renumbering in _cleanup is monotone, so the promise
+            # survives compaction)
+            return
         key = _packed_arc_keys(self.av, self.aw)
         if key is not None and len(key):
             from .. import native
@@ -169,6 +184,7 @@ class Asmg:
             self._arc_partner = inv[self._arc_partner[order]]
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
             setattr(self, name, getattr(self, name)[order])
+        self._arcs_sorted = True
 
     def arc_index(self):
         self._flush_pending()
@@ -209,6 +225,7 @@ class Asmg:
                 self._arc_partner = new_pos[part[keep_a]]
             else:
                 self._arc_partner = None
+                self._arc_symm_clean = False  # one-sided deletions
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink"):
             setattr(self, name, getattr(self, name)[keep_a])
         self.av = (new_id[(self.av >> np.uint64(1)).astype(np.int64)].astype(np.uint64) << np.uint64(1)) | (
@@ -226,6 +243,27 @@ class Asmg:
         (v,w) keys; falls back to the sequential dict walk when live
         keys are not unique (duplicate arcs make the loop's
         first-occurrence/overwrite order observable)."""
+        if (
+            self._arc_symm_clean
+            and self._arc_partner is not None
+            and not self.adel.any()
+        ):
+            # builder promises complements present and acomp/aln/als in
+            # post-fix_symm state; spot-verify a stride of the partner
+            # involution instead of materializing full-size gathers
+            p = self._arc_partner
+            n = len(p)
+            if n == 0:
+                return 0
+            i = np.arange(0, n, max(1, n // 4096), dtype=np.int64)
+            pi = p[i]
+            if np.all(
+                (self.av[pi] == (self.aw[i] ^ np.uint64(1)))
+                & (self.aw[pi] == (self.av[i] ^ np.uint64(1)))
+                & (p[pi] == i)
+            ):
+                return 0
+            self._arc_symm_clean = False  # broken promise: full path
         live = np.flatnonzero(~self.adel)
         if len(live) == 0:
             self._flush_pending()
