@@ -541,36 +541,21 @@ def load_and_extract(
             batcher = _FetchBatcher()
             # whole-file hoco arrays: each segment parses DIRECTLY into
             # its own byte-range region (hoco length never exceeds raw
-            # bytes, so regions are disjoint), then a leftward memmove
-            # compacts codes/rl to the contiguous layout hoco_off
-            # describes.  The moves MUST run sequentially in submission
-            # order: once hoco shrink accumulates, dest_i = [cursor_i,
-            # cursor_i+h_i) can overlap the source [c0_m, c0_m+h_m) of
-            # ANY earlier segment m<i (cursor_i <= c0_m+h_m whenever
-            # total shrink before m exceeds the raw bytes of segments
-            # m..i-1), so a concurrent move_m would read bytes move_i
-            # already overwrote.  In order, dest_i only overlaps sources
-            # already fully consumed (and its own, which one memmove
-            # handles); it never reaches src_j for j>i since dest_i ends
-            # at cursor_{i+1} <= c1_i <= c0_j.  Ambiguous positions are
-            # sparse parser outputs; no dense isn buffer exists at all.
+            # bytes, so regions are disjoint).  The regions are NOT
+            # compacted afterwards -- hoco_off simply points at each
+            # read's true position, leaving a gap after every segment
+            # where its hoco shrank.  Every consumer addresses the
+            # streams as hoff[sid]+pos windows inside one read (native
+            # consensus/EC take per-read lengths separately), so
+            # inter-read gaps are invisible, and the buffers are
+            # allocated at len(data) either way -- the old leftward
+            # memmove compaction was ~2 s of pure copy (plus microVM
+            # fault tax) per Gbp.  Ambiguous positions are sparse
+            # parser outputs; no dense isn buffer exists at all.
             codes_full = np.empty(len(data), np.uint8)
             rl_full = np.empty(len(data), np.uint8)
-            import ctypes as _ct
-
-            _codes_ptr = codes_full.ctypes.data
-            _rl_ptr = rl_full.ctypes.data
-
-            def _move_seg(h, src, dst):
-                if h and src != dst:
-                    _ct.memmove(_codes_ptr + dst, _codes_ptr + src, h)
-                    _ct.memmove(_rl_ptr + dst, _rl_ptr + src, h)
-
-            move_pool = ThreadPoolExecutor(1)  # ordered, one at a time
             failed = False
             seg_results: list = []
-            copy_futs: list = []
-            file_cursor = 0
             for attempt in (0, 1):
                 _t0 = _time.perf_counter()
                 guard_fut = None
@@ -594,9 +579,7 @@ def load_and_extract(
                 )
                 _t0 = _acc("cuts", _t0)
                 seg_results = []
-                copy_futs = []
                 failed = False
-                file_cursor = 0
                 with ThreadPoolExecutor(min(4, len(bounds))) as ex:
                     futs = [
                         ex.submit(
@@ -614,10 +597,6 @@ def load_and_extract(
                             failed = True
                             continue
                         res, chunks = pr
-                        h_end = int(res[2][len(res[0])])
-                        copy_futs.append(
-                            move_pool.submit(_move_seg, h_end, c0, file_cursor)
-                        )
                         disp = []
                         for (chunk, B, Lp, max_out, n_cap, blob) in chunks:
                             out = extract_hoco_fused_pallas(
@@ -629,8 +608,9 @@ def load_and_extract(
                                 batcher.submit(out),
                             ))
                         _acc("dispatch", _t0)
-                        seg_results.append((res, disp, file_cursor))
-                        file_cursor += h_end
+                        # the segment's reads live at [c0, c0+h_end) of
+                        # the whole-file arrays (parse wrote in place)
+                        seg_results.append((res, disp, c0))
                 if guard_fut is not None and guard_fut.result() >= 0:
                     # rare mixed-format file: the optimistic '\n>' split
                     # was unsafe; drain in-flight work and redo verified
@@ -640,19 +620,13 @@ def load_and_extract(
                                 item[-1].result()
                             except Exception:
                                 pass
-                    for f in copy_futs:
-                        f.result()
                     continue
                 break
             if failed:
                 fetch_pool.shutdown(wait=True)
-                move_pool.shutdown(wait=True)
                 batcher.close()
                 return None
             _t0 = _time.perf_counter()
-            for f in copy_futs:
-                f.result()
-            _t0 = _acc("copy_wait", _t0)
             for res, disp, vbase in seg_results:
                 names, rawlen, offs = res[0], res[1], res[2]
                 keep = len(names)
@@ -660,19 +634,17 @@ def load_and_extract(
                     assemble(res, disp, keep, sid0, (codes_full, rl_full, vbase))
                 )
                 total_raw += int(rawlen.sum())
-                h_end = int(offs[keep])
-                off_parts.append(offs[:keep] + off_base)
+                off_parts.append(offs[:keep] + (off_base + vbase))
                 if len(res[6]):
                     # run-length overflow entries: segment-local -> global
-                    ovf_pos_parts.append(res[6] + off_base)
+                    ovf_pos_parts.append(res[6] + (off_base + vbase))
                     ovf_len_parts.append(res[7])
-                off_base += h_end
                 sid0 += keep
-            code_parts.append(codes_full[:file_cursor])
-            rl_parts.append(rl_full[:file_cursor])
+            off_base += len(data)
+            code_parts.append(codes_full)
+            rl_parts.append(rl_full)
             _t0 = _acc("assemble_total", _t0)
             fetch_pool.shutdown(wait=True)
-            move_pool.shutdown(wait=True)
             batcher.close()
             _acc("pool_shutdown", _t0)
             continue

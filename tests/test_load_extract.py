@@ -58,12 +58,17 @@ def test_pipelined_loader_equals_oracle(tmp_path, monkeypatch, reads):
     db = R.load_and_extract([str(fa)], W, S, impl="pallas")
     assert db is not None
     _assert_same(db, _oracle_db([str(fa)]))
-    # loader carries the whole-run hoco streams
+    # loader carries the whole-run hoco streams; the contract is
+    # hoco_off[i] + in-read position addressing (segments may leave
+    # gaps between reads -- consumers always carry per-read lengths)
     assert db.hoco_flat is not None and len(db.hoco_off) == db.n + 1
+    prev_end = 0
     for i, r in enumerate(db.reads):
-        o0, o1 = int(db.hoco_off[i]), int(db.hoco_off[i + 1])
-        assert np.array_equal(db.hoco_flat[o0:o1], r.hoco_code)
-        assert np.array_equal(db.rl_flat[o0:o1], r.ho_rl)
+        o0 = int(db.hoco_off[i])
+        assert o0 >= prev_end  # disjoint ascending regions
+        prev_end = o0 + r.hoco_l
+        assert np.array_equal(db.hoco_flat[o0 : o0 + r.hoco_l], r.hoco_code)
+        assert np.array_equal(db.rl_flat[o0 : o0 + r.hoco_l], r.ho_rl)
 
 
 def test_pipelined_loader_fastq_gz_multifile(tmp_path, monkeypatch, reads):
@@ -178,16 +183,15 @@ def test_bounded_parse_equals_slice_parse(reads):
 
 
 def test_compaction_order_hp_rich_many_segments(tmp_path, monkeypatch):
-    """Regression lock for the segment-compaction ordering hazard.
+    """Regression lock for segment-region bookkeeping under large hoco
+    shrink.
 
-    Each segment parses in place at its byte range, then a leftward
-    memmove compacts it to the cumulative hoco cursor.  With large hoco
-    shrink (homopolymer-rich reads, ~60%+) the destination of move i
-    overlaps the sources of earlier segments, so moves executed out of
-    order / concurrently corrupt the shared flats (caught live as
-    off-by-N homopolymer runs in the final GFA at 30 Mbp).  This case
-    maximizes the overlap: ~50 segments of hp-rich reads, and asserts
-    the flats and every per-read view equal the oracle.
+    Each segment parses in place at its byte range and the flats keep
+    those regions (with gaps where hoco shrank -- formerly a leftward
+    memmove compaction whose ordering hazard corrupted hp-rich inputs,
+    caught live as off-by-N homopolymer runs in the final GFA at
+    30 Mbp).  This case maximizes shrink: ~50 segments of hp-rich
+    reads; every per-read window of the flats must equal the oracle.
     """
     from oatk_tpu import native
     from oatk_tpu.asm import reads as R
@@ -203,7 +207,10 @@ def test_compaction_order_hp_rich_many_segments(tmp_path, monkeypatch):
     db = R.load_and_extract([str(fa)], W, S, impl="pallas")
     assert db is not None
     _assert_same(db, _oracle_db([str(fa)]))
+    prev_end = 0
     for i, r in enumerate(db.reads):
-        o0, o1 = int(db.hoco_off[i]), int(db.hoco_off[i + 1])
-        assert np.array_equal(db.hoco_flat[o0:o1], r.hoco_code)
-        assert np.array_equal(db.rl_flat[o0:o1], r.ho_rl)
+        o0 = int(db.hoco_off[i])
+        assert o0 >= prev_end
+        prev_end = o0 + r.hoco_l
+        assert np.array_equal(db.hoco_flat[o0 : o0 + r.hoco_l], r.hoco_code)
+        assert np.array_equal(db.rl_flat[o0 : o0 + r.hoco_l], r.ho_rl)
