@@ -67,6 +67,9 @@ static const uint8_t NT4[256] = {
  * of the previous byte (255 = none/after-N), run the open homopolymer
  * length; both are read on entry and written back on exit so lines,
  * records and the \r fallback path interleave freely. */
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+
 static int hoco_avx512_ok = -1;
 
 static int hoco_use_avx512(void)
@@ -79,9 +82,6 @@ static int hoco_use_avx512(void)
     return hoco_avx512_ok;
 }
 
-#if defined(__x86_64__) || defined(__i386__)
-#include <immintrin.h>
-
 __attribute__((target("avx512f,avx512bw,avx512vbmi")))
 static int64_t hoco_line_avx512(
     const uint8_t *src, int64_t nn,
@@ -90,12 +90,26 @@ static int64_t hoco_line_avx512(
     int64_t *isn_pos, int64_t max_isn, int64_t *n_isn_io,
     int64_t *ovf_pos, int64_t *ovf_len, int64_t max_ovf, int64_t *n_ovf_io)
 {
+    /* U/u ('U'=0x55 low6=0x15, 'u'=0x75 low6=0x35) map to 't': NT4
+     * codes them 3 like T, so the folded-byte compare must see them as
+     * 't' too -- fold() below remaps 0x75->0x74 to match. */
     static const uint8_t lower_tab_a[64] = {
         [0x01] = 'a', [0x03] = 'c', [0x07] = 'g', [0x14] = 't',
         [0x21] = 'a', [0x23] = 'c', [0x27] = 'g', [0x34] = 't',
+        [0x15] = 't', [0x35] = 't',
     };
     const __m512i lower_tab = _mm512_loadu_si512(lower_tab_a);
     const __m512i v20 = _mm512_set1_epi8(0x20);
+    const __m512i vlu = _mm512_set1_epi8(0x75); /* 'u' */
+    const __m512i v01 = _mm512_set1_epi8(1);
+
+    /* fold(b) = (b|0x20), with 'u' canonicalized to 't' so T and U
+     * (both NT4 code 3) never split a homopolymer run */
+#define HOCO_FOLD(vb, out) do { \
+        __m512i f_ = _mm512_or_si512((vb), v20); \
+        __mmask64 u_ = _mm512_cmpeq_epi8_mask(f_, vlu); \
+        (out) = _mm512_mask_sub_epi8(f_, u_, f_, v01); \
+    } while (0)
 
     int64_t h = *h_io, run = *run_io, n_isn = *n_isn_io, n_ovf = *n_ovf_io;
     uint8_t prev = *prev_io;
@@ -108,7 +122,8 @@ static int64_t hoco_line_avx512(
         int64_t nb = nn - base < 64 ? nn - base : 64;
         __mmask64 lm = nb == 64 ? ~(__mmask64)0 : ((((__mmask64)1) << nb) - 1);
         __m512i b = _mm512_maskz_loadu_epi8(lm, src + base);
-        __m512i fold = _mm512_or_si512(b, v20);
+        __m512i fold;
+        HOCO_FOLD(b, fold);
         __m512i exp = _mm512_permutexvar_epi8(b, lower_tab);
         __mmask64 amb = _mm512_cmpneq_epi8_mask(fold, exp) & lm;
         __mmask64 neq;
@@ -122,7 +137,8 @@ static int64_t hoco_line_avx512(
             /* masked load keeps the trailing lanes from faulting past
              * the buffer end on the final partial block */
             __m512i bp = _mm512_maskz_loadu_epi8(lm, src + base - 1);
-            __m512i foldp = _mm512_or_si512(bp, v20);
+            __m512i foldp;
+            HOCO_FOLD(bp, foldp);
             neq = _mm512_cmpneq_epi8_mask(fold, foldp) & lm;
         }
         uint64_t m = (neq | amb | (amb << 1) | (__mmask64)(prev_amb & 1)) & lm;
@@ -162,8 +178,11 @@ static int64_t hoco_line_avx512(
     *n_isn_io = n_isn;
     *n_ovf_io = n_ovf;
     return 0;
+#undef HOCO_FOLD
 }
 #else
+static int hoco_use_avx512(void) { return 0; }
+
 static int64_t hoco_line_avx512(
     const uint8_t *src, int64_t nn,
     uint8_t *codes, uint8_t *rl,

@@ -16,7 +16,7 @@ import pytest
 from oatk_tpu import native
 from oatk_tpu.kernels.oracle import hoco_compress_np
 
-BASES = "ACGTacgt"
+BASES = "ACGTacgtUu"  # U/u are valid (NT4 code 3, same as T)
 AMB = "NnRYKMswbdhv-X"
 
 
@@ -32,6 +32,29 @@ def _rand_seq(rng, n):
         else:
             out.append(rng.choice(BASES))
     return "".join(out[:n])
+
+
+@pytest.mark.skipif(native.parse_fastx_hoco(b">r\nACGT\n") is None,
+                    reason="native library unavailable")
+@pytest.mark.parametrize(
+    "seq",
+    ["UUUU", "TTUU", "TU", "tUuT", "AUTUA", "uuuu" * 100, "TtUu" + "N" + "UT"],
+)
+def test_parse_fastx_hoco_tu_runs(seq):
+    """T and U both map to NT4 code 3 (reference seq_nt4_table): mixed
+    T/U homopolymer runs must compress identically on the AVX-512 and
+    scalar paths -- directed cases for the U canonicalization."""
+    data = f">r0\n{seq}\n".encode()
+    res = native.parse_fastx_hoco(data)
+    assert res is not None
+    names, rawlen, offs, codes, rl, isn_pos, ovf_pos, ovf_len = res
+    o_codes, o_rl, o_isn = hoco_compress_np(np.frombuffer(seq.encode(), np.uint8))
+    s, e = int(offs[0]), int(offs[1])
+    assert np.array_equal(codes[s:e], o_codes), seq
+    assert np.array_equal(
+        rl[s:e], np.minimum(o_rl.astype(np.int64), 255).astype(np.uint8)
+    ), seq
+    assert np.array_equal(isn_pos - s, np.flatnonzero(o_isn)), seq
 
 
 @pytest.mark.skipif(native.parse_fastx_hoco(b">r\nACGT\n") is None,
