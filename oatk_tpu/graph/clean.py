@@ -81,7 +81,8 @@ def cwt_len(g: Asmg, vs: list[int]) -> int:
 
 
 def drop_tip(
-    g: Asmg, tip_cnt: int, tip_len: int, protect_super_tip: bool, do_cleanup: bool, verbose: int = 0
+    g: Asmg, tip_cnt: int, tip_len: int, protect_super_tip: bool, do_cleanup: bool, verbose: int = 0,
+    order=None,
 ) -> int:
     n_vtx = 2 * g.n_vtx
     tip_cnt = min(tip_cnt, n_vtx)
@@ -89,7 +90,11 @@ def drop_tip(
     dels: list[int] = []
     a: list[int] = []
     b: list[int] = []
-    for v in range(n_vtx):
+    # `order` shuffles the visit order (the reference's DEBUG_EXEC_ORDER
+    # instrumentation, /root/reference/graph.c:581-592): the pass must
+    # produce the same graph for any permutation, locked by
+    # tests/test_graph_ops.py::test_clean_order_invariance
+    for v in (range(n_vtx) if order is None else order):
         if g.vtx_del[v >> 1]:
             continue
         if g.arc_n1(v ^ 1) != 0:
@@ -133,14 +138,17 @@ def drop_tip(
 
 
 def remove_weak_crosslink(
-    g: Asmg, c_thresh: float, m_cov: float, do_cleanup: bool, verbose: int = 0
+    g: Asmg, c_thresh: float, m_cov: float, do_cleanup: bool, verbose: int = 0,
+    order=None,
 ) -> int:
     """Delete arcs dominated by >=1/c_thresh-fold stronger arcs on both
     the outgoing side of v and the incoming side of w."""
     g._flush_pending()
     cnt = 0
     dels: list[int] = []
-    for i in range(len(g.av)):
+    # `order` shuffles the arc visit order (DEBUG_EXEC_ORDER analogue);
+    # deletions are deferred so any permutation yields the same graph
+    for i in (range(len(g.av)) if order is None else order):
         if g.adel[i] or g.acomp[i]:
             continue
         v, w = int(g.av[i]), int(g.aw[i])
@@ -327,12 +335,16 @@ def pop_bubble(
     protect_super_bubble: bool,
     do_cleanup: bool,
     verbose: int = 0,
+    order=None,
 ) -> int:
     n_dir = 2 * g.n_vtx
     b = _TBuf(n_dir)
     n_pop = 0
     n_tip = 0
-    for v in range(n_dir):
+    # `order` shuffles the source-vertex visit order (the reference's
+    # DEBUG_EXEC_ORDER, /root/reference/graph.c:864-871); backtrack
+    # deletes in-loop, so invariance here is a real algorithmic property
+    for v in (range(n_dir) if order is None else order):
         if g.vtx_del[v >> 1] or g.arc_n1(v) < 2:
             continue
         _topo_ext(g, v, g.vtx_len[v >> 1] + radius, 0 if protect_tip else TE_THRU_SHORT_TIP, b)

@@ -100,3 +100,97 @@ def test_symm_fix_and_link_ids():
     j = g.arc_idx(3, 1)
     assert g.alink[i] == g.alink[j]
     assert bool(g.acomp[i]) != bool(g.acomp[j])
+
+
+def _random_assembly_graph(rng):
+    """Randomized assembly-shaped graph: a circular backbone decorated
+    with tips, bubbles and weak crosslinks (the structures the cleaning
+    passes target)."""
+    g = Asmg()
+    nb = int(rng.integers(6, 14))
+    back = []
+    for i in range(nb):
+        back.append(
+            g.add_vtx(a=np.array([i << 1], np.uint64),
+                      length=int(rng.integers(400, 3000)),
+                      cov=int(rng.integers(25, 45)))
+        )
+    for i in range(nb):
+        g.add_arc2(back[i] << 1, back[(i + 1) % nb] << 1, 0, 0,
+                   cov=int(rng.integers(20, 40)))
+    # tips hanging off backbone nodes
+    for _ in range(int(rng.integers(1, 5))):
+        host = int(rng.integers(0, nb))
+        t = g.add_vtx(a=np.array([(nb + len(g.vtx_len)) << 1], np.uint64),
+                      length=int(rng.integers(20, 120)),
+                      cov=int(rng.integers(1, 4)))
+        if rng.random() < 0.5:
+            g.add_arc2(back[host] << 1, t << 1, 0, 0, cov=2)
+        else:
+            g.add_arc2(t << 1, back[host] << 1, 0, 0, cov=2)
+    # bubbles: alternative low-coverage path parallel to a backbone arc
+    for _ in range(int(rng.integers(1, 4))):
+        i = int(rng.integers(0, nb))
+        alt = g.add_vtx(a=np.array([(100 + len(g.vtx_len)) << 1], np.uint64),
+                        length=int(rng.integers(100, 600)),
+                        cov=int(rng.integers(1, 5)))
+        g.add_arc2(back[i] << 1, alt << 1, 0, 0, cov=3)
+        g.add_arc2(alt << 1, back[(i + 1) % nb] << 1, 0, 0, cov=3)
+    # weak crosslinks between random backbone nodes
+    for _ in range(int(rng.integers(1, 4))):
+        i, j = rng.integers(0, nb, 2)
+        if i == j:
+            continue
+        g.add_arc2((back[int(i)] << 1) | int(rng.integers(0, 2)),
+                   (back[int(j)] << 1) | int(rng.integers(0, 2)),
+                   0, 0, cov=int(rng.integers(1, 3)))
+    g.finalize(True)
+    return g
+
+
+def _clean_loop(g, rng=None):
+    """The pipeline's final cleanup loop with optionally shuffled visit
+    orders (the reference's DEBUG_EXEC_ORDER instrumentation,
+    /root/reference/graph.c:581-592,864-871)."""
+    def order(n):
+        if rng is None:
+            return None
+        return rng.permutation(n)
+
+    cleaned = 1
+    while cleaned:
+        cleaned = 0
+        cleaned += pop_bubble(g, 100000, 0, False, True, False,
+                              order=order(2 * g.n_vtx))
+        cleaned += remove_weak_crosslink(g, 0.3, 10, False,
+                                         order=order(len(g.av)))
+        cleaned += drop_tip(g, 0x7FFFFFFF, 10000, True, False,
+                            order=order(2 * g.n_vtx))
+    g.finalize(True)
+
+
+def _graph_fingerprint(g):
+    vt = tuple(
+        (tuple(int(x) for x in g.vtx_a[i]), int(g.vtx_len[i]), int(g.vtx_cov[i]))
+        for i in range(g.n_vtx)
+    )
+    at = tuple(sorted(
+        (int(v), int(w), int(ln), int(cov))
+        for v, w, ln, cov, d in zip(g.av, g.aw, g.aln, g.acov, g.adel)
+        if not d
+    ))
+    return vt, at
+
+
+def test_clean_order_invariance():
+    """Tip/bubble/crosslink cleaning must produce an identical graph for
+    any vertex/arc visit order (reference DEBUG_EXEC_ORDER property,
+    /root/reference/graph.c:581-592,864-871): >=20 random seeds, each
+    compared against the default-order result."""
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        g_ref = _random_assembly_graph(rng)
+        g_shuf = _random_assembly_graph(np.random.default_rng(seed))
+        _clean_loop(g_ref)
+        _clean_loop(g_shuf, rng=np.random.default_rng(1000 + seed))
+        assert _graph_fingerprint(g_ref) == _graph_fingerprint(g_shuf), seed
