@@ -229,3 +229,70 @@ def test_syncasm_data_cap_multifile_parity(tmp_path, rng):
     a = (tmp_path / "ref.utg.final.gfa").read_bytes()
     b = (tmp_path / "mine.utg.final.gfa").read_bytes()
     assert a == b
+
+
+def test_hmm_annotate_streaming_overlap(tmp_path, monkeypatch):
+    """kt_pipeline semantics (run_hmmannot.c:130-333): batch splitting,
+    nhmmscan execution and tblout concat overlap, and in-flight temp
+    files stay bounded.  A slow input iterator (0.1 s/seq) plus a slow
+    fake nhmmscan (0.4 s/batch) make the overlap measurable: serialized
+    split-then-scan would take split + ceil(n/threads)*scan; the
+    streaming pipeline must beat split + 2*scan."""
+    import time
+
+    exe = tmp_path / "slow_nhmmscan"
+    exe.write_text(FAKE_NHMMSCAN.replace(": > \"$out\"", "sleep 0.4\n: > \"$out\""))
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    from oatk_tpu.annot import runner
+
+    n_seq, seq = 12, "ACGT" * 200
+    fa = tmp_path / "seqs.fa"
+    with open(fa, "w") as f:
+        for i in range(n_seq):
+            f.write(f">s{i}\n{seq}\n")
+
+    real_iter = runner._iter_seqs
+
+    def slow_iter(path):
+        for item in real_iter(path):
+            time.sleep(0.1)
+            yield item
+
+    monkeypatch.setattr(runner, "_iter_seqs", slow_iter)
+
+    tmpdir = tmp_path / "tmp_annot"
+    peak = {"n": 0}
+    stop = {"v": False}
+
+    def watch():
+        while not stop["v"]:
+            if tmpdir.is_dir():
+                peak["n"] = max(peak["n"], len(list(tmpdir.iterdir())))
+            time.sleep(0.005)
+
+    import threading
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    out = tmp_path / "annot.txt"
+    t0 = time.time()
+    with open(out, "w") as fo:
+        runner.hmm_annotate(
+            [str(fa)], str(exe), "db.hmm", fo,
+            max_batch_size=1, max_batch_num=2, n_threads=4,
+            tmpdir=str(tmpdir),
+        )
+    wall = time.time() - t0
+    stop["v"] = True
+    w.join()
+
+    split_t, scan_t = n_seq * 0.1, 0.4
+    # serialized: split + ceil(12/4)*scan = 1.2 + 1.2 = 2.4 s minimum
+    assert wall < split_t + 2 * scan_t, f"no overlap: wall={wall:.2f}s"
+    # bounded in-flight temp files: (queue 2 + reading + draining) units
+    # x max_batch_num batches x 2 files
+    assert 0 < peak["n"] <= 4 * 2 * 2, peak["n"]
+    lines = [l for l in out.read_text().splitlines() if l.strip()]
+    assert len(lines) == n_seq
+    assert [l.split()[2] for l in lines] == [f"s{i}" for i in range(n_seq)]
