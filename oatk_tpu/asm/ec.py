@@ -271,9 +271,19 @@ def _kmer_size(scg) -> int:
     return scg._kmer_size
 
 
-def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np.ndarray) -> bool:
+def _correct_reads_native(
+    read_db: ReadDB, scg: Scg, max_edist: float, stats: np.ndarray,
+    ranges: list[tuple[int, int]] | None = None, gather=None,
+) -> bool:
     """Run the batched C corrector (native/ec.c); returns False when
-    unavailable so the caller uses the Python loop."""
+    unavailable so the caller uses the Python loop.
+
+    ranges: contiguous read ranges to correct locally (P3 data
+    parallelism over the mesh/processes, /root/reference/syncerr.c:882);
+    ``gather`` turns the local parts into the full-ordered part list
+    (cross-process allgather).  Per-read corrections are independent
+    (the graph is read-only during EC), so the merged splice is
+    bit-identical to an unsharded run."""
     from .. import native
     from ..kernels import wavefront as _wf
 
@@ -331,7 +341,7 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
             np.concatenate([r.hoco_code for r in reads]).astype(np.uint8, copy=False) if n_reads else z8
         )
 
-    res = native.ec_correct_reads(
+    g_args = (
         np.ascontiguousarray(g.idx_p, np.int64),
         np.ascontiguousarray(g.idx_n, np.int64),
         np.ascontiguousarray(g.aw, np.uint64),
@@ -340,13 +350,53 @@ def _correct_reads_native(read_db: ReadDB, scg: Scg, max_edist: float, stats: np
         seq_flat, seq_off,
         np.ascontiguousarray(g.vtx_len, np.int64),
         np.ascontiguousarray(scg.scm_db.del_, np.uint8),
-        kflat, mflat, moff, code_flat, hoff, hoco_l,
-        read_db.k, max_edist,
-        lazy_src=lazy_src, lazy_rev=lazy_rev, lazy_codes=lazy_codes,
     )
-    if res is None:
-        return False
-    st, out_kmer, out_mpos, out_cut, out_upd = res
+
+    def run_range(lo: int, hi: int):
+        if lo == 0 and hi == n_reads:
+            k_s, m_s, moff_s = kflat, mflat, moff
+            c_s, hoff_s, hl_s = code_flat, hoff, hoco_l
+        else:
+            k_s = kflat[moff[lo] : moff[hi]]
+            m_s = mflat[moff[lo] : moff[hi]]
+            moff_s = moff[lo : hi + 1] - moff[lo]
+            c_s = code_flat[hoff[lo] : hoff[hi]]
+            hoff_s = hoff[lo : hi + 1] - hoff[lo]
+            hl_s = hoco_l[lo:hi]
+        return native.ec_correct_reads(
+            *g_args,
+            np.ascontiguousarray(k_s), np.ascontiguousarray(m_s),
+            np.ascontiguousarray(moff_s), np.ascontiguousarray(c_s),
+            np.ascontiguousarray(hoff_s), np.ascontiguousarray(hl_s),
+            read_db.k, max_edist,
+            lazy_src=lazy_src, lazy_rev=lazy_rev, lazy_codes=lazy_codes,
+        )
+
+    if ranges is None:
+        ranges = [(0, n_reads)]
+    parts = []
+    for lo, hi in ranges:
+        res = run_range(lo, hi)
+        if res is None:
+            return False
+        parts.append(res)
+    if gather is not None:
+        parts = gather(parts)
+    if len(parts) == 1:
+        st, out_kmer, out_mpos, out_cut, out_upd = parts[0]
+    else:
+        st = parts[0][0].copy()
+        for p in parts[1:]:
+            st = st + p[0]
+        out_kmer = np.concatenate([p[1] for p in parts])
+        out_mpos = np.concatenate([p[2] for p in parts])
+        out_upd = np.concatenate([p[4] for p in parts])
+        cut_l = [np.zeros(1, np.int64)]
+        base = 0
+        for p in parts:
+            cut_l.append(p[3][1:] + base)
+            base += int(p[3][-1])
+        out_cut = np.concatenate(cut_l)
     stats += st
     from .consensus import set_read_flats
 
@@ -463,8 +513,28 @@ def read_error_correction(
     scg._kmer_size = read_db.k
     find_error_syncmers(scg, err_mer_c, max_err_c, err_arc_c, max_arc_f, True)
 
+    # cross-process read sharding (P3 over the mesh): each process
+    # corrects its contiguous read range, parts allgather in rank order;
+    # OATK_TPU_STAGE_SHARDS forces the partition/merge path in-process
+    # (virtual-mesh validation)
+    ranges = gather = None
+    import os as _os
+
+    import jax as _jax
+
+    _k = int(_os.environ.get("OATK_TPU_STAGE_SHARDS", "0"))
+    if _jax.process_count() > 1:
+        from ..dist.stages import ec_gather, shard_ranges
+
+        ranges = [shard_ranges(read_db.n, _jax.process_count())[_jax.process_index()]]
+        gather = ec_gather
+    elif _k > 1:
+        from ..dist.stages import shard_ranges
+
+        ranges = shard_ranges(read_db.n, _k)
+
     stats = np.zeros(11, np.int64)
-    if not _correct_reads_native(read_db, scg, max_edist, stats):
+    if not _correct_reads_native(read_db, scg, max_edist, stats, ranges, gather):
         from .consensus import ensure_vtx_seq
 
         ensure_vtx_seq(scg.utg)

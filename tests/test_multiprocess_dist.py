@@ -59,11 +59,14 @@ for r1, r2 in zip(db1.reads, db2.reads):
     assert np.array_equal(r1.k_mer, r2.k_mer)
 
 # full multi-host assembly: every process runs the complete syncasm over
-# the 2-process global mesh and must byte-match its local single-process
-# run (host stages are replicated SPMD-style; outputs per-process)
+# the 2-process global mesh.  With jax.distributed active, alignment and
+# EC automatically shard reads across the two processes and allgather
+# (dist/stages.py) -- the result must byte-match BOTH the local run and
+# the parent's true single-process golden GFA.
 import os
 from oatk_tpu.asm.pipeline import syncasm
 
+golden = sys.argv[4]
 out_dir = os.path.dirname(fa)
 syncasm([fa], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
         out=os.path.join(out_dir, f"mesh_p{pid}"), shards=8)
@@ -71,7 +74,9 @@ syncasm([fa], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
         out=os.path.join(out_dir, f"local_p{pid}"))
 a = open(os.path.join(out_dir, f"mesh_p{pid}.utg.final.gfa"), "rb").read()
 b = open(os.path.join(out_dir, f"local_p{pid}.utg.final.gfa"), "rb").read()
+c = open(golden, "rb").read()
 assert a == b and a, "multi-host assembly diverged"
+assert a == c, "multi-host assembly differs from single-process golden"
 print(f"proc {pid} OK n={scm2.n}", flush=True)
 """
 
@@ -88,6 +93,12 @@ def test_two_process_sharded_collection(tmp_path):
     reads = sample_reads(rng, g, coverage=8, read_len=2000, err_rate=0.001)
     fa = tmp_path / "reads.fa"
     write_reads(str(fa), reads)
+    # single-process golden for the workers to byte-compare against
+    from oatk_tpu.asm.pipeline import syncasm
+
+    syncasm([str(fa)], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
+            out=str(tmp_path / "golden"))
+    golden = str(tmp_path / "golden.utg.final.gfa")
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     port = str(_free_port())
@@ -96,7 +107,7 @@ def test_two_process_sharded_collection(tmp_path):
     env["PYTHONPATH"] = str(Path(__file__).parent.parent)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), port, str(fa)],
+            [sys.executable, str(worker), str(pid), port, str(fa), golden],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid in range(2)

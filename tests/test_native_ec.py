@@ -42,8 +42,8 @@ def test_native_ec_equals_python(seed, monkeypatch):
         if force_python:
             monkeypatch.setattr(EC, "_correct_reads_native", lambda *a, **k: False)
         else:
-            def capture(rdb, s, m, stats):
-                ok = orig(rdb, s, m, stats)
+            def capture(rdb, s, m, stats, *a, **kw):
+                ok = orig(rdb, s, m, stats, *a, **kw)
                 stats_seen["v"] = stats.copy()
                 return ok
             monkeypatch.setattr(EC, "_correct_reads_native", capture)

@@ -40,3 +40,30 @@ def test_sharded_extract_count(rng):
     _, counts = np.unique(all_h, return_counts=True)
     ref_hist = np.bincount(np.clip(counts, 0, 63), minlength=64)
     np.testing.assert_array_equal(h[0], ref_hist)
+
+
+def test_stage_sharding_bit_identical(tmp_path, monkeypatch):
+    """Alignment (P1) and EC (P3) partitioned into 8 contiguous read
+    blocks and merged in rank order must be byte-identical to the
+    unsharded run (per-read independence; the cross-process path uses
+    the same partition/merge, dist/stages.py)."""
+    import numpy as np
+
+    from genome_sim import random_genome, sample_reads, write_reads
+    from oatk_tpu.asm.pipeline import syncasm
+
+    rng = np.random.default_rng(31)
+    g = random_genome(rng, 18000)
+    reads = sample_reads(rng, g, coverage=10, read_len=2200, err_rate=0.004)
+    fa = tmp_path / "r.fa"
+    write_reads(str(fa), reads)
+
+    monkeypatch.delenv("OATK_TPU_STAGE_SHARDS", raising=False)
+    syncasm([str(fa)], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
+            out=str(tmp_path / "plain"))
+    monkeypatch.setenv("OATK_TPU_STAGE_SHARDS", "8")
+    syncasm([str(fa)], k=151, s=13, min_k_cov=3, do_ec=True, do_unzip=3,
+            out=str(tmp_path / "shard"))
+    a = (tmp_path / "plain.utg.final.gfa").read_bytes()
+    b = (tmp_path / "shard.utg.final.gfa").read_bytes()
+    assert a == b and a
