@@ -337,7 +337,12 @@ def load_and_extract_sharded(
     from ..kernels.oracle import ReadSyncmers, hoco_compress_np
 
     if impl == "auto":
-        impl = "pallas" if _jax.default_backend() == "tpu" else "jnp"
+        import os as _os
+
+        impl = _os.environ.get(
+            "OATK_TPU_SHARDED_IMPL",
+            "pallas" if _jax.default_backend() == "tpu" else "jnp",
+        )
     D = mesh.devices.size
     seq_of = None
     if impl == "pallas" and _native.available() and max_data == 0:
