@@ -257,6 +257,28 @@ def _lround(x: float) -> int:
     return int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5))
 
 
+def _runlen_reps_device(rl_stack: np.ndarray, m_seq: int) -> np.ndarray:
+    """Run-length consensus repeats on device: 1 + lround(mean) over the
+    per-read run-length rows (reference syncasm.c:994 lround semantics).
+
+    Bit-exact by construction -- the cross-read sum is INTEGER (order
+    independent), and the single rounding division is elementwise -- so
+    unlike the coverage EM this path carries no float-order parity risk.
+    Opt-in via OATK_TPU_DEVICE_CONSENSUS: on the tunneled v5e the upload
+    of the gathered run-length windows costs more than the entire host
+    reduction (BASELINE.md round-3 notes), so the host stays default;
+    on locally-attached parts the trade can flip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reps(rl):
+        tot = jnp.sum(rl.astype(jnp.int64), axis=0)
+        return 1 + jnp.floor(tot / rl.shape[0] + 0.5).astype(jnp.int64)
+
+    return np.asarray(jax.device_get(reps(jnp.asarray(rl_stack[:m_seq]))))
+
+
 def syncmer_consensus(
     read_db: ReadDB, scm_db: SyncmerDB, s: int, rev: int, beg: int, out: list, hoco_seq: bool,
     flats: _Flats | None = None,
@@ -273,6 +295,11 @@ def syncmer_consensus(
     l = w - beg
     bl += l
 
+    import os as _os
+
+    dev_rl = bool(_os.environ.get("OATK_TPU_DEVICE_CONSENSUS")) and not hoco_seq
+    if dev_rl:
+        flats = None  # run-length reduction on device via the Python gather
     if flats is not None:
         from .. import native
 
@@ -304,6 +331,7 @@ def syncmer_consensus(
     base_seq = None
     tot_rl = None
     m_seq = 0
+    dev_rows: list | None = [] if dev_rl else None
     reads = read_db.reads
     for sid, idx in zip(sids, idxs):
         rd = reads[sid]
@@ -327,7 +355,10 @@ def syncmer_consensus(
             rl = _resolve_rl_m1(read_db, sid, p, rl)
         if r:
             rl = rl[::-1]
-        tot_rl += rl
+        if dev_rows is not None:
+            dev_rows.append(rl)
+        else:
+            tot_rl += rl
         m_seq += 1
     if base_seq is None:
         out.append(b"N" * l)
@@ -340,7 +371,10 @@ def syncmer_consensus(
     bl_extra = 0
     # vectorized 1 + lround(t/m_seq): run-length totals are non-negative,
     # so lround == floor(x + 0.5) (C lround half-away-from-zero)
-    reps = 1 + np.floor(tot_rl / m_seq + 0.5).astype(np.int64)
+    if dev_rows is not None:
+        reps = _runlen_reps_device(np.stack(dev_rows), m_seq)
+    else:
+        reps = 1 + np.floor(tot_rl / m_seq + 0.5).astype(np.int64)
     bl_extra = int(reps.sum()) - l
     out.append(_NT[np.repeat(base_seq, reps)].tobytes())
     return bl + bl_extra

@@ -21,6 +21,54 @@ EM_MAX_ITER = 1000
 DBL_EPSILON = 2.220446049250313e-16
 
 
+def _em_device_run(avg, u_flat, bid, nm_b, nlen, n_vtx: int):
+    """Coverage EM (round 2) as ONE device dispatch: a lax.while_loop
+    over segment reductions (reference /root/reference/syncasm.c EM over
+    multi-alignment blocks).
+
+    Opt-in via OATK_TPU_DEVICE_EM: float segment reductions on device do
+    not replicate the C code's sequential accumulation order bit-for-bit
+    (float addition is non-associative), so the host loop -- whose
+    np.bincount accumulates in exactly the reference's order -- stays
+    the byte-parity default.  Measured on the tunneled v5e the dispatch
+    round trip also exceeds the whole host stage at organelle scale
+    (BASELINE.md round-3 notes); the path exists for locally-attached
+    parts where the trade flips."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def em(avg, u_flat, bid, nm_b, nlen):
+        nb = nm_b.shape[0]
+
+        def cond(c):
+            it, diff, _ = c
+            return (it < EM_MAX_ITER) & (diff >= DBL_EPSILON)
+
+        def body(c):
+            it, _, avg = c
+            au = avg[u_flat]
+            tot_b = jax.ops.segment_sum(au, bid, num_segments=nb)
+            tb = tot_b[bid]
+            w = jnp.where(tb != 0.0, au / jnp.where(tb != 0.0, tb, 1.0) * nm_b[bid], 0.0)
+            covs = jax.ops.segment_sum(w, u_flat, num_segments=n_vtx)
+            new = covs / nlen
+            return it + 1, jnp.sum(jnp.abs(new - avg)), new
+
+        _, _, out = lax.while_loop(cond, body, (jnp.int32(0), jnp.float64(np.inf), avg))
+        return out
+
+    return np.asarray(
+        jax.device_get(
+            em(
+                jnp.asarray(avg), jnp.asarray(u_flat), jnp.asarray(bid),
+                jnp.asarray(nm_b), jnp.asarray(nlen),
+            )
+        )
+    )
+
+
 def scg_update_utg_cov(scg: Scg):
     from .consensus import _utg_avg_cov
 
@@ -333,24 +381,29 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
     )
 
     # round 2: EM over multi-alignment blocks
-    for _ in range(EM_MAX_ITER):
-        if nb_total:
-            au = avg[u_flat]
-            tot_b = np.bincount(bid, weights=au, minlength=nb_total)
-            tb = tot_b[bid]
-            ok = tb != 0.0
-            w = np.zeros(len(u_flat))
-            w[ok] = au[ok] / tb[ok] * nm_b[bid[ok]]
-            covs = np.bincount(u_flat, weights=w, minlength=n_vtx)
-        else:
-            covs = np.zeros(n_vtx)
-        diff = 0.0
-        for i in range(n_vtx):
-            c = covs[i] / nlen_arr[i]
-            diff += abs(c - avg[i])
-            avg[i] = c
-        if diff < DBL_EPSILON:
-            break
+    import os as _os
+
+    if nb_total and _os.environ.get("OATK_TPU_DEVICE_EM"):
+        avg[:] = _em_device_run(avg, u_flat, bid, nm_b, nlen_arr, n_vtx)
+    else:
+        for _ in range(EM_MAX_ITER):
+            if nb_total:
+                au = avg[u_flat]
+                tot_b = np.bincount(bid, weights=au, minlength=nb_total)
+                tb = tot_b[bid]
+                ok = tb != 0.0
+                w = np.zeros(len(u_flat))
+                w[ok] = au[ok] / tb[ok] * nm_b[bid[ok]]
+                covs = np.bincount(u_flat, weights=w, minlength=n_vtx)
+            else:
+                covs = np.zeros(n_vtx)
+            diff = 0.0
+            for i in range(n_vtx):
+                c = covs[i] / nlen_arr[i]
+                diff += abs(c - avg[i])
+                avg[i] = c
+            if diff < DBL_EPSILON:
+                break
 
     # round 3: redistribute syncmer counts weighted by utg coverage
     # (vectorized: every (unitig, position) holds exactly one syncmer, so

@@ -30,9 +30,10 @@ from .scg import (
 
 def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: bool = True) -> ReadDB:
     """Load reads + extract syncmers, preferring the fused native-parse
-    -> Pallas path; falls back to the Python reader."""
+    -> Pallas path with device-resident counting; falls back to the
+    Python reader."""
     if use_device:
-        db = load_and_extract(files, k, s, max_data)
+        db = load_and_extract(files, k, s, max_data, device_count=True)
         if db is not None:
             return db
     records = read_fastx(files, max_data)

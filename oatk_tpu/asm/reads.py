@@ -125,14 +125,16 @@ def _read_isn_views(isn_pos: np.ndarray, offs: np.ndarray, n_reads: int):
 def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
     """Decode the kernel's single-transfer [3, max_out+1] int64 result:
     row0 = flat_idx<<1|z (slot max_out = n_sel), row1 = smer payload,
-    row2 = bitcast Murmur hash."""
+    row2 = bitcast Murmur hash.  Under device-resident counting the
+    khash row never leaves the device (pk has 2 rows); sel_kh is None
+    and per-read k_mer stays unset until the id fetch."""
     flat = pk[0, :n_sel]
     sel_z = (flat & 1).astype(np.int32)
     fi = flat >> 1
     sel_b = (fi // Lp).astype(np.int32)
     sel_p = (fi % Lp).astype(np.int32)
     sel_smer = pk[1, :n_sel].astype(np.uint64)
-    sel_kh = pk[2, :n_sel].view(np.uint64)
+    sel_kh = pk[2, :n_sel].view(np.uint64) if pk.shape[0] > 2 else None
     return sel_b, sel_p, sel_z, sel_smer, sel_kh
 
 
@@ -328,10 +330,16 @@ def _chunk_n_positions(isn_idx, st, en, Lp):
     return np.concatenate(parts)
 
 
-def _grow_if_overflow(pk, blob, B, Lp, n_cap, max_out, w, s, interpret):
+def _grow_if_overflow(
+    pk, blob, B, Lp, n_cap, max_out, w, s, interpret, devcount=None, coff=-1,
+    chunk_sids=None,
+):
     """Given a fetched packed result, handle capacity overflow
     (pathological syncmer density) by re-running the same blob
-    synchronously with a grown buffer instead of failing."""
+    synchronously with a grown buffer instead of failing.  Under
+    device-resident counting the overflowed chunk's key lanes are
+    invalidated and the regrown keys appended (the global sort makes
+    append order irrelevant)."""
     import jax
     import jax.numpy as jnp
 
@@ -341,19 +349,17 @@ def _grow_if_overflow(pk, blob, B, Lp, n_cap, max_out, w, s, interpret):
         n_sel = int(pk[0, max_out])
         if n_sel <= max_out:
             return pk, n_sel, max_out
+        old_max_out = max_out
         max_out = _round_up(n_sel + 1024, 1024)
         out = extract_hoco_fused_pallas(
             jnp.asarray(blob), B, Lp, n_cap, w, s, max_out, interpret=interpret
         )
-        pk = np.asarray(jax.device_get(out["packed"]))
-
-
-def _fetch_chunk(out, blob, B, Lp, n_cap, max_out, w, s, interpret):
-    """Fetch a dispatched chunk's packed result (sequential -D path)."""
-    import jax
-
-    pk = np.asarray(jax.device_get(out["packed"]))
-    return _grow_if_overflow(pk, blob, B, Lp, n_cap, max_out, w, s, interpret)
+        if devcount is not None:
+            devcount.invalidate(coff, old_max_out)
+            packed2, coff = devcount.append(out["packed"], chunk_sids, Lp, max_out)
+            pk = np.asarray(jax.device_get(packed2))
+        else:
+            pk = np.asarray(jax.device_get(out["packed"]))
 
 
 class _FetchBatcher:
@@ -423,6 +429,7 @@ def load_and_extract(
     max_data: int = 0,
     batch_bases: int = 32 << 20,
     impl: str = "auto",
+    device_count: bool = False,
 ) -> ReadDB | None:
     """Fused native load + device extraction: C parser/hoco/packer feeds
     the Pallas kernel without materializing raw-ASCII records.
@@ -448,6 +455,15 @@ def load_and_extract(
     if impl != "pallas" or not native.available():
         return None
     interpret = jax.default_backend() != "tpu"
+
+    # device-resident counting (HOT LOOP 2 on device): keys accumulate
+    # in carry buffers during extraction; collect_syncmer_db finalizes
+    # with one device sort and fetches u32 ids instead of the khash row
+    devcount = None
+    if device_count and not max_data:
+        from ..index.devcount import DevCountState
+
+        devcount = DevCountState()
 
     db = ReadDB(k=w, s=s)
     total_raw = 0
@@ -480,15 +496,21 @@ def load_and_extract(
             rl = rl_full[vbase : vbase + int(offs[keep])]
         reads: list = [None] * keep
         isn_views = _read_isn_views(isn_pos, offs, keep)
-        for chunk, B, Lp, max_out, n_cap, blob, out in disp:
+        for chunk, B, Lp, max_out, n_cap, blob, out, coff in disp:
             _t0 = _time.perf_counter()
+            chunk_sids = (
+                np.asarray(chunk, np.int64) + sid_base if devcount is not None else None
+            )
             if hasattr(out, "result"):  # prefetched by the batcher thread
                 pk, n_sel, max_out = _grow_if_overflow(
-                    out.result(), blob, B, Lp, n_cap, max_out, w, s, interpret
+                    out.result(), blob, B, Lp, n_cap, max_out, w, s, interpret,
+                    devcount, coff, chunk_sids,
                 )
             else:
-                pk, n_sel, max_out = _fetch_chunk(
-                    out, blob, B, Lp, n_cap, max_out, w, s, interpret
+                pk = np.asarray(jax.device_get(out["packed"]))
+                pk, n_sel, max_out = _grow_if_overflow(
+                    pk, blob, B, Lp, n_cap, max_out, w, s, interpret,
+                    devcount, coff, chunk_sids,
                 )
             _acc("fetch", _t0)
             _tm.setdefault("fetch_each", []).append(  # type: ignore[union-attr]
@@ -499,7 +521,7 @@ def load_and_extract(
             # whole-chunk field computation, then per-read views
             mpos_all = (sel_p.astype(np.uint32) << 1) | sel_z.astype(np.uint32)
             smer_all = sel_smer.astype(np.uint64)
-            kmer_all = sel_kh.copy()
+            kmer_all = sel_kh.copy() if sel_kh is not None else None
             for bi, ri in enumerate(chunk):
                 if ri >= keep:
                     continue
@@ -514,7 +536,7 @@ def load_and_extract(
                     is_n=isn_views[ri],
                     m_pos=mpos_all[lo:hi],
                     s_mer=smer_all[lo:hi],
-                    k_mer=kmer_all[lo:hi],
+                    k_mer=kmer_all[lo:hi] if kmer_all is not None else None,
                 )
         return reads
 
@@ -580,6 +602,10 @@ def load_and_extract(
                 _t0 = _acc("cuts", _t0)
                 seg_results = []
                 failed = False
+                # key lanes appended during a discarded attempt must be
+                # masked out of the device count buffers
+                att_fill = devcount.n_fill if devcount is not None else 0
+                seg_sid = sid0
                 with ThreadPoolExecutor(min(4, len(bounds))) as ex:
                     futs = [
                         ex.submit(
@@ -603,11 +629,20 @@ def load_and_extract(
                                 jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
                                 interpret=interpret,
                             )
+                            coff = -1
+                            if devcount is not None:
+                                packed2, coff = devcount.append(
+                                    out["packed"],
+                                    np.asarray(chunk, np.int64) + seg_sid,
+                                    Lp, max_out,
+                                )
+                                out = {"packed": packed2}
                             disp.append((
                                 chunk, B, Lp, max_out, n_cap, blob,
-                                batcher.submit(out),
+                                batcher.submit(out), coff,
                             ))
                         _acc("dispatch", _t0)
+                        seg_sid += len(res[0])
                         # the segment's reads live at [c0, c0+h_end) of
                         # the whole-file arrays (parse wrote in place)
                         seg_results.append((res, disp, c0))
@@ -617,9 +652,11 @@ def load_and_extract(
                     for _res, _disp, _b in seg_results:
                         for item in _disp:
                             try:
-                                item[-1].result()
+                                item[6].result()
                             except Exception:
                                 pass
+                    if devcount is not None and devcount.n_fill > att_fill:
+                        devcount.invalidate(att_fill, devcount.n_fill - att_fill)
                     continue
                 break
             if failed:
@@ -696,7 +733,7 @@ def load_and_extract(
                     jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
                     interpret=interpret,
                 )
-                disp.append((chunk, B, Lp, max_out, n_cap, blob, out))
+                disp.append((chunk, B, Lp, max_out, n_cap, blob, out, -1))
 
         db.reads.extend(assemble(res, disp, keep, sid0))
         h_end = int(offs[keep])
@@ -727,6 +764,11 @@ def load_and_extract(
         db.hoco_off = np.concatenate(
             off_parts + [np.asarray([off_base], np.int64)]
         ).astype(np.int64, copy=False)
+    if devcount is not None and devcount.n_fill > 0:
+        # dispatch the device sort now: it overlaps the host work between
+        # the loader's return and collect_syncmer_db's fetch
+        devcount.start_finalize()
+        db._devcount = devcount  # consumed by collect_syncmer_db
     if _timeit_enabled() and _tm:
         import sys as _sys
 

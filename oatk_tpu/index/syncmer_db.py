@@ -232,7 +232,15 @@ def build_db_from_sorted(
 
 
 def collect_syncmer_db(read_db: ReadDB) -> SyncmerDB | None:
-    """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1."""
+    """Build the syncmer DB and rewrite per-read k_mer to syncmer id<<1.
+
+    When the loader accumulated the keys on device (device-resident
+    counting, index/devcount.py), the global sort + id assignment run
+    there and the host only fetches ids; otherwise the host sorts."""
+    state = getattr(read_db, "_devcount", None)
+    if state is not None:
+        read_db._devcount = None
+        return state.build(read_db)
     hashes, lows, smers, base = flatten_occurrences(read_db)
     n_tot = len(hashes)
     if n_tot == 0:

@@ -1,0 +1,169 @@
+"""Device-resident counting (index/devcount.py): the device sort + id
+assignment must reproduce the host lexsort DB exactly -- ids, coverage,
+position lists, head hashes/smers, and the per-read k_mer rewrite --
+including the multi-segment loader flow, the overflow-regrow path, and
+the discarded-attempt invalidation.  Runs in Pallas interpret mode on
+CPU (the devcount jits themselves are plain jnp)."""
+import numpy as np
+import pytest
+
+from genome_sim import random_genome, sample_reads
+
+W, S = 51, 11
+
+
+def _write_fa(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i} c\n{r}\n")
+
+
+def _host_db(paths):
+    from oatk_tpu.asm.reads import extract_all_syncmers
+    from oatk_tpu.index.syncmer_db import collect_syncmer_db
+    from oatk_tpu.io.fastx import read_fastx
+
+    db = extract_all_syncmers(read_fastx(paths, 0), W, S, use_device=False)
+    scm = collect_syncmer_db(db)
+    return db, scm
+
+
+def _dev_db(paths):
+    from oatk_tpu.asm import reads as R
+    from oatk_tpu.index.syncmer_db import collect_syncmer_db
+
+    db = R.load_and_extract(paths, W, S, impl="pallas", device_count=True)
+    assert db is not None
+    assert getattr(db, "_devcount", None) is not None
+    assert all(r.k_mer is None for r in db.reads)  # khash never fetched
+    scm = collect_syncmer_db(db)
+    return db, scm
+
+
+def _assert_db_equal(h, d):
+    db1, scm1 = h
+    db2, scm2 = d
+    assert scm1.n == scm2.n
+    assert np.array_equal(scm1.h, scm2.h)
+    assert np.array_equal(scm1.s, scm2.s)
+    assert np.array_equal(scm1.cov, scm2.cov)
+    assert np.array_equal(scm1.mp_flat, scm2.mp_flat)
+    assert np.array_equal(scm1.mp_off, scm2.mp_off)
+    assert db1.n == db2.n
+    for r1, r2 in zip(db1.reads, db2.reads):
+        assert np.array_equal(r1.k_mer, r2.k_mer), r1.sid
+        assert np.array_equal(r1.m_pos, r2.m_pos)
+        assert np.array_equal(r1.s_mer, r2.s_mer)
+
+
+@pytest.fixture
+def reads():
+    rng = np.random.default_rng(20260819)
+    g = random_genome(rng, 8000)
+    return sample_reads(rng, g, coverage=7, read_len=1100, err_rate=0.01)
+
+
+def test_devcount_equals_host(tmp_path, monkeypatch, reads):
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "r.fa"
+    _write_fa(str(fa), reads)
+    monkeypatch.setattr(R, "_SEG_BYTES", 4096)  # many segments
+    _assert_db_equal(_host_db([str(fa)]), _dev_db([str(fa)]))
+
+
+def test_devcount_multifile(tmp_path, monkeypatch, reads):
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa1 = tmp_path / "a.fa"
+    fa2 = tmp_path / "b.fa"
+    _write_fa(str(fa1), reads[:20])
+    _write_fa(str(fa2), reads[20:40])
+    monkeypatch.setattr(R, "_SEG_BYTES", 2048)
+    paths = [str(fa1), str(fa2)]
+    _assert_db_equal(_host_db(paths), _dev_db(paths))
+
+
+def test_devcount_overflow_regrow(tmp_path, monkeypatch):
+    """A clamped first max_out forces the overflow path: the overflowed
+    chunk's device key lanes must be invalidated and the regrown chunk's
+    keys appended, keeping the final DB identical."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    g = random_genome(rng, 3000)
+    reads = sample_reads(rng, g, coverage=3, read_len=600)
+    fa = tmp_path / "r.fa"
+    _write_fa(str(fa), reads)
+
+    real_round_up = R._round_up
+    clamped = {"done": False}
+
+    def tiny_round_up(x, m):
+        if m == 1024 and x > 512 and not clamped["done"]:
+            clamped["done"] = True
+            return 64
+        return real_round_up(x, m)
+
+    monkeypatch.setattr(R, "_round_up", tiny_round_up)
+    dev = _dev_db([str(fa)])
+    monkeypatch.undo()
+    assert clamped["done"], "overflow path not exercised"
+    _assert_db_equal(_host_db([str(fa)]), dev)
+
+
+def test_devcount_collision_fallback(tmp_path, monkeypatch, reads):
+    """Force the suspicious-cluster path: the host exact-sequence
+    resolution over the fetched sorted keys must still match."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+    from oatk_tpu.index import devcount as DC
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "r.fa"
+    _write_fa(str(fa), reads[:25])
+
+    real_build = DC.DevCountState.build
+    forced = {"n": 0}
+
+    def forcing_build(self, read_db):
+        # pretend every run is suspicious: state.build must route through
+        # build_db_from_sorted (fetching sorted h/l/s) and match exactly
+        import jax
+
+        self.start_finalize()
+        gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d = self._final
+        self._final = None
+        n_tot, n_scm, n_susp = (
+            int(x) for x in np.asarray(jax.device_get(scalars_d))
+        )
+        assert n_susp == 0  # sanity on real data
+        if n_tot == 0:
+            return None
+        from oatk_tpu.index.syncmer_db import build_db_from_sorted
+
+        _, _, _, base = DC._read_occ_flats(read_db)
+        gran = max(4096, self.cap // 8)
+        m = min(self.cap, -(-n_tot // gran) * gran)
+        sh, sl, ss = jax.device_get((h1_d[:m], l1_d[:m], s1_d[:m]))
+        forced["n"] += 1
+        return build_db_from_sorted(
+            read_db, np.asarray(sh[:n_tot]), np.asarray(sl[:n_tot]),
+            np.asarray(ss[:n_tot]), base,
+        )
+
+    monkeypatch.setattr(DC.DevCountState, "build", forcing_build)
+    dev = _dev_db([str(fa)])
+    monkeypatch.undo()
+    assert forced["n"] == 1
+    _assert_db_equal(_host_db([str(fa)]), dev)
