@@ -46,6 +46,7 @@ class SyncasmResult:
     scm_db: object
     scg: Scg | None
     ra_db: list | None = None
+    timings: dict | None = None  # per-stage wall seconds (bench shares)
 
 
 def syncasm(
@@ -281,9 +282,9 @@ def _syncasm_impl(
     with open(out + ".utg.final.gfa", "w") as fo:
         scg_consensus(read_db, scg, hoco_seq=False, save_seq=False, fo=fo)
     _t("final_gfa")
+    _tm.pop("_", None)
     if _timeit and _tm:
-        _tm.pop("_", None)
         parts = " ".join(f"{k_}={v * 1000:.1f}ms" for k_, v in _tm.items())
         print(f"[T::syncasm] {parts}", file=sys.stderr, flush=True)
 
-    return SyncasmResult(read_db, scm_db, scg, ra_db)
+    return SyncasmResult(read_db, scm_db, scg, ra_db, timings=_tm)
