@@ -112,3 +112,99 @@ def write_reads(path: str, reads: list[str], prefix: str = "read"):
     with open(path, "w") as f:
         for i, r in enumerate(reads):
             f.write(f">{prefix}{i}\n{r}\n")
+
+
+# HiFi SMRTbell adapter (the sequence real leftover-adapter reads carry)
+PB_ADAPTER = "ATCTCTCTCTTTTCCTCCTCCTCCGTTGTTGTTGTTGAGAGAGAT"
+
+
+def sample_reads_adversarial(
+    rng,
+    genome: str,
+    coverage: float,
+    read_len: int,
+    err_rate: float = 0.001,
+    hp_frac: float = 0.85,
+    chimera_frac: float = 0.02,
+    adapter_frac: float = 0.02,
+    dropout: tuple[float, float] | None = (0.3, 0.15),
+    contaminant: str | None = None,
+    contaminant_frac: float = 0.05,
+):
+    """Adversarial HiFi-like reads: real error structure plus the
+    library artifacts a production assembler must survive --
+
+    - chimeras: two loci (possibly opposite strands) fused in one read
+      (missed-adapter ligation artifacts);
+    - adapter remnants: PB_ADAPTER text at a read end;
+    - coverage dropout: a genome window of `dropout` = (span_frac,
+      keep_prob) sampled at reduced probability (GC bias analogue);
+    - contaminant reads drawn from an unrelated genome (host nuclear /
+      bacterial carry-over).
+
+    The reference pipeline treats all of these as noise (low-coverage
+    k-mers, tips, weak arcs); parity tests assert byte-identical
+    handling rather than any specific cleanup outcome."""
+    G = len(genome)
+    src = genome + genome
+    n_reads = int(np.ceil(coverage * G / read_len))
+    drop_lo = drop_hi = -1
+    keep_p = 1.0
+    if dropout is not None:
+        span = int(G * dropout[0])
+        drop_lo = int(rng.integers(G))
+        drop_hi = drop_lo + span
+        keep_p = dropout[1]
+    reads = []
+    while len(reads) < n_reads:
+        start = int(rng.integers(G))
+        if drop_lo >= 0:
+            in_drop = (drop_lo <= start < drop_hi) or (
+                drop_lo <= start + G < drop_hi
+            )
+            if in_drop and rng.random() > keep_p:
+                continue
+        L = read_len
+        r = rng.random()
+        if contaminant is not None and r < contaminant_frac:
+            cs = contaminant + contaminant
+            cst = int(rng.integers(len(contaminant)))
+            seq = cs[cst : cst + L]
+        elif r < contaminant_frac + chimera_frac:
+            l1 = int(rng.integers(L // 4, 3 * L // 4))
+            s2 = int(rng.integers(G))
+            a = src[start : start + l1]
+            b = src[s2 : s2 + (L - l1)]
+            if rng.random() < 0.5:
+                b = revcomp(b)
+            seq = a + b
+        else:
+            seq = src[start : start + L]
+        if rng.random() < 0.5:
+            seq = revcomp(seq)
+        if rng.random() < adapter_frac:
+            if rng.random() < 0.5:
+                seq = PB_ADAPTER + seq
+            else:
+                seq = seq + PB_ADAPTER
+        if err_rate > 0:
+            seq = inject_errors(rng, seq, err_rate, hp_frac)
+        reads.append(seq)
+    return reads
+
+
+def write_fastq(path: str, reads: list[str], rng=None, prefix: str = "read"):
+    """FASTQ with a skewed HiFi-like quality profile (high-Q plateau,
+    noisy tail) -- the parsers must ignore qualities entirely."""
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            n = len(r)
+            if rng is not None:
+                q = np.full(n, 90, np.int64)
+                tail = min(n, 50)
+                q[-tail:] -= rng.integers(0, 60, tail)
+                q[rng.random(n) < 0.01] = 35
+                qs = (q.clip(33, 126)).astype(np.uint8).tobytes().decode()
+            else:
+                qs = "I" * n
+            f.write(f"@{prefix}{i} ccs\n{r}\n+\n{qs}\n")
