@@ -663,6 +663,12 @@ def load_and_extract(
                 fetch_pool.shutdown(wait=True)
                 batcher.close()
                 return None
+            if devcount is not None and devcount.n_fill > 0:
+                # dispatch the finalize sort NOW: it overlaps the
+                # packed-result fetch drains and host assembly below
+                # (a rare overflow regrow during assembly invalidates
+                # the result and re-dispatches at attach time)
+                devcount.start_finalize()
             _t0 = _time.perf_counter()
             for res, disp, vbase in seg_results:
                 names, rawlen, offs = res[0], res[1], res[2]

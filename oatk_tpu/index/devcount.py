@@ -118,7 +118,11 @@ def _make_finalize_jit():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    # no donation: the carry buffers stay alive so a (rare) overflow
+    # regrow discovered AFTER the early finalize dispatch can invalidate
+    # + re-append and re-dispatch; XLA wasn't aliasing these anyway
+    # (5 u64 outputs vs 3 u64 inputs)
+    @jax.jit
     def finalize_jit(bh, bl, bs, bv):
         from jax import lax
 
@@ -208,6 +212,7 @@ class DevCountState:
         [2, max_out+1], chunk offset in the buffers)."""
         import jax.numpy as jnp
 
+        self._final = None  # stale if finalize was dispatched early
         append, *_ = _jits()
         self._ensure(max_out)
         off = self.n_fill
@@ -224,6 +229,7 @@ class DevCountState:
         regrow or a discarded parse attempt)."""
         if self._bufs is None:
             return
+        self._final = None  # stale if finalize was dispatched early
         _, invalidate, *_ = _jits()
         bh, bl, bs, bv = self._bufs
         bv = invalidate(bv, np.int64(off), np.int64(n))
@@ -232,11 +238,13 @@ class DevCountState:
     def start_finalize(self):
         """Dispatch the finalize sort (async); the loader calls this as
         soon as the last chunk is appended so the device sort overlaps
-        the host-side read assembly."""
+        the packed-result fetch drains and the host-side read assembly.
+        The carry buffers stay alive: a later append/invalidate (overflow
+        regrow) drops the stale result and a re-dispatch picks up the
+        corrected buffers."""
         if self._bufs is not None and self._final is None:
             *_, finalize = _jits()
             self._final = finalize(*self._bufs)
-            self._bufs = None
 
     def build(self, read_db):
         """Finalize on device and build the SyncmerDB on host.
@@ -251,6 +259,7 @@ class DevCountState:
         self.start_finalize()
         gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d = self._final
         self._final = None
+        self._bufs = None
 
         # n_tot is host-known (the per-read views are assembled), so the
         # ids, head tables AND the scalars come back in ONE tree fetch;
