@@ -544,6 +544,15 @@ def load_and_extract(
         _t0 = _time.perf_counter()
         data = read_source_bytes(path)
         _acc("read_bytes", _t0)
+        if devcount is not None:
+            # pre-size the device count buffers from the input volume:
+            # expected key lanes ~ padded-hoco/sel_divisor (measured
+            # ~0.8 x raw bytes / divisor); a growth step would compile a
+            # fresh (max_out, cap) append program (~100 s via the tunnel)
+            est = devcount.n_fill + int(0.8 * len(data) / _sel_divisor(w, s)) + (
+                len(data) // _SEG_BYTES + 2
+            ) * 1024
+            devcount.cap_hint = max(devcount.cap_hint, est)
 
         if not max_data:
             # ---- pipelined flow (no -D cap) ----

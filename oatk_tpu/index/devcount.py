@@ -25,8 +25,9 @@ practice; the reference checks only under DEBUG_CHECK_HASH_COLLISION,
 syncmer.c:1336-1340) fall back to the host exact-sequence resolution
 over the fetched sorted keys, byte-identical to the host path.
 
-All jit shapes are drawn from a small vocabulary (chunk shapes x pow2
-buffer capacities), so a new dataset reuses cached XLA programs.
+All jit shapes are drawn from a small vocabulary (2048-grid chunk
+lanes x power-of-four buffer capacities), so a new dataset reuses
+cached XLA programs.
 """
 from __future__ import annotations
 
@@ -37,8 +38,15 @@ import numpy as np
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _pow2(x: int) -> int:
-    return 1 << max(12, int(np.ceil(np.log2(max(1, x)))))
+def _cap_quantum(x: int) -> int:
+    """Buffer capacities snap to powers of FOUR (min 2^18): every cap
+    value compiles its own write/finalize programs (~100-300 s through
+    the relay tunnel), so the vocabulary is kept to ~4 values across all
+    dataset scales at the price of at most 4x sort oversize."""
+    c = 1 << 18
+    while c < x:
+        c <<= 2
+    return c
 
 
 def _jax():
@@ -47,12 +55,17 @@ def _jax():
     return jax
 
 
-def _make_append_jit():
+def _make_keys_jit():
+    """Per-chunk key decode, padded to a coarse lane grid.
+
+    Cap-independent on purpose: its compile vocabulary is the loader's
+    fixed chunk-shape set, reused across dataset scales; only the tiny
+    write step below depends on the buffer capacity."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("Lp",), donate_argnums=(2, 3, 4, 5))
-    def append_jit(packed, sids, bh, bl, bs, bv, wr, Lp):
+    @partial(jax.jit, static_argnames=("Lp", "out_cap"))
+    def keys_jit(packed, sids, Lp, out_cap):
         from jax import lax
 
         max_out = packed.shape[1] - 1
@@ -76,13 +89,33 @@ def _make_append_jit():
         sm = lax.bitcast_convert_type(packed[1, :max_out], jnp.uint64)
         vinv = jnp.where(valid, 0, 1).astype(jnp.int32)
 
-        bh = lax.dynamic_update_slice(bh, h, (wr,))
-        bl = lax.dynamic_update_slice(bl, low, (wr,))
-        bs = lax.dynamic_update_slice(bs, sm, (wr,))
-        bv = lax.dynamic_update_slice(bv, vinv, (wr,))
-        return packed[:2], bh, bl, bs, bv
+        pad = out_cap - max_out
+        return (
+            packed[:2],
+            jnp.pad(h, (0, pad)),
+            jnp.pad(low, (0, pad)),
+            jnp.pad(sm, (0, pad)),
+            jnp.pad(vinv, (0, pad), constant_values=1),
+        )
 
-    return append_jit
+    return keys_jit
+
+
+def _make_write_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def write_jit(bh, bl, bs, bv, h, l, s, v, wr):
+        from jax import lax
+
+        bh = lax.dynamic_update_slice(bh, h, (wr,))
+        bl = lax.dynamic_update_slice(bl, l, (wr,))
+        bs = lax.dynamic_update_slice(bs, s, (wr,))
+        bv = lax.dynamic_update_slice(bv, v, (wr,))
+        return bh, bl, bs, bv
+
+    return write_jit
 
 
 def _make_invalidate_jit():
@@ -173,7 +206,7 @@ _finalize = None
 def _jits():
     global _append, _invalidate, _grow, _finalize
     if _append is None:
-        _append = _make_append_jit()
+        _append = (_make_keys_jit(), _make_write_jit())
         _invalidate = _make_invalidate_jit()
         _grow = _make_grow_jit()
         _finalize = _make_finalize_jit()
@@ -184,10 +217,12 @@ class DevCountState:
     """Device carry buffers accumulating (hash, low, smer) key lanes
     across extraction chunks; finalize builds the SyncmerDB."""
 
-    def __init__(self):
+    def __init__(self, cap_hint: int = 0):
         self._bufs = None  # (bh, bl, bs, bv) device arrays
         self._final = None  # pre-dispatched finalize outputs
         self.cap = 0
+        self.cap_hint = cap_hint  # expected total lanes (avoids growth
+        # steps, each of which compiles a fresh (max_out, cap) append)
         self.n_fill = 0  # host-tracked append offset
 
     def _ensure(self, need: int):
@@ -195,7 +230,7 @@ class DevCountState:
 
         append, invalidate, grow, finalize = _jits()
         if self._bufs is None:
-            self.cap = _pow2(max(need, 1 << 16))
+            self.cap = _cap_quantum(max(need, self.cap_hint))
             self._bufs = (
                 jnp.full(self.cap, U64_MAX, jnp.uint64),
                 jnp.full(self.cap, U64_MAX, jnp.uint64),
@@ -203,7 +238,7 @@ class DevCountState:
                 jnp.ones(self.cap, jnp.int32),
             )
         while self.n_fill + need > self.cap:
-            new_cap = self.cap * 2
+            new_cap = self.cap << 2  # stay on the pow4 quantum grid
             self._bufs = grow(*self._bufs, new_cap=new_cap)
             self.cap = new_cap
 
@@ -213,15 +248,18 @@ class DevCountState:
         import jax.numpy as jnp
 
         self._final = None  # stale if finalize was dispatched early
-        append, *_ = _jits()
-        self._ensure(max_out)
+        (keys, write), *_ = _jits()
+        # chunk lanes snap to a 2048 grid: the key decode stays within
+        # the loader's chunk-shape compile vocabulary, the write step
+        # compiles per (lane grid, cap) only
+        out_cap = -(-max_out // 2048) * 2048
+        self._ensure(out_cap)
         off = self.n_fill
-        packed2, bh, bl, bs, bv = append(
-            packed, jnp.asarray(sids, jnp.int64), *self._bufs,
-            np.int32(off), Lp=Lp,
+        packed2, h, l, s, v = keys(
+            packed, jnp.asarray(sids, jnp.int64), Lp=Lp, out_cap=out_cap
         )
-        self._bufs = (bh, bl, bs, bv)
-        self.n_fill = off + max_out
+        self._bufs = write(*self._bufs, h, l, s, v, np.int32(off))
+        self.n_fill = off + out_cap
         return packed2, off
 
     def invalidate(self, off: int, n: int):
