@@ -381,7 +381,18 @@ def _correct_reads_native(
             return False
         parts.append(res)
     if gather is not None:
+        import os as _os
+        import time as _time
+
+        _g0 = _time.perf_counter()
         parts = gather(parts)
+        if _os.environ.get("OATK_TPU_TIMEIT"):
+            import sys as _sys
+
+            print(
+                f"[T::dist] ec_gather={(_time.perf_counter() - _g0) * 1000:.1f}ms",
+                file=_sys.stderr, flush=True,
+            )
     if len(parts) == 1:
         st, out_kmer, out_mpos, out_cut, out_upd = parts[0]
     else:

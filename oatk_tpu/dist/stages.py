@@ -28,7 +28,12 @@ def shard_ranges(n: int, k: int) -> list[tuple[int, int]]:
 def _allgather_var(arr: np.ndarray):
     """Allgather a per-process variable-length array: ranks exchange
     lengths first, pad to the max, gather, trim.  Returns the list of
-    per-rank arrays in rank order."""
+    per-rank arrays in rank order.
+
+    The padded length is quantized to the next power of two (>=1024) so
+    the collective's jitted shape repeats across calls -- alignment runs
+    several times per pipeline with fresh sizes each round, and an
+    un-quantized gather would recompile every time."""
     import jax
     from jax.experimental import multihost_utils
 
@@ -38,6 +43,7 @@ def _allgather_var(arr: np.ndarray):
         multihost_utils.process_allgather(n_local, tiled=True)
     ).reshape(-1)
     m = int(sizes.max()) if len(sizes) else 0
+    m = max(1024, 1 << (m - 1).bit_length()) if m else 1024
     pad_shape = (m,) + arr.shape[1:]
     padded = np.zeros(pad_shape, arr.dtype)
     padded[: arr.shape[0]] = arr
@@ -162,6 +168,10 @@ def sharded_read_alignment(
         parts.append(getattr(sub, "flat", None))
 
     if cross_process:
+        import os as _os
+        import time as _time
+
+        _g0 = _time.perf_counter()
         p = parts[0]
         if p is None:
             p = merge_aln_flats([])
@@ -177,6 +187,13 @@ def sharded_read_alignment(
             )
             for r in range(n_shards)
         ]
+        if _os.environ.get("OATK_TPU_TIMEIT"):
+            import sys as _sys
+
+            print(
+                f"[T::dist] aln_gather={(_time.perf_counter() - _g0) * 1000:.1f}ms",
+                file=_sys.stderr, flush=True,
+            )
 
     ra_db = RaDB()
     ra_db.flat = merge_aln_flats(parts)
