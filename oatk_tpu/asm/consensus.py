@@ -257,6 +257,20 @@ def _lround(x: float) -> int:
     return int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5))
 
 
+_REPS_JIT = None
+
+
+def _device_consensus_on() -> bool:
+    """OATK_TPU_DEVICE_CONSENSUS routes the run-length consensus math
+    through the device reduction.  Resolved at the scg_consensus stage
+    entry (which disables the batched native emitter so the flag is
+    authoritative); the per-syncmer calls only re-read it on the
+    non-batched fallback path, where Python loop costs dominate."""
+    import os
+
+    return bool(os.environ.get("OATK_TPU_DEVICE_CONSENSUS"))
+
+
 def _runlen_reps_device(rl_stack: np.ndarray, m_seq: int) -> np.ndarray:
     """Run-length consensus repeats on device: 1 + lround(mean) over the
     per-read run-length rows (reference syncasm.c:994 lround semantics).
@@ -271,12 +285,18 @@ def _runlen_reps_device(rl_stack: np.ndarray, m_seq: int) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def reps(rl):
-        tot = jnp.sum(rl.astype(jnp.int64), axis=0)
-        return 1 + jnp.floor(tot / rl.shape[0] + 0.5).astype(jnp.int64)
+    global _REPS_JIT
+    if _REPS_JIT is None:
+        # module-cached jit: a fresh closure per call would defeat the
+        # trace cache and recompile for every repeated (cov, l) shape
+        @jax.jit
+        def reps(rl):
+            tot = jnp.sum(rl.astype(jnp.int64), axis=0)
+            return 1 + jnp.floor(tot / rl.shape[0] + 0.5).astype(jnp.int64)
 
-    return np.asarray(jax.device_get(reps(jnp.asarray(rl_stack[:m_seq]))))
+        _REPS_JIT = reps
+
+    return np.asarray(jax.device_get(_REPS_JIT(jnp.asarray(rl_stack[:m_seq]))))
 
 
 def syncmer_consensus(
@@ -295,9 +315,7 @@ def syncmer_consensus(
     l = w - beg
     bl += l
 
-    import os as _os
-
-    dev_rl = bool(_os.environ.get("OATK_TPU_DEVICE_CONSENSUS")) and not hoco_seq
+    dev_rl = not hoco_seq and _device_consensus_on()
     if dev_rl:
         flats = None  # run-length reduction on device via the Python gather
     if flats is not None:
@@ -389,7 +407,9 @@ def unitig_consensus(
     if n == 0:
         return 0
     w = read_db.k
-    if flats is not None:
+    if flats is not None and (hoco_seq or not _device_consensus_on()):
+        # native whole-unitig emitter, unless the device run-length
+        # opt-in is on (its math lives in syncmer_consensus below)
         from .. import native
 
         vv = np.ascontiguousarray(v, np.uint64)
@@ -527,6 +547,12 @@ def scg_consensus(read_db: ReadDB, scg: Scg, hoco_seq: bool, save_seq: bool, fo=
 
     n_vtx = utg.n_vtx
     batched = flats is not None and n_vtx > 0
+    if batched and not hoco_seq and _device_consensus_on():
+        # the opt-in device run-length path lives in syncmer_consensus;
+        # the batched native emitter would bypass it entirely, so the
+        # flag forces the per-unitig route (parity-tested; the trade
+        # notes live on _runlen_reps_device)
+        batched = False
     if batched:
         from .. import native
 

@@ -20,6 +20,8 @@ from .scg import Scg
 EM_MAX_ITER = 1000
 DBL_EPSILON = 2.220446049250313e-16
 
+_EM_JIT = None
+
 
 def _em_device_run(avg, u_flat, bid, nm_b, nlen, n_vtx: int):
     """Coverage EM (round 2) as ONE device dispatch: a lax.while_loop
@@ -36,34 +38,43 @@ def _em_device_run(avg, u_flat, bid, nm_b, nlen, n_vtx: int):
     parts where the trade flips."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    @jax.jit
-    def em(avg, u_flat, bid, nm_b, nlen):
-        nb = nm_b.shape[0]
+    global _EM_JIT
+    if _EM_JIT is None:
+        # module-cached jit (n_vtx static): a fresh closure per call
+        # would recompile the EM loop every coverage pass
+        from functools import partial
 
-        def cond(c):
-            it, diff, _ = c
-            return (it < EM_MAX_ITER) & (diff >= DBL_EPSILON)
+        from jax import lax
 
-        def body(c):
-            it, _, avg = c
-            au = avg[u_flat]
-            tot_b = jax.ops.segment_sum(au, bid, num_segments=nb)
-            tb = tot_b[bid]
-            w = jnp.where(tb != 0.0, au / jnp.where(tb != 0.0, tb, 1.0) * nm_b[bid], 0.0)
-            covs = jax.ops.segment_sum(w, u_flat, num_segments=n_vtx)
-            new = covs / nlen
-            return it + 1, jnp.sum(jnp.abs(new - avg)), new
+        @partial(jax.jit, static_argnums=5)
+        def em(avg, u_flat, bid, nm_b, nlen, n_vtx):
+            nb = nm_b.shape[0]
 
-        _, _, out = lax.while_loop(cond, body, (jnp.int32(0), jnp.float64(np.inf), avg))
-        return out
+            def cond(c):
+                it, diff, _ = c
+                return (it < EM_MAX_ITER) & (diff >= DBL_EPSILON)
+
+            def body(c):
+                it, _, avg = c
+                au = avg[u_flat]
+                tot_b = jax.ops.segment_sum(au, bid, num_segments=nb)
+                tb = tot_b[bid]
+                w = jnp.where(tb != 0.0, au / jnp.where(tb != 0.0, tb, 1.0) * nm_b[bid], 0.0)
+                covs = jax.ops.segment_sum(w, u_flat, num_segments=n_vtx)
+                new = covs / nlen
+                return it + 1, jnp.sum(jnp.abs(new - avg)), new
+
+            _, _, out = lax.while_loop(cond, body, (jnp.int32(0), jnp.float64(np.inf), avg))
+            return out
+
+        _EM_JIT = em
 
     return np.asarray(
         jax.device_get(
-            em(
+            _EM_JIT(
                 jnp.asarray(avg), jnp.asarray(u_flat), jnp.asarray(bid),
-                jnp.asarray(nm_b), jnp.asarray(nlen),
+                jnp.asarray(nm_b), jnp.asarray(nlen), n_vtx,
             )
         )
     )

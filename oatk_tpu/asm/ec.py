@@ -287,11 +287,17 @@ def _correct_reads_native(
     from .. import native
     from ..kernels import wavefront as _wf
 
-    if _wf.WF_BACKEND != "auto":
-        # an explicit wavefront backend (pallas / numpy) must actually
-        # drive EC: route through the Python loop + wf_ed_core
-        return False
-    if not native.available():
+    # an explicit wavefront backend (pallas / numpy) must actually
+    # drive EC: route through the Python loop + wf_ed_core
+    cap = _wf.WF_BACKEND == "auto" and native.available()
+    if gather is not None:
+        # cross-process: agree on capability BEFORE any data collective
+        # so one incapable rank sends ALL ranks to the replicated
+        # Python fallback instead of deadlocking the others' allgather
+        from ..dist.stages import all_ranks_ok
+
+        cap = all_ranks_ok(cap)
+    if not cap:
         return False
     g = scg.utg
     g._flush_pending()
@@ -375,11 +381,22 @@ def _correct_reads_native(
     if ranges is None:
         ranges = [(0, n_reads)]
     parts = []
+    failed = False
     for lo, hi in ranges:
         res = run_range(lo, hi)
         if res is None:
-            return False
+            failed = True
+            break
         parts.append(res)
+    if gather is not None:
+        # second agreement: a data-dependent failure (allocation /
+        # wavefront overflow) on one rank must not skip the collective
+        from ..dist.stages import all_ranks_ok
+
+        if not all_ranks_ok(not failed):
+            return False
+    if failed:
+        return False
     if gather is not None:
         import os as _os
         import time as _time

@@ -540,6 +540,23 @@ def load_and_extract(
                 )
         return reads
 
+    if devcount is not None and len(paths) > 1:
+        # pre-size across ALL inputs before the first append allocates
+        # the buffers: the per-file hint below is a no-op once _bufs
+        # exists, so a multi-file run would otherwise overflow and pay a
+        # growth recompile per extra file (sizes unknowable for
+        # pipes/URLs are skipped; the overflow path still covers them)
+        import os as _osp
+
+        tot = 0
+        for p in paths:
+            try:
+                sz = _osp.path.getsize(p)
+            except (OSError, ValueError):
+                sz = 0
+            tot += int(0.8 * sz / _sel_divisor(w, s)) + (sz // _SEG_BYTES + 2) * 1024
+        devcount.cap_hint = max(devcount.cap_hint, tot)
+
     for path in paths:
         _t0 = _time.perf_counter()
         data = read_source_bytes(path)

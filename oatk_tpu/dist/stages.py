@@ -25,6 +25,24 @@ def shard_ranges(n: int, k: int) -> list[tuple[int, int]]:
     return [((n * r) // k, (n * (r + 1)) // k) for r in range(k)]
 
 
+def all_ranks_ok(local_ok: bool) -> bool:
+    """Cross-process agreement: True iff EVERY process reports ok.
+
+    A collective -- every process must call it at the same point.  Used
+    before the sharded-stage allgathers so a rank-local failure (native
+    library unavailable, allocation failure in the batched corrector)
+    sends ALL ranks to the replicated fallback instead of one rank
+    silently skipping the collectives and deadlocking the rest."""
+    from jax.experimental import multihost_utils
+
+    flags = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([1 if local_ok else 0], np.int32), tiled=True
+        )
+    ).reshape(-1)
+    return bool(flags.min() == 1)
+
+
 def _allgather_var(arr: np.ndarray):
     """Allgather a per-process variable-length array: ranks exchange
     lengths first, pad to the max, gather, trim.  Returns the list of
@@ -133,7 +151,13 @@ def sharded_read_alignment(
     from .. import native
     from ..asm.align import RaDB, scg_read_alignment
 
-    if not native.available():
+    native_ok = native.available()
+    if jax.process_count() > 1:
+        # agreement BEFORE any data collective: if one rank can't run
+        # the native flat path, every rank must take the replicated
+        # fallback or the others deadlock in the allgathers below
+        native_ok = all_ranks_ok(native_ok)
+    if not native_ok:
         # object-path fallback has no flat arrays to merge; compute the
         # full alignment locally (replicated across processes)
         from collections import Counter
@@ -162,6 +186,10 @@ def sharded_read_alignment(
 
     parts: list[dict | None] = []
     for r in my:
+        # in-process validation mode runs the shards sequentially, each
+        # call re-deriving the shared setup (_arc_table, gating) --
+        # deliberately unoptimized: it exists to validate partition/
+        # merge parity, while production sharding is one shard/process
         sub = scg_read_alignment(
             read_db, scg, for_unzip, old_ra_db, shard=(r, n_shards)
         )

@@ -215,6 +215,12 @@ def build_db_from_sorted(
             # views into the flat rewrite: per-read arrays are never
             # written in place (EC replaces whole arrays)
             r.k_mer = new_kmer[off : off + n]
+        elif r.k_mer is None:
+            # device-count loads leave k_mer unset until the id rewrite
+            # (reads.py:130); a zero-syncmer read (shorter than k) must
+            # still end with an empty array or read_flats' concatenate
+            # crashes -- hit via the hash-collision fallback route
+            r.k_mer = new_kmer[:0]
     # k_mer contents changed (hash -> id): re-key the per-version flats
     # cache.  new_kmer IS the new kflat (same sid-block layout), so the
     # cache updates in place instead of forcing a rebuild.

@@ -121,19 +121,10 @@ def test_devcount_overflow_regrow(tmp_path, monkeypatch):
     _assert_db_equal(_host_db([str(fa)]), dev)
 
 
-def test_devcount_collision_fallback(tmp_path, monkeypatch, reads):
-    """Force the suspicious-cluster path: the host exact-sequence
-    resolution over the fetched sorted keys must still match."""
-    from oatk_tpu import native
-    from oatk_tpu.asm import reads as R
-    from oatk_tpu.index import devcount as DC
-
-    if not native.available():
-        pytest.skip("native library unavailable")
-    fa = tmp_path / "r.fa"
-    _write_fa(str(fa), reads[:25])
-
-    real_build = DC.DevCountState.build
+def _force_fallback(monkeypatch, DC):
+    """Patch DevCountState.build to always take the suspicious-cluster
+    route (build_db_from_sorted over the fetched sorted keys); returns
+    the call counter."""
     forced = {"n": 0}
 
     def forcing_build(self, read_db):
@@ -163,7 +154,50 @@ def test_devcount_collision_fallback(tmp_path, monkeypatch, reads):
         )
 
     monkeypatch.setattr(DC.DevCountState, "build", forcing_build)
+    return forced
+
+
+def test_devcount_collision_fallback(tmp_path, monkeypatch, reads):
+    """Force the suspicious-cluster path: the host exact-sequence
+    resolution over the fetched sorted keys must still match."""
+    from oatk_tpu import native
+    from oatk_tpu.index import devcount as DC
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "r.fa"
+    _write_fa(str(fa), reads[:25])
+
+    forced = _force_fallback(monkeypatch, DC)
     dev = _dev_db([str(fa)])
     monkeypatch.undo()
     assert forced["n"] == 1
     _assert_db_equal(_host_db([str(fa)]), dev)
+
+
+def test_devcount_fallback_with_zero_syncmer_read(tmp_path, monkeypatch, reads):
+    """The collision fallback must also rewrite k_mer for reads with ZERO
+    syncmers (shorter than k): devcount loads leave k_mer=None until the
+    id rewrite, and a None surviving into read_flats crashes the
+    assembly (regression: build_db_from_sorted skipped n==0 reads)."""
+    from oatk_tpu import native
+    from oatk_tpu.index import devcount as DC
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "r.fa"
+    mixed = reads[:10] + ["ACGTACGTACGTACGTACGTACGTACGTAC"] + reads[10:20]
+    _write_fa(str(fa), mixed)
+
+    forced = _force_fallback(monkeypatch, DC)
+    dev = _dev_db([str(fa)])
+    monkeypatch.undo()
+    assert forced["n"] == 1
+    db2, _ = dev
+    assert all(r.k_mer is not None for r in db2.reads)
+    assert db2.reads[10].n == 0 and len(db2.reads[10].k_mer) == 0
+    _assert_db_equal(_host_db([str(fa)]), dev)
+    # the crash site: flats concatenate every per-read k_mer
+    from oatk_tpu.asm.consensus import read_flats
+
+    read_flats(db2)
