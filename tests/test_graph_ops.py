@@ -194,3 +194,65 @@ def test_clean_order_invariance():
         _clean_loop(g_ref)
         _clean_loop(g_shuf, rng=np.random.default_rng(1000 + seed))
         assert _graph_fingerprint(g_ref) == _graph_fingerprint(g_shuf), seed
+
+
+def test_duplicate_pair_key_detection_routes_generic():
+    """A canonical pair key and its complement key can BOTH occur (e.g.
+    a tandem-duplicated syncmer read from both strands: (a,a) and
+    (a^1,a^1)); the sorted-order arc constructor must detect this and
+    fall back to the generic finalize path, whose first-occurrence
+    overwrite order reproduces the reference's fix_symm semantics.
+    Regression for the combined-radix-sort duplicate test (adjacent
+    equal keys) replacing the searchsorted probe."""
+    import numpy as np
+
+    import oatk_tpu.asm.scg as SCG
+    from oatk_tpu.index.syncmer_db import SyncmerDB
+
+    from oatk_tpu.graph.asmg import Asmg
+
+    def make(cv0, cv1, n_scm):
+        db = SyncmerDB(
+            h=np.arange(n_scm, dtype=np.uint64),
+            s=np.zeros(n_scm, np.uint64),
+            cov=np.full(n_scm, 5, np.uint32),
+            del_=np.zeros(n_scm, bool),
+            m_pos=[np.zeros(0, np.uint64)] * n_scm,
+        )
+        old = SCG._read_adjacent_pairs
+        SCG._read_adjacent_pairs = lambda rd: (
+            np.asarray(cv0, np.uint64), np.asarray(cv1, np.uint64))
+        # record whether the direct-sorted construction ran: it sets
+        # _arcs_sorted BEFORE finalize (finalize itself sets it after)
+        presorted = []
+        old_fin = Asmg.finalize
+
+        def probe_fin(self, *a, **k):
+            presorted.append(bool(getattr(self, "_arcs_sorted", False)))
+            return old_fin(self, *a, **k)
+
+        Asmg.finalize = probe_fin
+        try:
+            scg = SCG.make_syncmer_graph(object(), db, 0, 0.0)
+        finally:
+            SCG._read_adjacent_pairs = old
+            Asmg.finalize = old_fin
+        return scg.utg, presorted[0]
+
+    # duplicate: key (2,2) and its complement key (3,3) both canonical
+    g, presorted = make([2, 3, 4], [2, 3, 6], 8)
+    # the essential property: the dup input did NOT take the
+    # direct-sorted construction (generic finalize ran), and the
+    # finalized graph is symmetric
+    assert not presorted
+    av = [(int(v), int(w)) for v, w, d in zip(g.av, g.aw, g.adel) if not d]
+    assert (2, 2) in av and (3, 3) in av
+    for v, w in av:
+        assert (w ^ 1, v ^ 1) in av  # complement closure
+
+    # dup-free control: same machinery must produce the sorted-order
+    # construction and an identical finalized arc set either way
+    g2, presorted2 = make([2, 9], [4, 3], 8)
+    assert presorted2
+    av2 = sorted((int(v), int(w)) for v, w, d in zip(g2.av, g2.aw, g2.adel) if not d)
+    assert av2 == [(2, 4), (2, 8), (5, 3), (9, 3)]
