@@ -80,6 +80,30 @@ def _em_device_run(avg, u_flat, bid, nm_b, nlen, n_vtx: int):
     )
 
 
+_device_em_warned = False
+
+
+def _warn_device_em_once():
+    """OATK_TPU_DEVICE_EM is EXPERIMENTAL and outside the byte-parity
+    contract: no device reduction can reproduce the reference's
+    sequential float accumulation (/root/reference/syncasm.c:1643-2261)
+    by construction -- float addition is non-associative and XLA picks
+    its own reduction tree, so coverage values (and thus SC/KC tags) may
+    differ in the last bits on some inputs.  The parity-tested host loop
+    (np.bincount accumulates in exactly the reference's order) is the
+    default; this opt-in exists for locally-attached parts where the
+    dispatch economics flip AND bit-parity is not required."""
+    global _device_em_warned
+    if not _device_em_warned:
+        _device_em_warned = True
+        log_warn(
+            "OATK_TPU_DEVICE_EM is experimental: device float reduction "
+            "order is not guaranteed to reproduce the reference "
+            "byte-for-byte",
+            func="scg_ra_utg_coverage",
+        )
+
+
 def scg_update_utg_cov(scg: Scg):
     from .consensus import _utg_avg_cov
 
@@ -395,6 +419,7 @@ def scg_ra_utg_coverage(scg: Scg, read_db: ReadDB, ra_db: list[ReadAln], verbose
     import os as _os
 
     if nb_total and _os.environ.get("OATK_TPU_DEVICE_EM"):
+        _warn_device_em_once()
         avg[:] = _em_device_run(avg, u_flat, bid, nm_b, nlen_arr, n_vtx)
     else:
         for _ in range(EM_MAX_ITER):

@@ -65,6 +65,7 @@ def syncasm(
     use_device: bool = True,
     verbose: int = 0,
     shards: int = 0,
+    threads: int = 0,
 ) -> SyncasmResult:
     import contextlib
     import os as _os
@@ -86,6 +87,13 @@ def syncasm(
 
     gc_was_on = _gc.isenabled()
     _gc.disable()
+    # CLI -t (reference run_syncasm.c:360,381: one value governs every
+    # threaded stage -- parse, align, EC, sorts).  threads=0 keeps the
+    # library default (OATK_TPU_THREADS env, else cpu_count).
+    from .. import native as _native
+
+    if threads >= 1:
+        _native.set_threads(threads)
     try:
         with prof_ctx:
             return _syncasm_impl(
@@ -94,6 +102,8 @@ def syncasm(
                 shards,
             )
     finally:
+        if threads >= 1:
+            _native.set_threads(0)
         if gc_was_on:
             _gc.enable()
 

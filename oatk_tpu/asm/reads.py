@@ -632,7 +632,10 @@ def load_and_extract(
                 # masked out of the device count buffers
                 att_fill = devcount.n_fill if devcount is not None else 0
                 seg_sid = sid0
-                with ThreadPoolExecutor(min(4, len(bounds))) as ex:
+                # parse workers honor the -t / OATK_TPU_THREADS width
+                # (capped: beyond 4 the GIL-side pack work saturates)
+                n_parse = max(1, min(native.n_threads_default(), 4, len(bounds)))
+                with ThreadPoolExecutor(n_parse) as ex:
                     futs = [
                         ex.submit(
                             _parse_pack_segment, data, c0, c1, w, s, batch_bases,

@@ -15,7 +15,11 @@ def build_parser():
     p = argparse.ArgumentParser(prog="oatk", description="organelle genome assembly toolkit (TPU-native)")
     p.add_argument("files", nargs="+")
     p.add_argument("-o", default="./oatk.asm")
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument(
+        "-t", "--threads", type=int, default=1,
+        help="number of threads (assembly native stages + nhmmscan "
+        "fan-out) [1]",
+    )
     p.add_argument("-G", dest="input_asg", action="store_true", help="input is an assembly graph")
     p.add_argument("-M", dest="mini_circle", action="store_true", help="minicircle mode")
     # syncasm
@@ -102,6 +106,7 @@ def main(argv=None):
             bubble_size=args.max_bubble, tip_size=args.max_tip, weak_cross=args.weak_cross,
             do_ec=not args.no_read_ec, do_unzip=args.unzip_round, max_data=args.D,
             out=outpref, verbose=args.verbose, shards=args.shards,
+            threads=args.threads,
         )
         if scg_meta.scg is None:
             sys.stderr.write("[E::main] syncasm assembly program failed\n")

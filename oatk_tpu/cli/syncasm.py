@@ -17,7 +17,11 @@ def build_parser():
     p.add_argument("-c", type=int, default=3, help="minimum kmer coverage [3]")
     p.add_argument("-a", type=float, default=0.35, help="minimum arc coverage [0.35]")
     p.add_argument("-D", type=parse_data_size, default=0, help="max data; K/M/G suffix")
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument(
+        "-t", "--threads", type=int, default=1,
+        help="number of threads for every native stage (parse, align, "
+        "EC, sorts) [1]",
+    )
     p.add_argument("-o", default="syncasm.asm", help="prefix of output files")
     p.add_argument("--max-bubble", type=int, default=100000)
     p.add_argument("--max-tip", type=int, default=10000)
@@ -51,6 +55,7 @@ def main(argv=None):
         out=args.o,
         verbose=args.verbose,
         shards=args.shards,
+        threads=args.threads,
     )
     if res.scg is None:
         sys.stderr.write("[E::main] failed to construct assembly\n")

@@ -529,7 +529,21 @@ def _rl_ovf_ptrs(rl_ovf):
     return op.ctypes.data, ol.ctypes.data, len(op)
 
 
+_n_threads_override = 0
+
+
+def set_threads(n: int) -> None:
+    """Explicit pool width for every native threaded stage (the CLI
+    ``-t`` plumbed end-to-end, /root/reference/run_syncasm.c:360,381
+    semantics: one value governs parse, align, EC, sorts).  0 restores
+    the automatic default (OATK_TPU_THREADS env, else cpu_count)."""
+    global _n_threads_override
+    _n_threads_override = max(0, int(n))
+
+
 def n_threads_default() -> int:
+    if _n_threads_override:
+        return _n_threads_override
     env = os.environ.get("OATK_TPU_THREADS")
     if env:
         return max(1, int(env))

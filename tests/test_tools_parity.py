@@ -296,3 +296,50 @@ def test_hmm_annotate_streaming_overlap(tmp_path, monkeypatch):
     lines = [l for l in out.read_text().splitlines() if l.strip()]
     assert len(lines) == n_seq
     assert [l.split()[2] for l in lines] == [f"s{i}" for i in range(n_seq)]
+
+
+def test_threads_flag_plumbed_to_native_pools(tmp_path, rng, monkeypatch):
+    """`syncasm -t N` must size every native threaded stage (reference
+    run_syncasm.c:360,381: one value governs parse/align/EC pools).
+    Observed via native.n_threads_default(), which every native wrapper
+    (align_batch, ec_correct_reads, parse_fastx_hoco_mt, sorts) consults
+    at call time."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import pipeline
+
+    genome = random_genome(rng, 16000)
+    reads = sample_reads(rng, genome, coverage=12, read_len=2500)
+    fa = tmp_path / "reads.fa"
+    write_reads(str(fa), reads)
+
+    seen: list[int] = []
+    orig_stat = pipeline.read_db_stat
+
+    def spy_stat(*a, **kw):
+        seen.append(native.n_threads_default())
+        return orig_stat(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "read_db_stat", spy_stat)
+
+    from oatk_tpu.cli.syncasm import main
+
+    # -t 1: single-threaded native stages (reproducible-timing contract)
+    ret = main(["-k", "251", "-s", "17", "-c", "3", "-t", "1",
+                "--no-read-ec", "--unzip-round", "0",
+                "-o", str(tmp_path / "t1"), str(fa)])
+    assert ret == 0
+    assert seen and all(v == 1 for v in seen), seen
+
+    seen.clear()
+    ret = main(["-k", "251", "-s", "17", "-c", "3", "-t", "3",
+                "--no-read-ec", "--unzip-round", "0",
+                "-o", str(tmp_path / "t3"), str(fa)])
+    assert ret == 0
+    assert seen and all(v == 3 for v in seen), seen
+    # override restored after the run (library callers keep auto width)
+    assert native._n_threads_override == 0
+
+    # -t must not change outputs, only pool width
+    a = (tmp_path / "t1.utg.final.gfa").read_bytes()
+    b = (tmp_path / "t3.utg.final.gfa").read_bytes()
+    assert a == b
