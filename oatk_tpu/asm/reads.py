@@ -263,7 +263,8 @@ def extract_all_syncmers(
 
 
 def _parse_pack_segment(
-    data: bytes, c0: int, c1: int, w: int, s: int, batch_bases: int, out3=None
+    data: bytes, c0: int, c1: int, w: int, s: int, batch_bases: int, out3=None,
+    tacc: list | None = None,
 ):
     """Worker: native parse+hoco of one byte range [c0, c1), then 2-bit
     pack all its chunks into upload blobs.  Runs off the main thread
@@ -272,10 +273,15 @@ def _parse_pack_segment(
     place — no segment slice copy — and with ``out3`` straight into the
     caller's whole-file arrays (no per-segment allocation either).
     Returns (parse_result, [(chunk_read_idxs, B, Lp, max_out, n_cap,
-    blob)]) or None."""
+    blob)]) or None.  ``tacc`` collects (parse_s, pack_s) per segment
+    (worker-side CPU wall, summed across overlapped workers)."""
+    import time as _time
+
     from .. import native
 
+    _t0 = _time.perf_counter()
     res = native.parse_fastx_hoco(data, c0, c1, out=out3)
+    _t_parse = _time.perf_counter() - _t0
     if res is None:
         return None
     names, rawlen, offs, codes, rl, isn_idx = res[:6]
@@ -311,6 +317,8 @@ def _parse_pack_segment(
                 [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
             )
             chunks.append((chunk, B, Lp, max_out, n_cap, blob))
+    if tacc is not None:
+        tacc.append((_t_parse, _time.perf_counter() - _t0 - _t_parse))
     return res, chunks
 
 
@@ -635,11 +643,12 @@ def load_and_extract(
                 # parse workers honor the -t / OATK_TPU_THREADS width
                 # (capped: beyond 4 the GIL-side pack work saturates)
                 n_parse = max(1, min(native.n_threads_default(), 4, len(bounds)))
+                seg_tms: list = []  # (parse_s, pack_s) per segment, worker-side
                 with ThreadPoolExecutor(n_parse) as ex:
                     futs = [
                         ex.submit(
                             _parse_pack_segment, data, c0, c1, w, s, batch_bases,
-                            (codes_full[c0:c1], rl_full[c0:c1]),
+                            (codes_full[c0:c1], rl_full[c0:c1]), seg_tms,
                         )
                         for c0, c1 in bounds
                     ]
@@ -688,6 +697,13 @@ def load_and_extract(
                         devcount.invalidate(att_fill, devcount.n_fill - att_fill)
                     continue
                 break
+            if seg_tms:
+                _tm["parse_work"] = _tm.get("parse_work", 0.0) + sum(
+                    p for p, _ in seg_tms
+                )
+                _tm["pack_work"] = _tm.get("pack_work", 0.0) + sum(
+                    q for _, q in seg_tms
+                )
             if failed:
                 fetch_pool.shutdown(wait=True)
                 batcher.close()
@@ -804,6 +820,11 @@ def load_and_extract(
         # the loader's return and collect_syncmer_db's fetch
         devcount.start_finalize()
         db._devcount = devcount  # consumed by collect_syncmer_db
+    # always exported: the bench's load_extract sub-split (wall-view
+    # phases on the main thread + worker-side parse/pack CPU sums)
+    db.load_timings = {
+        k_: v for k_, v in _tm.items() if not isinstance(v, list)
+    }
     if _timeit_enabled() and _tm:
         import sys as _sys
 

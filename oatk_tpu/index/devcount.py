@@ -224,6 +224,11 @@ class DevCountState:
         self.cap_hint = cap_hint  # expected total lanes (avoids growth
         # steps, each of which compiles a fresh (max_out, cap) append)
         self.n_fill = 0  # host-tracked append offset
+        # evidence counters (PARITY/BASELINE at-scale validation):
+        # buffer growth steps, chunk appends, overflow invalidations
+        self.n_grow = 0
+        self.n_append = 0
+        self.n_invalidate = 0
 
     def _ensure(self, need: int):
         import jax.numpy as jnp
@@ -241,6 +246,7 @@ class DevCountState:
             new_cap = self.cap << 2  # stay on the pow4 quantum grid
             self._bufs = grow(*self._bufs, new_cap=new_cap)
             self.cap = new_cap
+            self.n_grow += 1
 
     def append(self, packed, sids: np.ndarray, Lp: int, max_out: int):
         """Append one chunk's keys; returns (packed2 device array
@@ -260,6 +266,7 @@ class DevCountState:
         )
         self._bufs = write(*self._bufs, h, l, s, v, np.int32(off))
         self.n_fill = off + out_cap
+        self.n_append += 1
         return packed2, off
 
     def invalidate(self, off: int, n: int):
@@ -272,6 +279,7 @@ class DevCountState:
         bh, bl, bs, bv = self._bufs
         bv = invalidate(bv, np.int64(off), np.int64(n))
         self._bufs = (bh, bl, bs, bv)
+        self.n_invalidate += 1
 
     def start_finalize(self):
         """Dispatch the finalize sort (async); the loader calls this as

@@ -208,3 +208,59 @@ def write_fastq(path: str, reads: list[str], rng=None, prefix: str = "read"):
             else:
                 qs = "I" * n
             f.write(f"@{prefix}{i} ccs\n{r}\n+\n{qs}\n")
+
+
+def embed_numts(
+    rng,
+    nuclear: str,
+    organelle: str,
+    n_inserts: int = 8,
+    len_range: tuple[int, int] = (500, 6000),
+    divergence: float | tuple[float, float] = (0.0, 0.01),
+) -> str:
+    """Insert organelle fragments into a nuclear genome (numt/nupt
+    analogue -- the confounder oatk's DBSCAN coverage clustering and
+    seed gating exist for, /root/reference/path.c:3416-3445,3821-3967).
+
+    Fragments are sampled from random positions of the (circular)
+    organelle, reverse-complemented half the time, and mutated per base
+    at `divergence` (a (lo, hi) tuple draws a per-fragment rate: recent
+    insertions are IDENTICAL to the organelle -- the nastiest case,
+    shared syncmers at nuclear coverage -- while old ones carry only
+    nuclear-unique k-mers)."""
+    G = len(organelle)
+    src = organelle + organelle
+    positions = sorted(int(rng.integers(len(nuclear))) for _ in range(n_inserts))
+    pieces = []
+    cur = 0
+    for p in positions:
+        L = int(rng.integers(len_range[0], len_range[1]))
+        st = int(rng.integers(G))
+        frag = src[st : st + L]
+        if rng.random() < 0.5:
+            frag = revcomp(frag)
+        d = (
+            float(rng.uniform(divergence[0], divergence[1]))
+            if isinstance(divergence, tuple)
+            else divergence
+        )
+        if d > 0:
+            frag = inject_errors(rng, frag, d)
+        pieces.append(nuclear[cur:p])
+        pieces.append(frag)
+        cur = p
+    pieces.append(nuclear[cur:])
+    return "".join(pieces)
+
+
+def heteroplasmic_minor(rng, genome: str, n_snv: int = 20) -> str:
+    """A minor haplotype: `n_snv` substitutions at distinct positions
+    (low-frequency organelle variants -- heteroplasmy -- that surface as
+    bubbles stressing the super-bubble protection in
+    /root/reference/graph.c:382-432)."""
+    a = np.frombuffer(genome.encode(), np.uint8).copy()
+    pos = rng.choice(len(a), size=min(n_snv, len(a)), replace=False)
+    for p in pos:
+        alts = [c for c in b"ACGT" if c != a[p]]
+        a[p] = alts[int(rng.integers(3))]
+    return a.tobytes().decode()
