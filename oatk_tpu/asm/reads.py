@@ -304,18 +304,20 @@ def _parse_pack_segment(
             max_out = _round_up(max(1024, int(B * Lp / _sel_divisor(w, s))), 1024)
             st = offs[chunk]
             en = offs[np.asarray(chunk) + 1]
-            packed = np.zeros((B, Lp // 4), np.uint8)
-            native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
-            hl = np.zeros(B, np.int32)
-            hl[: len(chunk)] = (en - st).astype(np.int32)
             n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
             n_cap = _round_up(max(64, len(n_pos)), 1024)
-            n_arr = np.full(n_cap, B * Lp, np.int32)
+            # one blob = one tunnel transfer (latency-bound wire); the
+            # packed grid / lengths / N positions are written straight
+            # into their blob slices -- no per-chunk concatenate copy
+            pk_b = B * (Lp // 4)
+            blob = np.zeros(pk_b + 4 * B + 4 * n_cap, np.uint8)
+            packed = blob[:pk_b].reshape(B, Lp // 4)
+            native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
+            hl = blob[pk_b : pk_b + 4 * B].view(np.int32)
+            hl[: len(chunk)] = (en - st).astype(np.int32)
+            n_arr = blob[pk_b + 4 * B :].view(np.int32)
+            n_arr[:] = B * Lp
             n_arr[: len(n_pos)] = n_pos
-            # one blob = one tunnel transfer (latency-bound wire)
-            blob = np.concatenate(
-                [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
-            )
             chunks.append((chunk, B, Lp, max_out, n_cap, blob))
     if tacc is not None:
         tacc.append((_t_parse, _time.perf_counter() - _t0 - _t_parse))
@@ -769,17 +771,17 @@ def load_and_extract(
                 )
                 st = offs[chunk]
                 en = offs[np.asarray(chunk) + 1]
-                packed = np.zeros((B, Lp // 4), np.uint8)
-                native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
-                hl = np.zeros(B, np.int32)
-                hl[: len(chunk)] = (en - st).astype(np.int32)
                 n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
                 n_cap = _round_up(max(64, len(n_pos)), 1024)
-                n_arr = np.full(n_cap, B * Lp, np.int32)
+                pk_b = B * (Lp // 4)
+                blob = np.zeros(pk_b + 4 * B + 4 * n_cap, np.uint8)
+                packed = blob[:pk_b].reshape(B, Lp // 4)
+                native.pack_rows_gather(codes, st, en, Lp // 4, out=packed)
+                hl = blob[pk_b : pk_b + 4 * B].view(np.int32)
+                hl[: len(chunk)] = (en - st).astype(np.int32)
+                n_arr = blob[pk_b + 4 * B :].view(np.int32)
+                n_arr[:] = B * Lp
                 n_arr[: len(n_pos)] = n_pos
-                blob = np.concatenate(
-                    [packed.reshape(-1), hl.view(np.uint8), n_arr.view(np.uint8)]
-                )
                 out = extract_hoco_fused_pallas(
                     jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
                     interpret=interpret,
