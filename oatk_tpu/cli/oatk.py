@@ -12,7 +12,12 @@ from ._common import parse_data_size
 
 
 def build_parser():
-    p = argparse.ArgumentParser(prog="oatk", description="organelle genome assembly toolkit (TPU-native)")
+    from .syncasm import ENV_EPILOG
+
+    p = argparse.ArgumentParser(
+        prog="oatk", description="organelle genome assembly toolkit (TPU-native)",
+        epilog=ENV_EPILOG, formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     p.add_argument("files", nargs="+")
     p.add_argument("-o", default="./oatk.asm")
     p.add_argument(

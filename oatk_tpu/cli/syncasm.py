@@ -9,8 +9,27 @@ from ..utils.log import print_exit_stats
 from ._common import parse_data_size
 
 
+ENV_EPILOG = """\
+environment variables:
+  OATK_TPU_THREADS       default native pool width when -t is not given
+  OATK_TPU_TIMEIT        print [T::] per-stage wall timings on stderr
+  OATK_TPU_PROFILE=DIR   write a JAX device+host trace (TensorBoard)
+  OATK_TPU_CACHE=DIR     XLA compile cache dir [/tmp/oatk_tpu_jax_cache]
+  OATK_TPU_WF_BACKEND    wavefront DP backend: native|numpy|pallas
+  OATK_TPU_DEVICE_CONSENSUS  opt-in device run-length consensus
+                         (bit-exact by construction; host is faster)
+  OATK_TPU_DEVICE_EM     EXPERIMENTAL: device coverage-EM loop; float
+                         reduction order is NOT guaranteed to reproduce
+                         the reference byte-for-byte -- outputs may
+                         differ in the last bits on some inputs
+"""
+
+
 def build_parser():
-    p = argparse.ArgumentParser(prog="syncasm", description="HiFi read assembler (sparse syncmer dBG)")
+    p = argparse.ArgumentParser(
+        prog="syncasm", description="HiFi read assembler (sparse syncmer dBG)",
+        epilog=ENV_EPILOG, formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     p.add_argument("files", nargs="+", help="target.fa[stq][.gz] [...]")
     p.add_argument("-k", type=int, default=1001, help="kmer size [1001]")
     p.add_argument("-s", type=int, default=31, help="smer size (<=31) [31]")
