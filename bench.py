@@ -144,8 +144,40 @@ def kernel_spot_check() -> str:
     return "ok"
 
 
+def tpu_preflight(timeout_s: int = 1200) -> str | None:
+    """Claim the TPU once in a THROWAWAY subprocess before the in-process
+    jax import: a dead pool leaves `jax.devices()` sleeping in the claim
+    poll loop forever (observed 2026-08-20: >60 min, zero sockets open),
+    and a hung bench records nothing.  Returns an error string when the
+    chip cannot be claimed within timeout_s; the bench then emits an
+    honest degraded JSON line instead of hanging."""
+    import subprocess as sp
+
+    try:
+        r = sp.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+    except sp.TimeoutExpired:
+        return f"TPU claim did not complete within {timeout_s}s (pool down?)"
+    if r.returncode != 0:
+        return f"TPU backend init failed: {r.stderr.decode()[-200:]}"
+    return None
+
+
 def main():
     total_bases = ensure_dataset()
+
+    err = tpu_preflight()
+    if err is not None:
+        print(json.dumps({
+            "metric": "syncasm_full_pipeline_throughput_110mbp",
+            "value": None,
+            "unit": "Mbp/s",
+            "vs_baseline": None,
+            "error": err,
+        }))
+        return
 
     baseline_path = os.path.join(REPO, "BASELINE.json")
     with open(baseline_path) as f:

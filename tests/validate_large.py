@@ -201,10 +201,29 @@ def main():
     from oatk_tpu.asm.pipeline import syncasm
 
     t0 = time.time()
-    syncasm([str(fa)], k=1001, s=31, min_k_cov=30, do_ec=True, do_unzip=3,
-            out=str(wd / "mine"), shards=args.shards)
+    res = syncasm([str(fa)], k=1001, s=31, min_k_cov=30, do_ec=True, do_unzip=3,
+                  out=str(wd / "mine"), shards=args.shards)
     t_mine = time.time() - t0
     print(f"oatk_tpu syncasm: {t_mine:.1f} s (shards={args.shards})", flush=True)
+    tm = res.timings or {}
+    if tm:
+        print("stage walls: " + " ".join(f"{k}={v:.3f}s" for k, v in tm.items()),
+              flush=True)
+    dc = getattr(res.read_db, "_devcount", None)
+    if dc is not None:
+        # device-counting evidence (BASELINE.md at-scale rows): buffer
+        # capacity, growth recompiles, chunk appends, overflow/discard
+        # invalidations
+        print(
+            f"devcount: cap={dc.cap} lanes ({dc.cap * 24 / 1e6:.0f} MB keys) "
+            f"appends={dc.n_append} grows={dc.n_grow} "
+            f"invalidations={dc.n_invalidate}",
+            flush=True,
+        )
+    lt = getattr(res.read_db, "load_timings", None)
+    if lt:
+        print("load split: " + " ".join(f"{k}={v:.3f}s" for k, v in lt.items()),
+              flush=True)
 
     for suff in (".utg.gfa", ".utg.final.gfa"):
         n = cmp_files(wd / f"ref{suff}", wd / f"mine{suff}", suff)
