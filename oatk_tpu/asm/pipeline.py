@@ -31,9 +31,17 @@ from .scg import (
 def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: bool = True) -> ReadDB:
     """Load reads + extract syncmers, preferring the fused native-parse
     -> Pallas path with device-resident counting; falls back to the
-    Python reader."""
+    Python reader.
+
+    OATK_TPU_IMPL overrides the kernel implementation choice
+    ('pallas' | 'jnp' | 'auto'): forcing 'pallas' off-TPU runs the
+    production fused loader + device counting in interpret mode — used
+    to validate the single-chip default path at scale on CPU."""
+    import os as _os
+
     if use_device:
-        db = load_and_extract(files, k, s, max_data, device_count=True)
+        impl = _os.environ.get("OATK_TPU_IMPL", "auto")
+        db = load_and_extract(files, k, s, max_data, impl=impl, device_count=True)
         if db is not None:
             return db
     records = read_fastx(files, max_data)
