@@ -209,7 +209,7 @@ def main():
     if tm:
         print("stage walls: " + " ".join(f"{k}={v:.3f}s" for k, v in tm.items()),
               flush=True)
-    dc = getattr(res.read_db, "_devcount", None)
+    dc = getattr(res.read_db, "_devcount_stats", None)
     if dc is not None:
         # device-counting evidence (BASELINE.md at-scale rows): buffer
         # capacity, growth recompiles, chunk appends, overflow/discard

@@ -55,7 +55,7 @@ def main():
         scm = collect_syncmer_db(db)
         t_tot = time.time() - t0
         lt = {k: round(v, 3) for k, v in (db.load_timings or {}).items()}
-        dc = getattr(db, "_devcount", None)
+        dc = getattr(db, "_devcount_stats", None) or getattr(db, "_devcount", None)
         print(json.dumps({
             "run": i,
             "load_s": round(t_load, 3),
