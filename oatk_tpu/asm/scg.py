@@ -142,11 +142,25 @@ def make_syncmer_graph(
     if _t:
         _t("vtx")
 
-    cv0, cv1 = _read_adjacent_pairs(read_db)
-    if _t:
-        _t("pairs")
-    if len(cv0):
-        hi = max(int(cv0.max()), int(cv1.max())) if len(cv0) else 0
+    # device-counted pairs: the devcount finalize already sort-reduced
+    # every adjacent canonical pair on device (index/devcount.py); valid
+    # while the reads are unspliced (EC bumps read_db.version)
+    dp = getattr(read_db, "_dev_pairs", None)
+    if dp is not None and dp[0] == getattr(read_db, "version", 0):
+        pk_unique, counts = dp[1], dp[2]
+        uv0 = (pk_unique >> np.uint64(32)).astype(np.int64)
+        uv1 = (pk_unique & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        hi, n_pairs = (1 << 31), len(uv0)
+        if _t:
+            _t("pairs")
+    else:
+        pk_unique = None
+        cv0, cv1 = _read_adjacent_pairs(read_db)
+        n_pairs = len(cv0)
+        if _t:
+            _t("pairs")
+    if pk_unique is None and n_pairs:
+        hi = max(int(cv0.max()), int(cv1.max()))
         if hi < (1 << 32):
             # post-collection vertex ids are small: one packed-u64 sort
             # replaces the two-key lexsort over all adjacent pairs
@@ -165,6 +179,9 @@ def make_syncmer_graph(
         counts = np.diff(np.concatenate([starts, [len(k0)]]))
         uv0 = k0[starts].astype(np.int64)
         uv1 = k1[starts].astype(np.int64)
+        if hi < (1 << 32):
+            pk_unique = packed[starts]
+    if n_pairs:
         covs = scm_db.cov.astype(np.int64)
         mincov = np.minimum(covs[uv0 >> 1], covs[uv1 >> 1])
         dels = np.asarray(scm_db.del_)
@@ -194,7 +211,9 @@ def make_syncmer_graph(
         dup_free = False
         keys = order = csrc = None
         if hi < (1 << 32) and nf:
-            pk = packed[starts][ok]  # kept unique keys = s0<<32|s1, sorted
+            from .. import native
+
+            pk = pk_unique[ok]  # kept unique keys = s0<<32|s1, sorted
             comp_key = ((s1.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) | (
                 s0.astype(np.uint64) ^ np.uint64(1)
             )

@@ -189,10 +189,41 @@ def _make_finalize_jit():
         # resorted i32 ids costs 4 B/occurrence on the wire vs 8 B for
         # the low keys -- the extra device sort is cheaper than the extra
         # fetch bytes on the latency-bound tunnel (measured both ways)
-        _, _, gid_flat = lax.sort((vv, l1, gid), num_keys=2)
+        vf, lf, gid_flat = lax.sort((vv, l1, gid), num_keys=2)
 
-        scalars = jnp.stack([n_tot, n_scm, n_susp])
-        return gid_flat, hh, hs, h1, l1, s1, scalars
+        # ---- arc-pair counting (make_syncmer_graph HOT input) ----
+        # The graph builder's arc counts are a sort-reduce over all
+        # consecutive-syncmer pairs per read (/root/reference/
+        # syncasm.c:231-257); in flat (sid, idx) order those pairs are
+        # exactly the adjacent lane pairs within one sid.  Counting them
+        # here reuses the buffers already on device and overlaps the
+        # host read assembly, removing the host-side pair materialize +
+        # radix sort (~0.8 s/Gbp) from ec_graph0 / make_graph.
+        one = jnp.uint64(1)
+        gidu = jnp.maximum(gid_flat, 0).astype(jnp.uint64)
+        v = (gidu << one) | (lf & one)
+        sid = lf >> jnp.uint64(32)
+        pok = (vf[:-1] == 0) & (vf[1:] == 0) & (sid[:-1] == sid[1:])
+        v0, v1 = v[:-1], v[1:]
+        flip = v0 > v1
+        cv0 = jnp.where(flip, v1 ^ one, v0)
+        cv1 = jnp.where(flip, v0 ^ one, v1)
+        pkey = jnp.where(pok, (cv0 << jnp.uint64(32)) | cv1, U64_MAX)
+        pkey = jnp.pad(pkey, (0, 1), constant_values=U64_MAX)
+        pks = lax.sort(pkey)
+        pvalid = pks != U64_MAX
+        n_pv = jnp.sum(pvalid, dtype=jnp.int32)
+        pf = pvalid & ((i == 0) | (pks != jnp.concatenate([pks[:1], pks[:-1]])))
+        n_pu = jnp.sum(pf, dtype=jnp.int32)
+        # compact unique pair keys + their start positions; counts are
+        # consecutive-start differences (last unique runs to n_pv)
+        npf = jnp.where(pf, 0, 1).astype(jnp.int32)
+        _, pk_u, pos_u = lax.sort((npf, pks, i), num_keys=1, is_stable=True)
+        nxt = jnp.concatenate([pos_u[1:], pos_u[:1]])
+        pcnt = jnp.where(i == n_pu - 1, n_pv - pos_u, nxt - pos_u)
+
+        scalars = jnp.stack([n_tot, n_scm, n_susp, n_pu])
+        return gid_flat, hh, hs, h1, l1, s1, scalars, pk_u, pcnt
 
     return finalize_jit
 
@@ -303,7 +334,8 @@ class DevCountState:
         if self._bufs is None and self._final is None:
             return None
         self.start_finalize()
-        gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d = self._final
+        (gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d,
+         pk_u_d, pcnt_d) = self._final
         self._final = None
         self._bufs = None
 
@@ -319,7 +351,7 @@ class DevCountState:
         scalars, gid_flat, hh, hs = jax.device_get(
             (scalars_d, gid_flat_d[:m], hh_d[:m], hs_d[:m])
         )
-        n_tot, n_scm, n_susp = (int(x) for x in np.asarray(scalars))
+        n_tot, n_scm, n_susp, n_pu = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
             raise RuntimeError(
                 f"device counting holds {n_tot} occurrences, ReadDB has {n_exp}"
@@ -338,13 +370,26 @@ class DevCountState:
                 base,
             )
 
-        return _build_db_from_gid(
+        db = _build_db_from_gid(
             read_db,
             np.asarray(gid_flat[:n_tot]),
             n_scm,
             np.asarray(hh[:n_scm]), np.asarray(hs[:n_scm]),
             mc, sids, mflat, base,
         )
+        if n_pu > 0:
+            # second (small) fetch sized by the now-known unique-pair
+            # count; make_syncmer_graph consumes these sorted unique
+            # (v0<<32|v1, count) rows instead of re-materializing and
+            # radix-sorting every adjacent pair on host
+            mp = min(self.cap, -(-n_pu // 4096) * 4096)
+            pk_u, pcnt = jax.device_get((pk_u_d[:mp], pcnt_d[:mp]))
+            read_db._dev_pairs = (
+                read_db.version,
+                np.asarray(pk_u[:n_pu]),
+                np.asarray(pcnt[:n_pu]).astype(np.int64),
+            )
+        return db
 
 
 def _read_occ_flats(read_db):

@@ -133,10 +133,10 @@ def _force_fallback(monkeypatch, DC):
         import jax
 
         self.start_finalize()
-        gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d = self._final
+        gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d, *_pairs = self._final
         self._final = None
         n_tot, n_scm, n_susp = (
-            int(x) for x in np.asarray(jax.device_get(scalars_d))
+            int(x) for x in np.asarray(jax.device_get(scalars_d))[:3]
         )
         assert n_susp == 0  # sanity on real data
         if n_tot == 0:
@@ -247,3 +247,46 @@ def test_devcount_buffer_growth(tmp_path, monkeypatch, reads):
     scm = collect_syncmer_db(db)
     assert dc.n_grow > 0, "growth path not exercised"
     _assert_db_equal(_host_db([str(fa)]), (db, scm))
+
+
+def test_devcount_pairs_match_host_graph(tmp_path, monkeypatch, reads):
+    """The finalize's on-device arc-pair sort-reduce must yield exactly
+    the host _read_adjacent_pairs + radix-sort unique/count result: the
+    graphs built from either source are identical (arcs, covs, order)."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+    from oatk_tpu.asm.scg import make_syncmer_graph
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "r.fa"
+    _write_fa(str(fa), reads)
+    monkeypatch.setattr(R, "_SEG_BYTES", 4096)
+    db_d, scm_d = _dev_db([str(fa)])
+    dp = getattr(db_d, "_dev_pairs", None)
+    assert dp is not None and dp[0] == db_d.version and len(dp[1]) > 0
+
+    import copy
+
+    scm_d2 = copy.deepcopy(scm_d)
+    g_dev = make_syncmer_graph(db_d, scm_d, 0, 0.0)
+    db_d._dev_pairs = None  # force the host pair path on the same reads
+    g_host = make_syncmer_graph(db_d, scm_d2, 0, 0.0)
+    for a, b in ((g_dev.utg, g_host.utg),):
+        assert np.array_equal(a.av, b.av)
+        assert np.array_equal(a.aw, b.aw)
+        assert np.array_equal(np.asarray(a.acov), np.asarray(b.acov))
+        assert np.array_equal(np.asarray(a.acomp), np.asarray(b.acomp))
+        assert np.array_equal(np.asarray(a.alink), np.asarray(b.alink))
+        assert np.array_equal(np.asarray(a.adel), np.asarray(b.adel))
+    # filtered-graph flavor too (coverage gates + deletions applied)
+    db_h, scm_h = _dev_db([str(fa)])
+    assert getattr(db_h, "_dev_pairs", None) is not None
+    g1 = make_syncmer_graph(db_h, scm_h, 3, 0.35)
+    db_h._dev_pairs = None
+    import copy as _c
+
+    g2 = make_syncmer_graph(db_h, _c.deepcopy(scm_h), 3, 0.35)
+    assert np.array_equal(g1.utg.av, g2.utg.av)
+    assert np.array_equal(g1.utg.aw, g2.utg.aw)
+    assert np.array_equal(np.asarray(g1.utg.acov), np.asarray(g2.utg.acov))
