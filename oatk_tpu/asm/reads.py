@@ -347,16 +347,17 @@ def _grow_if_overflow(
     """Given a fetched packed result, handle capacity overflow
     (pathological syncmer density) by re-running the same blob
     synchronously with a grown buffer instead of failing.  Under
-    device-resident counting the overflowed chunk's key lanes are
-    invalidated and the regrown keys appended (the global sort makes
-    append order irrelevant)."""
+    device-resident counting the fetched result is just the n_sel
+    scalar slice, the overflowed chunk's key lanes are invalidated and
+    the regrown keys appended (the global sort makes append order
+    irrelevant)."""
     import jax
     import jax.numpy as jnp
 
     from ..kernels.syncmer import extract_hoco_fused_pallas
 
     while True:
-        n_sel = int(pk[0, max_out])
+        n_sel = int(pk[0]) if devcount is not None else int(pk[0, max_out])
         if n_sel <= max_out:
             return pk, n_sel, max_out
         old_max_out = max_out
@@ -366,8 +367,8 @@ def _grow_if_overflow(
         )
         if devcount is not None:
             devcount.invalidate(coff, old_max_out)
-            packed2, coff = devcount.append(out["packed"], chunk_sids, Lp, max_out)
-            pk = np.asarray(jax.device_get(packed2))
+            nsel_dev, coff = devcount.append(out["packed"], chunk_sids, Lp, max_out)
+            pk = np.asarray(jax.device_get(nsel_dev))
         else:
             pk = np.asarray(jax.device_get(out["packed"]))
 
@@ -526,6 +527,27 @@ def load_and_extract(
             _tm.setdefault("fetch_each", []).append(  # type: ignore[union-attr]
                 round((_time.perf_counter() - _t0) * 1000, 1)
             ) if _timeit_enabled() else None
+            if devcount is not None:
+                # full-fetch mode: only the n_sel scalar came back; the
+                # m_pos/s_mer/k_mer views arrive with the finalize fetch
+                # (DevCountState.build restores them per read)
+                devcount.n_occ += n_sel
+                for bi, ri in enumerate(chunk):
+                    if ri >= keep:
+                        continue
+                    o0, o1 = int(offs[ri]), int(offs[ri + 1])
+                    reads[ri] = ReadSyncmers(
+                        sid=sid_base + ri,
+                        name=names[ri],
+                        hoco_l=o1 - o0,
+                        hoco_code=codes[o0:o1],
+                        ho_rl=rl[o0:o1],
+                        is_n=isn_views[ri],
+                        m_pos=None,
+                        s_mer=None,
+                        k_mer=None,
+                    )
+                continue
             sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
             cuts = np.searchsorted(sel_b, np.arange(B + 1))
             # whole-chunk field computation, then per-read views
@@ -671,12 +693,12 @@ def load_and_extract(
                             )
                             coff = -1
                             if devcount is not None:
-                                packed2, coff = devcount.append(
+                                nsel_dev, coff = devcount.append(
                                     out["packed"],
                                     np.asarray(chunk, np.int64) + seg_sid,
                                     Lp, max_out,
                                 )
-                                out = {"packed": packed2}
+                                out = {"packed": nsel_dev}
                             disp.append((
                                 chunk, B, Lp, max_out, n_cap, blob,
                                 batcher.submit(out), coff,

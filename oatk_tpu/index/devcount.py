@@ -87,14 +87,19 @@ def _make_keys_jit():
         low = (sid << jnp.uint64(32)) | (idx << jnp.uint64(1)) | z
         h = lax.bitcast_convert_type(packed[2, :max_out], jnp.uint64)
         sm = lax.bitcast_convert_type(packed[1, :max_out], jnp.uint64)
+        # per-occurrence m_pos payload (reference sr_t: hoco_pos<<1|rev);
+        # carrying it through the finalize lets the host skip the
+        # per-chunk packed fetch entirely (full-fetch mode)
+        m32 = (((fi % Lp) << 1) | (flat & 1)).astype(jnp.uint32)
         vinv = jnp.where(valid, 0, 1).astype(jnp.int32)
 
         pad = out_cap - max_out
         return (
-            packed[:2],
+            packed[0, max_out : max_out + 1],
             jnp.pad(h, (0, pad)),
             jnp.pad(low, (0, pad)),
             jnp.pad(sm, (0, pad)),
+            jnp.pad(m32, (0, pad)),
             jnp.pad(vinv, (0, pad), constant_values=1),
         )
 
@@ -105,15 +110,16 @@ def _make_write_jit():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def write_jit(bh, bl, bs, bv, h, l, s, v, wr):
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def write_jit(bh, bl, bs, bm, bv, h, l, s, m, v, wr):
         from jax import lax
 
         bh = lax.dynamic_update_slice(bh, h, (wr,))
         bl = lax.dynamic_update_slice(bl, l, (wr,))
         bs = lax.dynamic_update_slice(bs, s, (wr,))
+        bm = lax.dynamic_update_slice(bm, m, (wr,))
         bv = lax.dynamic_update_slice(bv, v, (wr,))
-        return bh, bl, bs, bv
+        return bh, bl, bs, bm, bv
 
     return write_jit
 
@@ -134,13 +140,14 @@ def _make_grow_jit():
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1, 2, 3))
-    def grow_jit(bh, bl, bs, bv, new_cap):
+    @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1, 2, 3, 4))
+    def grow_jit(bh, bl, bs, bm, bv, new_cap):
         pad = new_cap - bh.shape[0]
         return (
             jnp.pad(bh, (0, pad)),
             jnp.pad(bl, (0, pad)),
             jnp.pad(bs, (0, pad)),
+            jnp.pad(bm, (0, pad)),
             jnp.pad(bv, (0, pad), constant_values=1),
         )
 
@@ -156,7 +163,7 @@ def _make_finalize_jit():
     # + re-append and re-dispatch; XLA wasn't aliasing these anyway
     # (5 u64 outputs vs 3 u64 inputs)
     @jax.jit
-    def finalize_jit(bh, bl, bs, bv):
+    def finalize_jit(bh, bl, bs, bm, bv):
         from jax import lax
 
         cap = bh.shape[0]
@@ -166,7 +173,7 @@ def _make_finalize_jit():
         # the ONLY sort: ids are a prefix sum over cluster starts, the
         # head tables compact with a scatter by id, and the sorted low
         # keys double as the position lists (mp_flat) on the host.
-        vv, h1, l1, s1 = lax.sort((bv, bh, bl, bs), num_keys=3)
+        vv, h1, l1, s1, m1 = lax.sort((bv, bh, bl, bs, bm), num_keys=3)
         valid = vv == 0
         n_tot = jnp.sum(valid, dtype=jnp.int32)
 
@@ -185,11 +192,23 @@ def _make_finalize_jit():
         nf = jnp.where(f, 0, 1).astype(jnp.int32)
         _, hh, hs = lax.sort((nf, h1, s1), num_keys=1, is_stable=True)
 
-        # ids back to per-read flat order (= ascending low): fetching the
-        # resorted i32 ids costs 4 B/occurrence on the wire vs 8 B for
-        # the low keys -- the extra device sort is cheaper than the extra
-        # fetch bytes on the latency-bound tunnel (measured both ways)
-        vf, lf, gid_flat = lax.sort((vv, l1, gid), num_keys=2)
+        # everything per-occurrence back to per-read flat order
+        # (= ascending low): the host fetches ids + m_pos + smer payloads
+        # from HERE instead of draining every chunk's padded packed
+        # result -- exact bytes, one transfer (full-fetch mode)
+        vf, lf, gid_flat, sm_flat, m32_flat = lax.sort(
+            (vv, l1, gid, s1, m1), num_keys=2
+        )
+
+        # per-read occurrence counts: compact (sid, flat_start) at read
+        # boundaries; the host turns consecutive starts into mc slices
+        sidf = lf >> jnp.uint64(32)
+        fr = (vf == 0) & (
+            (i == 0) | (sidf != jnp.concatenate([sidf[:1], sidf[:-1]]))
+        )
+        n_ru = jnp.sum(fr, dtype=jnp.int32)
+        nfr = jnp.where(fr, 0, 1).astype(jnp.int32)
+        _, rs_sid, rs_pos = lax.sort((nfr, sidf, i), num_keys=1, is_stable=True)
 
         # ---- arc-pair counting (make_syncmer_graph HOT input) ----
         # The graph builder's arc counts are a sort-reduce over all
@@ -202,8 +221,7 @@ def _make_finalize_jit():
         one = jnp.uint64(1)
         gidu = jnp.maximum(gid_flat, 0).astype(jnp.uint64)
         v = (gidu << one) | (lf & one)
-        sid = lf >> jnp.uint64(32)
-        pok = (vf[:-1] == 0) & (vf[1:] == 0) & (sid[:-1] == sid[1:])
+        pok = (vf[:-1] == 0) & (vf[1:] == 0) & (sidf[:-1] == sidf[1:])
         v0, v1 = v[:-1], v[1:]
         flip = v0 > v1
         cv0 = jnp.where(flip, v1 ^ one, v0)
@@ -222,8 +240,9 @@ def _make_finalize_jit():
         nxt = jnp.concatenate([pos_u[1:], pos_u[:1]])
         pcnt = jnp.where(i == n_pu - 1, n_pv - pos_u, nxt - pos_u)
 
-        scalars = jnp.stack([n_tot, n_scm, n_susp, n_pu])
-        return gid_flat, hh, hs, h1, l1, s1, scalars, pk_u, pcnt
+        scalars = jnp.stack([n_tot, n_scm, n_susp, n_pu, n_ru])
+        return (gid_flat, sm_flat, m32_flat, rs_sid, rs_pos, hh, hs,
+                h1, l1, s1, scalars, pk_u, pcnt)
 
     return finalize_jit
 
@@ -249,12 +268,15 @@ class DevCountState:
     across extraction chunks; finalize builds the SyncmerDB."""
 
     def __init__(self, cap_hint: int = 0):
-        self._bufs = None  # (bh, bl, bs, bv) device arrays
+        self._bufs = None  # (bh, bl, bs, bm, bv) device arrays
         self._final = None  # pre-dispatched finalize outputs
         self.cap = 0
         self.cap_hint = cap_hint  # expected total lanes (avoids growth
         # steps, each of which compiles a fresh (max_out, cap) append)
         self.n_fill = 0  # host-tracked append offset
+        self.n_occ = 0  # loader-tracked true occurrence count (sum of
+        # per-chunk n_sel scalars): sizes the finalize fetch and cross
+        # checks the device sort's own count
         # evidence counters (PARITY/BASELINE at-scale validation):
         # buffer growth steps, chunk appends, overflow invalidations
         self.n_grow = 0
@@ -271,6 +293,7 @@ class DevCountState:
                 jnp.full(self.cap, U64_MAX, jnp.uint64),
                 jnp.full(self.cap, U64_MAX, jnp.uint64),
                 jnp.full(self.cap, U64_MAX, jnp.uint64),
+                jnp.zeros(self.cap, jnp.uint32),
                 jnp.ones(self.cap, jnp.int32),
             )
         while self.n_fill + need > self.cap:
@@ -280,8 +303,9 @@ class DevCountState:
             self.n_grow += 1
 
     def append(self, packed, sids: np.ndarray, Lp: int, max_out: int):
-        """Append one chunk's keys; returns (packed2 device array
-        [2, max_out+1], chunk offset in the buffers)."""
+        """Append one chunk's keys; returns (n_sel device scalar slice
+        [1] -- the only per-chunk fetch left -- and the chunk offset in
+        the buffers)."""
         import jax.numpy as jnp
 
         self._final = None  # stale if finalize was dispatched early
@@ -292,13 +316,13 @@ class DevCountState:
         out_cap = -(-max_out // 2048) * 2048
         self._ensure(out_cap)
         off = self.n_fill
-        packed2, h, l, s, v = keys(
+        nsel, h, l, s, m, v = keys(
             packed, jnp.asarray(sids, jnp.int64), Lp=Lp, out_cap=out_cap
         )
-        self._bufs = write(*self._bufs, h, l, s, v, np.int32(off))
+        self._bufs = write(*self._bufs, h, l, s, m, v, np.int32(off))
         self.n_fill = off + out_cap
         self.n_append += 1
-        return packed2, off
+        return nsel, off
 
     def invalidate(self, off: int, n: int):
         """Mark a previously appended chunk's lanes invalid (overflow
@@ -307,9 +331,9 @@ class DevCountState:
             return
         self._final = None  # stale if finalize was dispatched early
         _, invalidate, *_ = _jits()
-        bh, bl, bs, bv = self._bufs
+        bh, bl, bs, bm, bv = self._bufs
         bv = invalidate(bv, np.int64(off), np.int64(n))
-        self._bufs = (bh, bl, bs, bv)
+        self._bufs = (bh, bl, bs, bm, bv)
         self.n_invalidate += 1
 
     def start_finalize(self):
@@ -324,50 +348,67 @@ class DevCountState:
             self._final = finalize(*self._bufs)
 
     def build(self, read_db):
-        """Finalize on device and build the SyncmerDB on host.
+        """Finalize on device, fetch ONE tree (ids + m_pos + smer
+        payloads + read starts + head tables + scalars), restore the
+        per-read views, and build the SyncmerDB on host.
 
         Returns None when no occurrences were collected."""
         import jax
 
-        from .syncmer_db import SyncmerDB, build_db_from_sorted
+        from .syncmer_db import build_db_from_sorted
 
         if self._bufs is None and self._final is None:
             return None
         self.start_finalize()
-        (gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d,
-         pk_u_d, pcnt_d) = self._final
+        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+         h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d) = self._final
         self._final = None
         self._bufs = None
 
-        # n_tot is host-known (the per-read views are assembled), so the
-        # ids, head tables AND the scalars come back in ONE tree fetch;
-        # n_scm <= n_tot bounds the head slices
-        mc, sids, mflat, base = _read_occ_flats(read_db)
-        n_exp = read_db.total_syncmers()
-        if n_exp == 0:
+        # n_occ is host-tracked (sum of per-chunk n_sel scalars), so the
+        # per-occurrence flats, head tables AND the scalars come back in
+        # ONE tree fetch; n_scm <= n_tot bounds the head slices
+        n_exp = self.n_occ
+        n_reads = len(read_db.reads)
+        if n_exp == 0 or n_reads == 0:
             return None
         gran = max(4096, self.cap // 8)
         m = min(self.cap, -(-n_exp // gran) * gran)
-        scalars, gid_flat, hh, hs = jax.device_get(
-            (scalars_d, gid_flat_d[:m], hh_d[:m], hs_d[:m])
+        mr = min(self.cap, -(-min(n_reads, n_exp) // 4096) * 4096)
+        scalars, gid_flat, sm_f, m32_f, rs_sid, rs_pos, hh, hs = jax.device_get(
+            (scalars_d, gid_flat_d[:m], sm_d[:m], m32_d[:m],
+             rs_sid_d[:mr], rs_pos_d[:mr], hh_d[:m], hs_d[:m])
         )
-        n_tot, n_scm, n_susp, n_pu = (int(x) for x in np.asarray(scalars))
+        n_tot, n_scm, n_susp, n_pu, n_ru = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
             raise RuntimeError(
-                f"device counting holds {n_tot} occurrences, ReadDB has {n_exp}"
+                f"device counting holds {n_tot} occurrences, loader saw {n_exp}"
             )
 
+        # per-read occurrence counts from the compacted read starts
+        assert n_ru <= mr
+        rs_sid_v = np.asarray(rs_sid[:n_ru]).astype(np.int64)
+        rs_pos_v = np.asarray(rs_pos[:n_ru]).astype(np.int64)
+        mc = np.zeros(n_reads, np.int64)
+        mc[rs_sid_v] = np.diff(np.append(rs_pos_v, n_tot))
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(mc, out=offs[1:])
+
+        m32_np = np.asarray(m32_f[:n_tot])
+        sm_np = np.asarray(sm_f[:n_tot])
         if n_susp:
-            # hash collision between distinct sequences: resolve exactly
-            # on host over the fetched sorted keys (reference
-            # process_kmer_cluster semantics, never hit in practice)
+            # hash collision between distinct sequences: restore the
+            # per-read views, then resolve exactly on host over the
+            # fetched sorted keys (reference process_kmer_cluster
+            # semantics, never hit in practice)
+            _restore_read_views(read_db, mc, offs, m32_np, sm_np, None)
             sh, sl, ss = jax.device_get((h1_d[:m], l1_d[:m], s1_d[:m]))
             return build_db_from_sorted(
                 read_db,
                 np.asarray(sh[:n_tot]),
                 np.asarray(sl[:n_tot]),
                 np.asarray(ss[:n_tot]),
-                base,
+                offs,
             )
 
         db = _build_db_from_gid(
@@ -375,7 +416,7 @@ class DevCountState:
             np.asarray(gid_flat[:n_tot]),
             n_scm,
             np.asarray(hh[:n_scm]), np.asarray(hs[:n_scm]),
-            mc, sids, mflat, base,
+            mc, offs, m32_np, sm_np,
         )
         if n_pu > 0:
             # second (small) fetch sized by the now-known unique-pair
@@ -392,35 +433,29 @@ class DevCountState:
         return db
 
 
-def _read_occ_flats(read_db):
-    """(mc, sids, mflat, base) from the per-read views without touching
-    k_mer (which is None until the ids arrive)."""
+def _restore_read_views(read_db, mc, offs, m32_np, sm_np, new_kmer):
+    """Point every read's m_pos/s_mer (and k_mer when given) at its
+    slice of the fetched flat arrays.  The loader appends reads in sid
+    order, so slice i belongs to read i."""
     reads = read_db.reads
-    n = len(reads)
-    mc = np.fromiter((len(r.m_pos) for r in reads), np.int64, count=n)
-    sids = np.fromiter((r.sid for r in reads), np.int64, count=n)
-    mflat = (
-        np.concatenate([r.m_pos for r in reads]).astype(np.uint32, copy=False)
-        if n
-        else np.zeros(0, np.uint32)
-    )
-    n_tot = int(mc.sum())
-    offs = np.zeros(n + 1, np.int64)
-    np.cumsum(mc, out=offs[1:])
-    base = np.zeros(n + 1, np.int64)
-    base[sids] = offs[:-1]
-    base[n] = n_tot
-    return mc, sids, mflat, base
+    assert not reads or (reads[0].sid == 0 and reads[-1].sid == len(reads) - 1)
+    for i, r in enumerate(reads):
+        o0, o1 = offs[i], offs[i + 1]
+        r.m_pos = m32_np[o0:o1]
+        r.s_mer = sm_np[o0:o1]
+        if new_kmer is not None:
+            r.k_mer = new_kmer[o0:o1]
 
 
 def _build_db_from_gid(
-    read_db, gid_flat, n_scm, heads_h, heads_s, mc, sids, mflat, base
+    read_db, gid_flat, n_scm, heads_h, heads_s, mc, offs, m32_np, sm_np
 ):
     """Assemble the SyncmerDB from device-assigned ids in per-read flat
     order: coverage by bincount, position lists by a radix counting sort
     of the host-computed low keys by id -- stable over the ascending
     flat (sid, idx, rev) order, exactly the reference's per-cluster
-    order -- and the per-read k_mer rewrite to id<<1."""
+    order -- the per-read k_mer rewrite to id<<1, and the m_pos/s_mer
+    view restore (full-fetch mode: the loader never saw them)."""
     from .. import native
     from ..asm.consensus import set_read_flats
     from .syncmer_db import FlatViews, SyncmerDB
@@ -431,15 +466,15 @@ def _build_db_from_gid(
     np.cumsum(cov.astype(np.int64), out=cuts[1:])
 
     # lows in flat order (= the reference's 128-bit key low half)
-    offs = np.zeros(len(mc) + 1, np.int64)
-    np.cumsum(mc, out=offs[1:])
+    n_reads = len(mc)
     idx = (np.arange(n_tot, dtype=np.int64) - np.repeat(offs[:-1], mc)).astype(
         np.uint64
     )
+    sids = np.arange(n_reads, dtype=np.uint64)
     lows_flat = (
-        (np.repeat(sids, mc).astype(np.uint64) << np.uint64(32))
+        (np.repeat(sids, mc) << np.uint64(32))
         | (idx << np.uint64(1))
-        | (mflat.astype(np.uint64) & np.uint64(1))
+        | (m32_np.astype(np.uint64) & np.uint64(1))
     )
     order = native.argsort_u64(gid_flat.astype(np.uint64))
     if order is None:
@@ -457,15 +492,11 @@ def _build_db_from_gid(
     )
 
     new_kmer = gid_flat.astype(np.uint64) << np.uint64(1)
-    for r in read_db.reads:
-        n = len(r.m_pos)
-        if n:
-            off = base[r.sid]
-            r.k_mer = new_kmer[off : off + n]
-        else:
-            r.k_mer = new_kmer[:0]
+    _restore_read_views(read_db, mc, offs, m32_np, sm_np, new_kmer)
     read_db.version = getattr(read_db, "version", 0) + 1
-    set_read_flats(read_db, mc, new_kmer, mflat, None, sids)
+    set_read_flats(
+        read_db, mc, new_kmer, m32_np, sm_np, sids.astype(np.int64)
+    )
 
     assert int(db.cov.sum()) == n_tot
     return db

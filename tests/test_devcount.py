@@ -133,24 +133,41 @@ def _force_fallback(monkeypatch, DC):
         import jax
 
         self.start_finalize()
-        gid_flat_d, hh_d, hs_d, h1_d, l1_d, s1_d, scalars_d, *_pairs = self._final
+        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+         h1_d, l1_d, s1_d, scalars_d, *_pairs) = self._final
         self._final = None
-        n_tot, n_scm, n_susp = (
-            int(x) for x in np.asarray(jax.device_get(scalars_d))[:3]
+        n_exp = self.n_occ
+        n_reads = len(read_db.reads)
+        if n_exp == 0:
+            return None
+        gran = max(4096, self.cap // 8)
+        m = min(self.cap, -(-n_exp // gran) * gran)
+        mr = min(self.cap, -(-min(n_reads, n_exp) // 4096) * 4096)
+        scalars, m32_f, sm_f, rs_sid, rs_pos, sh, sl, ss = jax.device_get(
+            (scalars_d, m32_d[:m], sm_d[:m], rs_sid_d[:mr], rs_pos_d[:mr],
+             h1_d[:m], l1_d[:m], s1_d[:m])
+        )
+        n_tot, n_scm, n_susp, n_pu, n_ru = (
+            int(x) for x in np.asarray(scalars)
         )
         assert n_susp == 0  # sanity on real data
-        if n_tot == 0:
-            return None
+        assert n_tot == n_exp
+        mc = np.zeros(n_reads, np.int64)
+        rs_sid_v = np.asarray(rs_sid[:n_ru]).astype(np.int64)
+        rs_pos_v = np.asarray(rs_pos[:n_ru]).astype(np.int64)
+        mc[rs_sid_v] = np.diff(np.append(rs_pos_v, n_tot))
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(mc, out=offs[1:])
+        DC._restore_read_views(
+            read_db, mc, offs, np.asarray(m32_f[:n_tot]),
+            np.asarray(sm_f[:n_tot]), None,
+        )
         from oatk_tpu.index.syncmer_db import build_db_from_sorted
 
-        _, _, _, base = DC._read_occ_flats(read_db)
-        gran = max(4096, self.cap // 8)
-        m = min(self.cap, -(-n_tot // gran) * gran)
-        sh, sl, ss = jax.device_get((h1_d[:m], l1_d[:m], s1_d[:m]))
         forced["n"] += 1
         return build_db_from_sorted(
             read_db, np.asarray(sh[:n_tot]), np.asarray(sl[:n_tot]),
-            np.asarray(ss[:n_tot]), base,
+            np.asarray(ss[:n_tot]), offs,
         )
 
     monkeypatch.setattr(DC.DevCountState, "build", forcing_build)
