@@ -507,47 +507,40 @@ def load_and_extract(
             rl = rl_full[vbase : vbase + int(offs[keep])]
         reads: list = [None] * keep
         isn_views = _read_isn_views(isn_pos, offs, keep)
-        for chunk, B, Lp, max_out, n_cap, blob, out, coff in disp:
+        if devcount is not None:
+            # full-fetch mode: nothing to fetch here (n_sel scalars came
+            # back in one batch before the finalize dispatch); the
+            # m_pos/s_mer/k_mer views arrive with the finalize fetch
+            # (DevCountState.build restores them per read)
+            for ri in range(keep):
+                o0, o1 = int(offs[ri]), int(offs[ri + 1])
+                reads[ri] = ReadSyncmers(
+                    sid=sid_base + ri,
+                    name=names[ri],
+                    hoco_l=o1 - o0,
+                    hoco_code=codes[o0:o1],
+                    ho_rl=rl[o0:o1],
+                    is_n=isn_views[ri],
+                    m_pos=None,
+                    s_mer=None,
+                    k_mer=None,
+                )
+            return reads
+        for chunk, B, Lp, max_out, n_cap, blob, out, coff, _csids in disp:
             _t0 = _time.perf_counter()
-            chunk_sids = (
-                np.asarray(chunk, np.int64) + sid_base if devcount is not None else None
-            )
             if hasattr(out, "result"):  # prefetched by the batcher thread
                 pk, n_sel, max_out = _grow_if_overflow(
                     out.result(), blob, B, Lp, n_cap, max_out, w, s, interpret,
-                    devcount, coff, chunk_sids,
                 )
             else:
                 pk = np.asarray(jax.device_get(out["packed"]))
                 pk, n_sel, max_out = _grow_if_overflow(
                     pk, blob, B, Lp, n_cap, max_out, w, s, interpret,
-                    devcount, coff, chunk_sids,
                 )
             _acc("fetch", _t0)
             _tm.setdefault("fetch_each", []).append(  # type: ignore[union-attr]
                 round((_time.perf_counter() - _t0) * 1000, 1)
             ) if _timeit_enabled() else None
-            if devcount is not None:
-                # full-fetch mode: only the n_sel scalar came back; the
-                # m_pos/s_mer/k_mer views arrive with the finalize fetch
-                # (DevCountState.build restores them per read)
-                devcount.n_occ += n_sel
-                for bi, ri in enumerate(chunk):
-                    if ri >= keep:
-                        continue
-                    o0, o1 = int(offs[ri]), int(offs[ri + 1])
-                    reads[ri] = ReadSyncmers(
-                        sid=sid_base + ri,
-                        name=names[ri],
-                        hoco_l=o1 - o0,
-                        hoco_code=codes[o0:o1],
-                        ho_rl=rl[o0:o1],
-                        is_n=isn_views[ri],
-                        m_pos=None,
-                        s_mer=None,
-                        k_mer=None,
-                    )
-                continue
             sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
             cuts = np.searchsorted(sel_b, np.arange(B + 1))
             # whole-chunk field computation, then per-read views
@@ -692,16 +685,23 @@ def load_and_extract(
                                 interpret=interpret,
                             )
                             coff = -1
+                            csids = None
                             if devcount is not None:
+                                csids = np.asarray(chunk, np.int64) + seg_sid
                                 nsel_dev, coff = devcount.append(
-                                    out["packed"],
-                                    np.asarray(chunk, np.int64) + seg_sid,
-                                    Lp, max_out,
+                                    out["packed"], csids, Lp, max_out,
                                 )
+                                # n_sel scalars are batch-fetched in ONE
+                                # round trip after the segment loop (a
+                                # per-chunk drain costs one tunnel RTT
+                                # each, measured 26 x ~33 ms at 110 Mbp)
                                 out = {"packed": nsel_dev}
+                                fut = out
+                            else:
+                                fut = batcher.submit(out)
                             disp.append((
                                 chunk, B, Lp, max_out, n_cap, blob,
-                                batcher.submit(out), coff,
+                                fut, coff, csids,
                             ))
                         _acc("dispatch", _t0)
                         seg_sid += len(res[0])
@@ -714,7 +714,8 @@ def load_and_extract(
                     for _res, _disp, _b in seg_results:
                         for item in _disp:
                             try:
-                                item[6].result()
+                                if hasattr(item[6], "result"):
+                                    item[6].result()
                             except Exception:
                                 pass
                     if devcount is not None and devcount.n_fill > att_fill:
@@ -732,11 +733,30 @@ def load_and_extract(
                 fetch_pool.shutdown(wait=True)
                 batcher.close()
                 return None
+            if devcount is not None:
+                # ONE round trip for every chunk's n_sel overflow scalar
+                # (the only per-chunk result under full-fetch counting);
+                # rare overflows regrow synchronously here so the
+                # finalize below dispatches over settled buffers
+                _t0 = _time.perf_counter()
+                items = [it for _res, dsp, _vb in seg_results for it in dsp]
+                if items:
+                    nsel_arrs = jax.device_get(
+                        [it[6]["packed"] for it in items]
+                    )
+                    for it, nv in zip(items, nsel_arrs):
+                        chunk, B, Lp, max_out, n_cap, blob, _o, coff, csids = it
+                        _pk, n_sel, _mo = _grow_if_overflow(
+                            np.asarray(nv), blob, B, Lp, n_cap, max_out,
+                            w, s, interpret, devcount, coff, csids,
+                        )
+                        devcount.n_occ += n_sel
+                _acc("nsel_fetch", _t0)
             if devcount is not None and devcount.n_fill > 0:
-                # dispatch the finalize sort NOW: it overlaps the
-                # packed-result fetch drains and host assembly below
-                # (a rare overflow regrow during assembly invalidates
-                # the result and re-dispatches at attach time)
+                # dispatch the finalize sort NOW: it overlaps the host
+                # read assembly below (a rare overflow regrow during
+                # assembly invalidates the result and re-dispatches at
+                # attach time)
                 devcount.start_finalize()
             _t0 = _time.perf_counter()
             for res, disp, vbase in seg_results:
@@ -808,7 +828,7 @@ def load_and_extract(
                     jnp.asarray(blob), B, Lp, n_cap, w, s, max_out,
                     interpret=interpret,
                 )
-                disp.append((chunk, B, Lp, max_out, n_cap, blob, out, -1))
+                disp.append((chunk, B, Lp, max_out, n_cap, blob, out, -1, None))
 
         db.reads.extend(assemble(res, disp, keep, sid0))
         h_end = int(offs[keep])
@@ -840,9 +860,11 @@ def load_and_extract(
             off_parts + [np.asarray([off_base], np.int64)]
         ).astype(np.int64, copy=False)
     if devcount is not None and devcount.n_fill > 0:
-        # dispatch the device sort now: it overlaps the host work between
-        # the loader's return and collect_syncmer_db's fetch
+        # dispatch the device sort now and start its outputs' async
+        # device->host copies: sort + transfer overlap the host work
+        # between here and collect_syncmer_db's (then-cheap) device_get
         devcount.start_finalize()
+        devcount.prefetch(len(db.reads))
         db._devcount = devcount  # consumed by collect_syncmer_db
     # always exported: the bench's load_extract sub-split (wall-view
     # phases on the main thread + worker-side parse/pack CPU sums)

@@ -270,6 +270,7 @@ class DevCountState:
     def __init__(self, cap_hint: int = 0):
         self._bufs = None  # (bh, bl, bs, bm, bv) device arrays
         self._final = None  # pre-dispatched finalize outputs
+        self._prefetch = None  # (n_reads, m, mr, tree) async host copies
         self.cap = 0
         self.cap_hint = cap_hint  # expected total lanes (avoids growth
         # steps, each of which compiles a fresh (max_out, cap) append)
@@ -309,6 +310,7 @@ class DevCountState:
         import jax.numpy as jnp
 
         self._final = None  # stale if finalize was dispatched early
+        self._prefetch = None
         (keys, write), *_ = _jits()
         # chunk lanes snap to a 2048 grid: the key decode stays within
         # the loader's chunk-shape compile vocabulary, the write step
@@ -330,6 +332,7 @@ class DevCountState:
         if self._bufs is None:
             return
         self._final = None  # stale if finalize was dispatched early
+        self._prefetch = None
         _, invalidate, *_ = _jits()
         bh, bl, bs, bm, bv = self._bufs
         bv = invalidate(bv, np.int64(off), np.int64(n))
@@ -339,13 +342,40 @@ class DevCountState:
     def start_finalize(self):
         """Dispatch the finalize sort (async); the loader calls this as
         soon as the last chunk is appended so the device sort overlaps
-        the packed-result fetch drains and the host-side read assembly.
-        The carry buffers stay alive: a later append/invalidate (overflow
-        regrow) drops the stale result and a re-dispatch picks up the
-        corrected buffers."""
+        the host-side read assembly.  The carry buffers stay alive: a
+        later append/invalidate (overflow regrow) drops the stale result
+        and a re-dispatch picks up the corrected buffers."""
         if self._bufs is not None and self._final is None:
             *_, finalize = _jits()
             self._final = finalize(*self._bufs)
+
+    def _fetch_plan(self, final, n_reads: int):
+        """Exact-granularity slices of the finalize outputs for the one
+        tree fetch (scalars + per-occurrence flats + read starts + head
+        tables)."""
+        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+         _h1, _l1, _s1, scalars_d, _pk, _pc) = final
+        gran = max(4096, self.cap // 8)
+        m = min(self.cap, -(-self.n_occ // gran) * gran)
+        mr = min(self.cap, -(-min(n_reads, self.n_occ) // 4096) * 4096)
+        tree = (scalars_d, gid_flat_d[:m], sm_d[:m], m32_d[:m],
+                rs_sid_d[:mr], rs_pos_d[:mr], hh_d[:m], hs_d[:m])
+        return m, mr, tree
+
+    def prefetch(self, n_reads: int):
+        """Start the finalize outputs' device->host copies NOW: the
+        transfer rides the wire while the loader assembles reads and the
+        pipeline stats run, so build()'s device_get lands on
+        already-transferred host buffers."""
+        if self._final is None or self.n_occ == 0 or n_reads == 0:
+            return
+        m, mr, tree = self._fetch_plan(self._final, n_reads)
+        for a in tree:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                break  # backend without async host copies: plain get later
+        self._prefetch = (n_reads, m, mr, tree)
 
     def build(self, read_db):
         """Finalize on device, fetch ONE tree (ids + m_pos + smer
@@ -367,17 +397,23 @@ class DevCountState:
 
         # n_occ is host-tracked (sum of per-chunk n_sel scalars), so the
         # per-occurrence flats, head tables AND the scalars come back in
-        # ONE tree fetch; n_scm <= n_tot bounds the head slices
+        # ONE tree fetch (already in flight when the loader prefetched);
+        # n_scm <= n_tot bounds the head slices
         n_exp = self.n_occ
         n_reads = len(read_db.reads)
         if n_exp == 0 or n_reads == 0:
             return None
-        gran = max(4096, self.cap // 8)
-        m = min(self.cap, -(-n_exp // gran) * gran)
-        mr = min(self.cap, -(-min(n_reads, n_exp) // 4096) * 4096)
+        pf = self._prefetch
+        self._prefetch = None
+        if pf is not None and pf[0] == n_reads:
+            _, m, mr, tree = pf
+        else:
+            m, mr, tree = self._fetch_plan(
+                (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+                 h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d), n_reads
+            )
         scalars, gid_flat, sm_f, m32_f, rs_sid, rs_pos, hh, hs = jax.device_get(
-            (scalars_d, gid_flat_d[:m], sm_d[:m], m32_d[:m],
-             rs_sid_d[:mr], rs_pos_d[:mr], hh_d[:m], hs_d[:m])
+            tree
         )
         n_tot, n_scm, n_susp, n_pu, n_ru = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
