@@ -125,9 +125,9 @@ def _read_isn_views(isn_pos: np.ndarray, offs: np.ndarray, n_reads: int):
 def _unpack_packed(pk: np.ndarray, n_sel: int, Lp: int):
     """Decode the kernel's single-transfer [3, max_out+1] int64 result:
     row0 = flat_idx<<1|z (slot max_out = n_sel), row1 = smer payload,
-    row2 = bitcast Murmur hash.  Under device-resident counting the
-    khash row never leaves the device (pk has 2 rows); sel_kh is None
-    and per-read k_mer stays unset until the id fetch."""
+    row2 = bitcast Murmur hash.  (Only the host-sort counting path
+    fetches packed rows; device-resident counting fetches nothing per
+    chunk beyond the n_sel scalar -- see DevCountState.build.)"""
     flat = pk[0, :n_sel]
     sel_z = (flat & 1).astype(np.int32)
     fi = flat >> 1
