@@ -248,11 +248,13 @@ def main():
     # warm jit cache on the exact shapes (incl. the device-counting
     # finalize sort consumed by collect_syncmer_db) -- and the host-sort
     # counting path used by the same-session A/B below
-    collect_syncmer_db(load_reads([DATA], K, S))
+    collect_syncmer_db(load_and_extract([DATA], K, S, device_count=True))
     collect_syncmer_db(load_and_extract([DATA], K, S, device_count=False))
 
     def run_extract():
-        read_db = load_reads([DATA], K, S)
+        # A/B leg: device-resident counting (the production default;
+        # explicit here so the A/B stays meaningful under OATK_TPU_COUNT)
+        read_db = load_and_extract([DATA], K, S, device_count=True)
         scm_db = collect_syncmer_db(read_db)
         assert scm_db is not None and scm_db.n > 0
 
@@ -291,7 +293,7 @@ def main():
         if tot and (not shares or tot < shares.get("total_s", 1e9)):
             shares.update(
                 load_extract_s=round(load, 3),
-                device_count_s=round(collect, 3),
+                collect_db_s=round(collect, 3),
                 downstream_host_s=round(rest, 3),
                 total_s=round(tot, 3),
             )

@@ -36,12 +36,24 @@ def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: 
     OATK_TPU_IMPL overrides the kernel implementation choice
     ('pallas' | 'jnp' | 'auto'): forcing 'pallas' off-TPU runs the
     production fused loader + device counting in interpret mode — used
-    to validate the single-chip default path at scale on CPU."""
+    to validate the single-chip default path at scale on CPU.
+
+    OATK_TPU_COUNT picks the counting path ('device' [default] |
+    'host').  Device-resident counting (one finalize sort + exact-size
+    async-prefetched fetch) is strictly better on PCIe-attached chips
+    (downloads ~free, host sort replaced); through the relay tunnel the
+    same-session A/B flips with tunnel weather (BENCH_r04: -31% one
+    session, +32% another — full-duplex overlap vs fewer bytes/round
+    trips) and is a wash on average, so the design-correct default
+    stands everywhere."""
     import os as _os
 
     if use_device:
         impl = _os.environ.get("OATK_TPU_IMPL", "auto")
-        db = load_and_extract(files, k, s, max_data, impl=impl, device_count=True)
+        device_count = _os.environ.get("OATK_TPU_COUNT", "device") != "host"
+        db = load_and_extract(
+            files, k, s, max_data, impl=impl, device_count=device_count
+        )
         if db is not None:
             return db
     records = read_fastx(files, max_data)
