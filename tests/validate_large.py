@@ -151,6 +151,8 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="genome size scale (use 0.1 for a quick smoke run)")
     ap.add_argument("--shards", type=int, default=0)
+    ap.add_argument("--warm", action="store_true",
+                    help="run syncasm twice in-process; report the warm wall")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
@@ -205,6 +207,18 @@ def main():
                   out=str(wd / "mine"), shards=args.shards)
     t_mine = time.time() - t0
     print(f"oatk_tpu syncasm: {t_mine:.1f} s (shards={args.shards})", flush=True)
+    if args.warm:
+        # second in-process run on the now-compiled shape vocabulary:
+        # the axon pool claims a (possibly different) backend host per
+        # process and no compile cache persists across claims, so a
+        # single cold run conflates ~minutes of XLA compiles with the
+        # pipeline wall.  Warm-run timing matches bench.py's
+        # compile-once-stream-many protocol (the production regime).
+        t0 = time.time()
+        res = syncasm([str(fa)], k=1001, s=31, min_k_cov=30, do_ec=True,
+                      do_unzip=3, out=str(wd / "mine"), shards=args.shards)
+        t_mine = time.time() - t0
+        print(f"oatk_tpu syncasm (warm): {t_mine:.1f} s", flush=True)
     tm = res.timings or {}
     if tm:
         print("stage walls: " + " ".join(f"{k}={v:.3f}s" for k, v in tm.items()),
