@@ -193,12 +193,14 @@ def _make_finalize_jit():
         _, hh, hs = lax.sort((nf, h1, s1), num_keys=1, is_stable=True)
 
         # everything per-occurrence back to per-read flat order
-        # (= ascending low): the host fetches ids + m_pos + smer payloads
-        # from HERE instead of draining every chunk's padded packed
-        # result -- exact bytes, one transfer (full-fetch mode)
-        vf, lf, gid_flat, sm_flat, m32_flat = lax.sort(
-            (vv, l1, gid, s1, m1), num_keys=2
-        )
+        # (= ascending low): the host fetches ids + m_pos from HERE
+        # instead of draining every chunk's padded packed result --
+        # exact bytes, one transfer (full-fetch mode).  The smer payload
+        # does NOT ride along: n_susp above counts exactly the lanes
+        # where s1 != cluster head, so when it is zero every
+        # occurrence's s_mer equals hs[gid] and the host reconstructs it
+        # from the (much smaller) head table.
+        vf, lf, gid_flat, m32_flat = lax.sort((vv, l1, gid, m1), num_keys=2)
 
         # per-read occurrence counts: compact (sid, flat_start) at read
         # boundaries; the host turns consecutive starts into mc slices
@@ -241,7 +243,7 @@ def _make_finalize_jit():
         pcnt = jnp.where(i == n_pu - 1, n_pv - pos_u, nxt - pos_u)
 
         scalars = jnp.stack([n_tot, n_scm, n_susp, n_pu, n_ru])
-        return (gid_flat, sm_flat, m32_flat, rs_sid, rs_pos, hh, hs,
+        return (gid_flat, m32_flat, rs_sid, rs_pos, hh, hs,
                 h1, l1, s1, scalars, pk_u, pcnt)
 
     return finalize_jit
@@ -353,12 +355,12 @@ class DevCountState:
         """Exact-granularity slices of the finalize outputs for the one
         tree fetch (scalars + per-occurrence flats + read starts + head
         tables)."""
-        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+        (gid_flat_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
          _h1, _l1, _s1, scalars_d, _pk, _pc) = final
         gran = max(4096, self.cap // 8)
         m = min(self.cap, -(-self.n_occ // gran) * gran)
         mr = min(self.cap, -(-min(n_reads, self.n_occ) // 4096) * 4096)
-        tree = (scalars_d, gid_flat_d[:m], sm_d[:m], m32_d[:m],
+        tree = (scalars_d, gid_flat_d[:m], m32_d[:m],
                 rs_sid_d[:mr], rs_pos_d[:mr], hh_d[:m], hs_d[:m])
         return m, mr, tree
 
@@ -390,7 +392,7 @@ class DevCountState:
         if self._bufs is None and self._final is None:
             return None
         self.start_finalize()
-        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+        (gid_flat_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
          h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d) = self._final
         self._final = None
         self._bufs = None
@@ -409,12 +411,10 @@ class DevCountState:
             _, m, mr, tree = pf
         else:
             m, mr, tree = self._fetch_plan(
-                (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+                (gid_flat_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
                  h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d), n_reads
             )
-        scalars, gid_flat, sm_f, m32_f, rs_sid, rs_pos, hh, hs = jax.device_get(
-            tree
-        )
+        scalars, gid_flat, m32_f, rs_sid, rs_pos, hh, hs = jax.device_get(tree)
         n_tot, n_scm, n_susp, n_pu, n_ru = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
             raise RuntimeError(
@@ -431,27 +431,34 @@ class DevCountState:
         np.cumsum(mc, out=offs[1:])
 
         m32_np = np.asarray(m32_f[:n_tot])
-        sm_np = np.asarray(sm_f[:n_tot])
         if n_susp:
-            # hash collision between distinct sequences: restore the
-            # per-read views, then resolve exactly on host over the
-            # fetched sorted keys (reference process_kmer_cluster
-            # semantics, never hit in practice)
-            _restore_read_views(read_db, mc, offs, m32_np, sm_np, None)
+            # hash collision between distinct sequences: rebuild the
+            # per-occurrence smer stream from the hash-sorted keys
+            # (scatter by flat position), restore the per-read views,
+            # then resolve exactly on host over the fetched sorted keys
+            # (reference process_kmer_cluster semantics, never hit in
+            # practice)
             sh, sl, ss = jax.device_get((h1_d[:m], l1_d[:m], s1_d[:m]))
-            return build_db_from_sorted(
-                read_db,
-                np.asarray(sh[:n_tot]),
-                np.asarray(sl[:n_tot]),
-                np.asarray(ss[:n_tot]),
-                offs,
-            )
+            sh = np.asarray(sh[:n_tot])
+            sl = np.asarray(sl[:n_tot])
+            ss = np.asarray(ss[:n_tot])
+            sid_s = (sl >> np.uint64(32)).astype(np.int64)
+            idx_s = ((sl >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+            sm_np = np.empty(n_tot, np.uint64)
+            sm_np[offs[sid_s] + idx_s] = ss
+            _restore_read_views(read_db, mc, offs, m32_np, sm_np, None)
+            return build_db_from_sorted(read_db, sh, sl, ss, offs)
 
+        gid_np = np.asarray(gid_flat[:n_tot])
+        heads_s = np.asarray(hs[:n_scm])
+        # per-occurrence smer = head smer of its cluster: guaranteed by
+        # n_susp == 0 (the finalize counted every s1 != s_head lane)
+        sm_np = heads_s[gid_np]
         db = _build_db_from_gid(
             read_db,
-            np.asarray(gid_flat[:n_tot]),
+            gid_np,
             n_scm,
-            np.asarray(hh[:n_scm]), np.asarray(hs[:n_scm]),
+            np.asarray(hh[:n_scm]), heads_s,
             mc, offs, m32_np, sm_np,
         )
         if n_pu > 0:

@@ -133,7 +133,7 @@ def _force_fallback(monkeypatch, DC):
         import jax
 
         self.start_finalize()
-        (gid_flat_d, sm_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
+        (gid_flat_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
          h1_d, l1_d, s1_d, scalars_d, *_pairs) = self._final
         self._final = None
         n_exp = self.n_occ
@@ -143,8 +143,8 @@ def _force_fallback(monkeypatch, DC):
         gran = max(4096, self.cap // 8)
         m = min(self.cap, -(-n_exp // gran) * gran)
         mr = min(self.cap, -(-min(n_reads, n_exp) // 4096) * 4096)
-        scalars, m32_f, sm_f, rs_sid, rs_pos, sh, sl, ss = jax.device_get(
-            (scalars_d, m32_d[:m], sm_d[:m], rs_sid_d[:mr], rs_pos_d[:mr],
+        scalars, m32_f, rs_sid, rs_pos, sh, sl, ss = jax.device_get(
+            (scalars_d, m32_d[:m], rs_sid_d[:mr], rs_pos_d[:mr],
              h1_d[:m], l1_d[:m], s1_d[:m])
         )
         n_tot, n_scm, n_susp, n_pu, n_ru = (
@@ -158,17 +158,20 @@ def _force_fallback(monkeypatch, DC):
         mc[rs_sid_v] = np.diff(np.append(rs_pos_v, n_tot))
         offs = np.zeros(n_reads + 1, np.int64)
         np.cumsum(mc, out=offs[1:])
+        sh = np.asarray(sh[:n_tot])
+        sl = np.asarray(sl[:n_tot])
+        ss = np.asarray(ss[:n_tot])
+        sid_s = (sl >> np.uint64(32)).astype(np.int64)
+        idx_s = ((sl >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        sm_np = np.empty(n_tot, np.uint64)
+        sm_np[offs[sid_s] + idx_s] = ss
         DC._restore_read_views(
-            read_db, mc, offs, np.asarray(m32_f[:n_tot]),
-            np.asarray(sm_f[:n_tot]), None,
+            read_db, mc, offs, np.asarray(m32_f[:n_tot]), sm_np, None,
         )
         from oatk_tpu.index.syncmer_db import build_db_from_sorted
 
         forced["n"] += 1
-        return build_db_from_sorted(
-            read_db, np.asarray(sh[:n_tot]), np.asarray(sl[:n_tot]),
-            np.asarray(ss[:n_tot]), offs,
-        )
+        return build_db_from_sorted(read_db, sh, sl, ss, offs)
 
     monkeypatch.setattr(DC.DevCountState, "build", forcing_build)
     return forced
