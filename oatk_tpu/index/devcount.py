@@ -360,8 +360,12 @@ class DevCountState:
         gran = max(4096, self.cap // 8)
         m = min(self.cap, -(-self.n_occ // gran) * gran)
         mr = min(self.cap, -(-min(n_reads, self.n_occ) // 4096) * 4096)
+        # head tables (n_scm rows) ride the SECOND fetch, exact-sized
+        # once the scalars land -- n_scm is typically ~n_occ/coverage,
+        # so slicing them at occurrence granularity here would fetch
+        # ~10-30x the needed bytes
         tree = (scalars_d, gid_flat_d[:m], m32_d[:m],
-                rs_sid_d[:mr], rs_pos_d[:mr], hh_d[:m], hs_d[:m])
+                rs_sid_d[:mr], rs_pos_d[:mr])
         return m, mr, tree
 
     def prefetch(self, n_reads: int):
@@ -414,7 +418,7 @@ class DevCountState:
                 (gid_flat_d, m32_d, rs_sid_d, rs_pos_d, hh_d, hs_d,
                  h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d), n_reads
             )
-        scalars, gid_flat, m32_f, rs_sid, rs_pos, hh, hs = jax.device_get(tree)
+        scalars, gid_flat, m32_f, rs_sid, rs_pos = jax.device_get(tree)
         n_tot, n_scm, n_susp, n_pu, n_ru = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
             raise RuntimeError(
@@ -449,6 +453,19 @@ class DevCountState:
             _restore_read_views(read_db, mc, offs, m32_np, sm_np, None)
             return build_db_from_sorted(read_db, sh, sl, ss, offs)
 
+        # second fetch, exact-sized now that the scalars are known:
+        # head tables (n_scm rows) + the unique arc-pair rows that
+        # make_syncmer_graph consumes instead of re-materializing and
+        # radix-sorting every adjacent pair on host
+        mh = min(self.cap, -(-max(n_scm, 1) // 4096) * 4096)
+        mp = min(self.cap, -(-n_pu // 4096) * 4096) if n_pu > 0 else 0
+        if mp:
+            hh, hs, pk_u, pcnt = jax.device_get(
+                (hh_d[:mh], hs_d[:mh], pk_u_d[:mp], pcnt_d[:mp])
+            )
+        else:
+            hh, hs = jax.device_get((hh_d[:mh], hs_d[:mh]))
+
         gid_np = np.asarray(gid_flat[:n_tot])
         heads_s = np.asarray(hs[:n_scm])
         # per-occurrence smer = head smer of its cluster: guaranteed by
@@ -461,13 +478,7 @@ class DevCountState:
             np.asarray(hh[:n_scm]), heads_s,
             mc, offs, m32_np, sm_np,
         )
-        if n_pu > 0:
-            # second (small) fetch sized by the now-known unique-pair
-            # count; make_syncmer_graph consumes these sorted unique
-            # (v0<<32|v1, count) rows instead of re-materializing and
-            # radix-sorting every adjacent pair on host
-            mp = min(self.cap, -(-n_pu // 4096) * 4096)
-            pk_u, pcnt = jax.device_get((pk_u_d[:mp], pcnt_d[:mp]))
+        if mp:
             read_db._dev_pairs = (
                 read_db.version,
                 np.asarray(pk_u[:n_pu]),
