@@ -190,7 +190,13 @@ def make_syncmer_graph(
             & ~dels[uv0 >> 1]
             & ~dels[uv1 >> 1]
         )
-        s0, s1, sc = uv0[ok], uv1[ok], counts[ok]
+        if bool(ok.all()):
+            # unfiltered graph (EC prelude: min_a_cov_f=0, no deletions):
+            # keep views instead of fancy-index copies of ~10M-row arrays
+            s0, s1, sc = uv0, uv1, counts
+            ok = slice(None)
+        else:
+            s0, s1, sc = uv0[ok], uv1[ok], counts[ok]
         # (s1^1)==s0 iff (s0^1)==s1: one term decides palindromes
         has_comp = (s1 ^ 1) != s0
         # Duplicate-key scan: a pair key (s0,s1) and its complement key
