@@ -154,6 +154,8 @@ def make_syncmer_graph(
         if _t:
             _t("pairs")
     else:
+        if dp is not None:
+            read_db._dev_pairs = None  # stale (EC spliced reads): free
         pk_unique = None
         cv0, cv1 = _read_adjacent_pairs(read_db)
         n_pairs = len(cv0)
