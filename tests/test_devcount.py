@@ -310,3 +310,23 @@ def test_devcount_pairs_match_host_graph(tmp_path, monkeypatch, reads):
     assert np.array_equal(g1.utg.av, g2.utg.av)
     assert np.array_equal(g1.utg.aw, g2.utg.aw)
     assert np.array_equal(np.asarray(g1.utg.acov), np.asarray(g2.utg.acov))
+
+
+def test_devcount_mixed_format_discard(tmp_path, monkeypatch, reads):
+    """A mixed FASTA/FASTQ buffer makes the optimistic '\\n>' split
+    unsafe: the loader must invalidate the discarded attempt's device
+    key lanes and return None cleanly under device counting."""
+    from oatk_tpu import native
+    from oatk_tpu.asm import reads as R
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    mixed = tmp_path / "m.fa"
+    with open(mixed, "w") as f:
+        for i, r in enumerate(reads[:12]):
+            f.write(f">r{i}\n{r}\n")
+        f.write(f"@q0\n{reads[12]}\n+\n{'I' * len(reads[12])}\n")
+    monkeypatch.setattr(R, "_SEG_BYTES", 2048)
+    assert R.load_and_extract(
+        [str(mixed)], W, S, impl="pallas", device_count=True
+    ) is None
