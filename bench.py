@@ -306,11 +306,14 @@ def main():
     best_110, times_110 = best_of(run_full_110, max(3, N_RUNS - 2), N_RUNS + 3)
     full_110_mbps = total_110 / 1e6 / best_110
 
-    # ---- device-busy estimate (chained kernel iterations) ----
-    # 20 data-dependent dispatches of one production-shaped chunk; the
-    # chain serializes on device, so wall/(iters) ~ per-chunk device
-    # time with tunnel latency amortized.  Separates "chip is busy"
-    # from "wire is busy" in the load_extract slice.
+    # ---- device-busy estimate ----
+    # ONE dispatch running the extraction kernel 20x inside a fori_loop
+    # (each iteration consumes the previous one's output, so the chain
+    # cannot be elided): wall/20 ~ true per-chunk device time with the
+    # tunnel's per-dispatch latency paid once, not per iteration
+    # (tools/wire_probe.py: dispatch ~1.5 ms but a python-level chain
+    # still paid a round trip per .at[].set, which made the old
+    # estimator report wire latency as chip time).
     device_busy = {}
     try:
         import jax
@@ -328,21 +331,32 @@ def main():
         hl = np.full(B_, Lp_ - 8, np.int32)
         n_arr = np.full(ncap_, B_ * Lp_, np.int32)
         blob0 = np.concatenate([packed, hl.view(np.uint8), n_arr.view(np.uint8)])
-        blob = jnp.asarray(blob0)
-        out = extract_hoco_fused_pallas(blob, B_, Lp_, ncap_, K, S, mo_)
-        _ = np.asarray(out["packed"][0, :1])  # warm + sync
         iters = 20
+
+        @jax.jit
+        def chain(blob, n):
+            from jax import lax
+
+            def body(_, b):
+                out = extract_hoco_fused_pallas(b, B_, Lp_, ncap_, K, S, mo_)
+                return b.at[0].set(out["packed"][0, 0].astype(jnp.uint8))
+
+            return lax.fori_loop(0, n, body, blob)
+
+        blob = jnp.asarray(blob0)
+        _ = np.asarray(chain(blob, np.int32(1))[:1])  # warm + sync
         t0 = time.time()
-        for _ in range(iters):
-            blob = blob.at[0].set(out["packed"][0, 0].astype(jnp.uint8))
-            out = extract_hoco_fused_pallas(blob, B_, Lp_, ncap_, K, S, mo_)
-        _ = np.asarray(out["packed"][0, :1])
+        _ = np.asarray(chain(blob, np.int32(iters))[:1])
         dt = time.time() - t0
-        per_chunk = dt / iters
+        t0 = time.time()
+        _ = np.asarray(chain(blob, np.int32(1))[:1])
+        dt1 = time.time() - t0  # dispatch+fetch overhead, 1 iteration
+        per_chunk = max(1e-9, (dt - dt1) / (iters - 1))
         gbps = B_ * Lp_ / per_chunk / 1e9
         device_busy = {
             "kernel_gbps": round(gbps, 2),
             "device_busy_110mbp_est_s": round(total_110 / 1e9 / gbps, 4),
+            "dispatch_overhead_s": round(dt1, 4),
         }
     except Exception as e:  # never fail the bench on the estimator
         device_busy = {"error": str(e)[:120]}
