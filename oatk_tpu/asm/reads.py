@@ -657,9 +657,13 @@ def load_and_extract(
                 # masked out of the device count buffers
                 att_fill = devcount.n_fill if devcount is not None else 0
                 seg_sid = sid0
-                # parse workers honor the -t / OATK_TPU_THREADS width
-                # (capped: beyond 4 the GIL-side pack work saturates)
-                n_parse = max(1, min(native.n_threads_default(), 4, len(bounds)))
+                # parse workers honor the -t / OATK_TPU_THREADS width.
+                # Cap 8: the C parse releases the GIL and the AVX-512
+                # packer cut the GIL-side pack share to ~9% of parse
+                # CPU (3 Gbp warm: pack_work 2.4 s vs parse_work 26 s),
+                # so ~8 workers fit before the GIL serializes; parse is
+                # the binding term at Gbp scale on many-core hosts.
+                n_parse = max(1, min(native.n_threads_default(), 8, len(bounds)))
                 seg_tms: list = []  # (parse_s, pack_s) per segment, worker-side
                 with ThreadPoolExecutor(n_parse) as ex:
                     futs = [
