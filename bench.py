@@ -165,7 +165,21 @@ def tpu_preflight(timeout_s: int = 1200) -> str | None:
     return None
 
 
+def ensure_refbin():
+    """/root/refbin lives outside the repo and is wiped between rounds;
+    rebuild the parity/baseline oracles from /root/reference on demand."""
+    if os.path.exists(REFBIN):
+        return
+    script = os.path.join(REPO, "tools", "build_refbin.sh")
+    try:
+        subprocess.run(["bash", script], check=True, capture_output=True,
+                       timeout=600)
+    except Exception:
+        pass  # bench degrades to vs_baseline=None rather than crashing
+
+
 def main():
+    ensure_refbin()
     total_bases = ensure_dataset()
 
     err = tpu_preflight()
