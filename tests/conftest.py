@@ -21,6 +21,18 @@ _xb._backend_factories.pop("axon", None)
 import numpy as np
 import pytest
 
+# Parity oracles: /root/refbin lives outside the repo and is wiped
+# between rounds; rebuild from /root/reference on first use so a fresh
+# environment doesn't fail every parity test with FileNotFoundError.
+if not os.path.exists("/root/refbin/syncasm"):
+    import subprocess as _sp
+
+    _script = os.path.join(os.path.dirname(__file__), "..", "tools", "build_refbin.sh")
+    try:
+        _sp.run(["bash", _script], check=True, capture_output=True, timeout=600)
+    except Exception:
+        pass  # individual tests will report the missing oracle
+
 
 @pytest.fixture
 def rng():
