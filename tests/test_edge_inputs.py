@@ -167,3 +167,26 @@ def test_survives_input_that_segfaults_reference(tmp_path, rng):
     syncasm([str(fa)], k=k, s=s, min_k_cov=2, do_ec=True, do_unzip=3,
             out=str(tmp_path / "mine"))
     assert (tmp_path / "mine.utg.final.gfa").exists()
+
+
+def test_mixed_degenerate_devcount_path(tmp_path, rng, monkeypatch):
+    """Same degenerate mix (zero-syncmer N/homopolymer reads between
+    real ones) forced through the production fused loader + device
+    counting (full-fetch): the per-read view restore must hand every
+    degenerate read empty arrays and keep byte parity."""
+    from oatk_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("OATK_TPU_IMPL", "pallas")
+    g = random_genome(rng, 8000)
+    src = g + g
+    parts = [">deg0\nNNNNN\n>deg1\nAAAA\n"]
+    for i in range(40):
+        st = int(rng.integers(8000))
+        parts.append(f">r{i}\n{src[st:st+1500]}\n")
+    parts.append(">deg2\n" + "N" * 100 + "\n")
+    ref_rc, _, wd = _run_pair(tmp_path, "".join(parts), k=151, s=13, c=2)
+    assert ref_rc == 0
+    _assert_gfa_equal(wd / "ref.utg.gfa", wd / "mine.utg.gfa")
+    _assert_gfa_equal(wd / "ref.utg.final.gfa", wd / "mine.utg.final.gfa")
