@@ -409,6 +409,19 @@ class DevCountState:
         n_reads = len(read_db.reads)
         if n_exp == 0 or n_reads == 0:
             return None
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _timeit = bool(_os.environ.get("OATK_TPU_TIMEIT"))
+        _tm: dict[str, float] = {}
+        _tk = [_time.perf_counter()]
+
+        def _t(k):
+            now = _time.perf_counter()
+            _tm[k] = _tm.get(k, 0.0) + (now - _tk[0])
+            _tk[0] = now
+
         pf = self._prefetch
         self._prefetch = None
         if pf is not None and pf[0] == n_reads:
@@ -419,6 +432,7 @@ class DevCountState:
                  h1_d, l1_d, s1_d, scalars_d, pk_u_d, pcnt_d), n_reads
             )
         scalars, gid_flat, m32_f, rs_sid, rs_pos = jax.device_get(tree)
+        _t("fetch1")
         n_tot, n_scm, n_susp, n_pu, n_ru = (int(x) for x in np.asarray(scalars))
         if n_tot != n_exp:
             raise RuntimeError(
@@ -465,6 +479,7 @@ class DevCountState:
             )
         else:
             hh, hs = jax.device_get((hh_d[:mh], hs_d[:mh]))
+        _t("fetch2")
 
         gid_np = np.asarray(gid_flat[:n_tot])
         heads_s = np.asarray(hs[:n_scm])
@@ -478,12 +493,16 @@ class DevCountState:
             np.asarray(hh[:n_scm]), heads_s,
             mc, offs, m32_np, sm_np,
         )
+        _t("host_build")
         if mp:
             read_db._dev_pairs = (
                 read_db.version,
                 np.asarray(pk_u[:n_pu]),
                 np.asarray(pcnt[:n_pu]).astype(np.int64),
             )
+        if _timeit and _tm:
+            parts = " ".join(f"{k}={v * 1000:.1f}ms" for k, v in _tm.items())
+            print(f"[T::devcount_build] {parts}", file=_sys.stderr, flush=True)
         return db
 
 
