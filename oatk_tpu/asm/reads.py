@@ -206,7 +206,7 @@ def extract_all_syncmers(
                     hoco_l[bi] = len(code)
                     for p in np.flatnonzero(is_n):
                         n_pos.append(bi * Lp + int(p))
-                n_cap = _round_up(max(64, len(n_pos)), 1024)
+                n_cap = 0 if not len(n_pos) else _round_up(max(64, len(n_pos)), 1024)
                 n_arr = np.full(n_cap, B * Lp, np.int32)
                 n_arr[: len(n_pos)] = n_pos
                 out = extract_hoco_packed_pallas(
@@ -305,7 +305,7 @@ def _parse_pack_segment(
             st = offs[chunk]
             en = offs[np.asarray(chunk) + 1]
             n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
-            n_cap = _round_up(max(64, len(n_pos)), 1024)
+            n_cap = 0 if not len(n_pos) else _round_up(max(64, len(n_pos)), 1024)
             # one blob = one tunnel transfer (latency-bound wire); the
             # packed grid / lengths / N positions are written straight
             # into their blob slices -- no per-chunk concatenate copy
@@ -818,7 +818,7 @@ def load_and_extract(
                 st = offs[chunk]
                 en = offs[np.asarray(chunk) + 1]
                 n_pos = _chunk_n_positions(isn_idx, st, en, Lp)
-                n_cap = _round_up(max(64, len(n_pos)), 1024)
+                n_cap = 0 if not len(n_pos) else _round_up(max(64, len(n_pos)), 1024)
                 pk_b = B * (Lp // 4)
                 blob = np.zeros(pk_b + 4 * B + 4 * n_cap, np.uint8)
                 packed = blob[:pk_b].reshape(B, Lp // 4)

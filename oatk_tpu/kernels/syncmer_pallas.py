@@ -264,13 +264,18 @@ def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int):
         Mh = jnp.where(smer_bad, SENT_HI, hh)
         Ml = jnp.where(smer_bad, SENT_LO, hl)
 
-        # windows over s-mer starts
-        B1h, B1l = _table_min(Mh, Ml, q - 1)  # min over [e, e+q-2]
+        # windows over s-mer starts; B1 (width q-1) derives from C2
+        # (width q-2) with one extra min step instead of a second full
+        # log-doubling table: min[e, e+q-2] = min(M[e], C2[e+1])
         if q > 2:
             C2h, C2l = _table_min(Mh, Ml, q - 2)
+            B1h, B1l = _p_min(
+                Mh, Ml, _shift_l(C2h, 1, SENT_HI), _shift_l(C2l, 1, SENT_LO)
+            )
         else:
             C2h = jnp.full_like(Mh, SENT_HI)
             C2l = jnp.full_like(Ml, SENT_LO)
+            B1h, B1l = _table_min(Mh, Ml, q - 1)
 
         anyN_w = _window_any(invalid, w)  # any invalid in [e, e+w-1]
 
@@ -328,8 +333,19 @@ def syncmer_select_pallas(codes_padded: jnp.ndarray, w: int, s: int, interpret: 
     B, Lp = codes_padded.shape
     L = Lp - w - 3
     TB = 8
-    TILE = 2048 if L >= 2048 else max(128, -(-L // 128) * 128)
-    E = TILE + w + 3
+    # tile-size choice: each tile pays a (w+3)-wide right halo of
+    # redundant compute, so bigger tiles amortize it -- but VMEM holds
+    # ~15 live [TB, E] i32 arrays, capping E.  Pick the candidate
+    # minimizing total scanned lanes ceil(L/T)*(T+halo).
+    halo = w + 3
+    cap = 12288  # E cap: ~15 * [8, E] i32 arrays ~ 6 MB of VMEM
+    cands = [t for t in (2048, 3072, 4096, 6144, 8192) if t + halo <= cap]
+    if L + halo <= cap:
+        cands.append(max(128, -(-L // 128) * 128))
+    if not cands:
+        cands = [2048]
+    TILE = min(cands, key=lambda t: -(-L // t) * (t + halo))
+    E = TILE + halo
     # round E up to lanes
     E = -(-E // 128) * 128
     nb = -(-B // TB)
