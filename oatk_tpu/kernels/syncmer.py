@@ -89,12 +89,21 @@ def _pack_windows_u64(win_codes: jnp.ndarray, w: int) -> jnp.ndarray:
     N = win_codes.shape[0]
     n_bytes = (w - 1) // 4 + 1
     nblk = -(-n_bytes // 8)
-    padded = jnp.pad(win_codes.astype(jnp.uint64), ((0, 0), (0, nblk * 32 - w)))
+    # build bytes and 32-bit halves in i32 (u64 lanes are emulated on
+    # TPU; only the final [N, nblk] block array pays the wide dtype)
+    padded = jnp.pad(win_codes.astype(jnp.int32), ((0, 0), (0, nblk * 32 - w)))
     quads = padded.reshape(N, nblk * 8, 4)
     bytes_ = (quads[..., 0] << 6) | (quads[..., 1] << 4) | (quads[..., 2] << 2) | quads[..., 3]
-    oct_ = bytes_.reshape(N, nblk, 8)
-    shifts = jnp.arange(8, dtype=jnp.uint64) * 8
-    return jnp.sum(oct_ << shifts[None, None, :], axis=2, dtype=jnp.uint64)
+    word4 = bytes_.reshape(N, nblk * 2, 4)
+    words = (
+        word4[..., 0]
+        | (word4[..., 1] << 8)
+        | (word4[..., 2] << 16)
+        | (word4[..., 3] << 24)
+    ).reshape(N, nblk, 2)
+    lo = words[..., 0].astype(jnp.uint32).astype(jnp.uint64)
+    hi = words[..., 1].astype(jnp.uint32).astype(jnp.uint64)
+    return (hi << 32) | lo
 
 
 def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:

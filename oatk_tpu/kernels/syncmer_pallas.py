@@ -134,6 +134,70 @@ def _hash64_pair(hi, lo, bits: int):
     return _p_mask(hi, lo, bits)
 
 
+def _compose_pow_u32(code, m: int, rev: bool, powers: dict):
+    """F_m[e] = sum_{j<m} code[e+j] << 2(m-1-j)  (fwd, MSB-first), or
+    R_m[e] = sum_{j<m} code[e+j] << 2j           (rev, LSB-first),
+    as a single uint32 (requires m <= 16).  Binary-decomposition
+    doubling with shared power-of-two partials cached in `powers`."""
+    assert 1 <= m <= 16
+    key = ("r" if rev else "f", 1)
+    if key not in powers:
+        powers[key] = (code, 1)
+
+    def compose(A, a_len, P, p_len):
+        # fwd:  F_{a+p}[e] = A[e] << 2p | P[e+a]
+        # rev:  R_{a+p}[e] = A[e] | P[e+a] << 2a
+        Ps = _shift_l(P, a_len, np.uint32(0))
+        if rev:
+            return A | (Ps << (2 * a_len)), a_len + p_len
+        return (A << (2 * p_len)) | Ps, a_len + p_len
+
+    def pow2(k):
+        key = ("r" if rev else "f", k)
+        if key not in powers:
+            P = pow2(k // 2)
+            powers[key] = (compose(P, k // 2, P, k // 2)[0], k)
+        return powers[key][0]
+
+    acc = None
+    a_len = 0
+    for bit in (16, 8, 4, 2, 1):
+        if m & bit:
+            p = pow2(bit)
+            if acc is None:
+                acc, a_len = p, bit
+            else:
+                acc, a_len = compose(acc, a_len, p, bit)
+    return acc
+
+
+def _smer_codes_u32(c2, s: int):
+    """Canonical-strand s-mer codes at every start position, as uint32
+    (hi, lo) pairs -- computed with pure-u32 doubling on two halves
+    that split exactly at the 32-bit boundary (s > 16: hi = F_{s-16}[e],
+    lo = F16[e+s-16]; rev: lo = R16[e], hi = R_{s-16}[e+16]), ~2.5x
+    fewer vector ops than emulated-64-bit log-doubling."""
+    powers: dict = {}
+    if s <= 16:
+        fl = _compose_pow_u32(c2, s, False, powers)
+        fh = jnp.zeros_like(c2)
+        rl = _compose_pow_u32(np.uint32(3) - c2, s, True, powers)
+        rh = jnp.zeros_like(c2)
+        return fh, fl, rh, rl
+    a = s - 16
+    fa = _compose_pow_u32(c2, a, False, powers)
+    f16 = _compose_pow_u32(c2, 16, False, powers)
+    fh = fa
+    fl = _shift_l(f16, a, np.uint32(0))
+    comp = np.uint32(3) - c2
+    rpowers: dict = {}
+    r16 = _compose_pow_u32(comp, 16, True, rpowers)
+    ra = _compose_pow_u32(comp, a, True, rpowers)
+    rl = r16
+    rh = _shift_l(ra, 16, np.uint32(0))
+    return fh, fl, rh, rl
+
+
 def _win_compose_fwd(code, s: int):
     """F_s[e] = sum_{j<s} code[e+j] << 2(s-1-j) as uint32 pairs."""
     # doubling with binary decomposition of s
@@ -251,8 +315,7 @@ def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int):
         invalid = (code >= 4).astype(jnp.int32)
         c2 = _u32(jnp.where(code < 4, code, jnp.int32(0)))
 
-        fh, fl = _win_compose_fwd(c2, s)
-        rh, rl = _win_compose_rev(c2, s)
+        fh, fl, rh, rl = _smer_codes_u32(c2, s)
         # canonical strand: fwd < rev ? fwd : rev; symmetric (==) invalid
         z = ~_p_le(fh, fl, rh, rl)  # True when rev < fwd
         symm = (fh == rh) & (fl == rl)
@@ -338,7 +401,7 @@ def syncmer_select_pallas(codes_padded: jnp.ndarray, w: int, s: int, interpret: 
     # ~15 live [TB, E] i32 arrays, capping E.  Pick the candidate
     # minimizing total scanned lanes ceil(L/T)*(T+halo).
     halo = w + 3
-    cap = 12288  # E cap: ~15 * [8, E] i32 arrays ~ 6 MB of VMEM
+    cap = 14080  # E cap: ~15 * [8, E] i32 arrays ~ 6.7 MB of VMEM
     cands = [t for t in (2048, 3072, 4096, 6144, 8192) if t + halo <= cap]
     if L + halo <= cap:
         cands.append(max(128, -(-L // 128) * 128))
