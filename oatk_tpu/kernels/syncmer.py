@@ -404,7 +404,9 @@ def extract_syncmers_batch_pallas(
 
     B, L = seq.shape
     h = _hoco_phase(seq, lens)
-    codes = jnp.where(h["eff_n"], jnp.where(h["h_in"], 4, 5), h["hoco_c"]).astype(jnp.int32)
+    codes = jnp.where(
+        h["eff_n"], jnp.where(h["h_in"], 4, 5), h["hoco_c"]
+    ).astype(jnp.uint8)
     codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
     return _selected_details(h["hoco_c"], h["hoco_l"], sel, w, s, max_out)
@@ -431,14 +433,18 @@ def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
     B, L4 = packed.shape
     L = L4 * 4
     shifts = jnp.array([6, 4, 2, 0], jnp.int32)
-    codes = ((packed[:, :, None].astype(jnp.int32) >> shifts[None, None, :]) & 3).reshape(B, L)
+    codes = (
+        ((packed[:, :, None].astype(jnp.int32) >> shifts[None, None, :]) & 3)
+        .reshape(B, L)
+        .astype(jnp.uint8)
+    )
     pos = jnp.arange(L, dtype=jnp.int32)
-    codes = jnp.where(pos[None, :] < hoco_l[:, None], codes, 5)
+    codes = jnp.where(pos[None, :] < hoco_l[:, None], codes, jnp.uint8(5))
     if n_pos.size:  # scatter serializes (~1 us/index); skip for N-free chunks
         codes = codes.reshape(-1).at[n_pos].set(4, mode="drop").reshape(B, L)
     codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
-    hoco_c = jnp.where(codes < 4, codes, 0).astype(jnp.uint8)
+    hoco_c = jnp.where(codes < 4, codes, jnp.uint8(0))
     return _selected_details(hoco_c, None, sel, w, s, max_out)
 
 
@@ -482,7 +488,7 @@ def extract_hoco_batch_pallas(
     """
     from .syncmer_pallas import syncmer_select_pallas
 
-    codes = codes_u8.astype(jnp.int32)
+    codes = codes_u8
     codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
     hoco_c = jnp.where(codes_u8 < 4, codes_u8, 0).astype(jnp.uint8)

@@ -298,20 +298,13 @@ def _window_any(flag, width: int):
     return t
 
 
-def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int):
+def _select_body(code, w: int, s: int, TILE: int, sel_ref):
+    """Shared selection pipeline: extended codes [TB, E] (values 0..3
+    bases, 4 N, 5 pad; col e = position tile_start + e - 1) -> sel
+    codes written to sel_ref[:, :TILE]."""
     q = w - s + 1
     bits = 2 * s
-
-    def kernel(codes_hbm, sel_ref, scratch, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            codes_hbm.at[pl.ds(i * TB, TB), pl.ds(j * TILE, E)], scratch, sem
-        )
-        copy.start()
-        copy.wait()
-        code = scratch[:, :]  # int32 [TB, E]; values 0..3, 4=N, 5=pad
-
+    if True:  # keep the original indentation of the body below
         invalid = (code >= 4).astype(jnp.int32)
         c2 = _u32(jnp.where(code < 4, code, jnp.int32(0)))
 
@@ -384,12 +377,31 @@ def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int):
         )
         sel_ref[:, :] = sel[:, :TILE]
 
+
+def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int, u8: bool):
+    def kernel(codes_hbm, sel_ref, scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            codes_hbm.at[pl.ds(i * TB, TB), pl.ds(j * TILE, E)], scratch, sem
+        )
+        copy.start()
+        copy.wait()
+        code = scratch[:, :]  # values 0..3 bases, 4=N, 5=pad
+        if u8:
+            # uint8 input: 4x less HBM traffic for the codes array;
+            # widen once in VMEM (Mosaic handles u8->i32 converts)
+            code = code.astype(jnp.int32)
+        _select_body(code, w, s, TILE, sel_ref)
+
     return kernel
 
 
 @partial(jax.jit, static_argnames=("w", "s", "interpret"))
 def syncmer_select_pallas(codes_padded: jnp.ndarray, w: int, s: int, interpret: bool = False):
-    """codes_padded: [B, 1 + L + w + 2] int32 (col 0 and right pad = 5).
+    """codes_padded: [B, 1 + L + w + 2] int32 or uint8 (col 0 and right
+    pad = 5).  uint8 input is preferred: the codes array costs 4x less
+    HBM traffic and is widened in VMEM.
 
     Returns sel codes int32 [B, L]: 0 none, 1 open, 2 close.
     """
@@ -418,7 +430,8 @@ def syncmer_select_pallas(codes_padded: jnp.ndarray, w: int, s: int, interpret: 
     padL = nt * TILE + E - Lp
     cp = jnp.pad(codes_padded, ((0, padB), (0, max(0, padL))), constant_values=5)
 
-    kernel = _make_kernel(w, s, TB, TILE, E)
+    u8 = codes_padded.dtype == jnp.uint8
+    kernel = _make_kernel(w, s, TB, TILE, E, u8)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb * TB, nt * TILE), jnp.int32),
@@ -426,7 +439,7 @@ def syncmer_select_pallas(codes_padded: jnp.ndarray, w: int, s: int, interpret: 
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TB, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TB, E), jnp.int32),
+            pltpu.VMEM((TB, E), jnp.uint8 if u8 else jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
