@@ -108,6 +108,78 @@ def measure_reference_110(total_bases: int) -> float:
     return total_bases / 1e6 / best
 
 
+def measure_reference_110_t8(total_bases: int) -> float:
+    """Amdahl-extrapolated 8-thread reference throughput at 110 Mbp.
+
+    The bench host has 4 cores, the reference README prescribes -t 8
+    (VERDICT r4 weak #4), so the honest target is the t=8 EQUIVALENT:
+    fit wall(t) = serial + par/t on t=1,2,4 (best-of-2 each) and
+    evaluate at t=8.  Optimistic for the reference (assumes perfect
+    scaling to 8 real cores), which keeps the comparison conservative
+    for us."""
+    walls = {}
+    for t in (1, 2, 4):
+        args = [REFBIN, "-k", str(K), "-s", str(S), "-t", str(t), "-c", "30",
+                "--unzip-round", "3", "-o", f"/tmp/oatk_bench_ref_t{t}"]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            subprocess.run(args + [DATA110], capture_output=True)
+            best = min(best or 1e9, time.time() - t0)
+        walls[t] = best
+    # least squares for wall = s + p/t over (1, 2, 4)
+    import numpy as _np
+
+    A = _np.array([[1.0, 1.0 / t] for t in walls])
+    y = _np.array([walls[t] for t in walls])
+    s_, p_ = _np.linalg.lstsq(A, y, rcond=None)[0]
+    t8 = max(s_ + p_ / 8.0, walls[4] * 0.5)  # sanity floor
+    return total_bases / 1e6 / t8
+
+
+def wire_probe() -> dict:
+    """Inline relay-tunnel probe (tools/wire_probe.py measurements as a
+    dict) so every BENCH row ships with the session's wire weather and
+    cross-round regressions become decidable vs tunnel drift."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(128, jnp.int32)
+    np.asarray(f(x)[:1])  # warm
+    t0 = time.time()
+    y = x
+    for _ in range(30):
+        y = f(y)
+    np.asarray(y[:1])
+    dispatch_ms = (time.time() - t0) / 30 * 1e3
+    blob = np.random.randint(0, 255, 4 << 20, dtype=np.uint8)
+    g = jax.jit(lambda b: b.sum())
+    np.asarray(g(jnp.asarray(blob)))  # warm
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(g(jnp.asarray(blob)))
+    up_mbps = 3 * 4 / (time.time() - t0)
+    h = jax.jit(lambda b: jnp.tile(b, 3))
+    big = h(jnp.asarray(blob))
+    np.asarray(big[:1])
+    t0 = time.time()
+    _ = np.asarray(big)
+    down_mbps = 12 / (time.time() - t0)
+    outs = [f(x) for _ in range(10)]
+    np.asarray(outs[-1][:1])
+    t0 = time.time()
+    for o in outs:
+        np.asarray(o[:1])
+    rtt_ms = (time.time() - t0) / 10 * 1e3
+    return {
+        "upload_MBps": round(up_mbps, 1),
+        "download_MBps": round(down_mbps, 1),
+        "dispatch_ms": round(dispatch_ms, 2),
+        "rtt_ms": round(rtt_ms, 2),
+    }
+
+
 def measure_reference(total_bases: int, full: bool) -> float:
     args = [REFBIN, "-k", str(K), "-s", str(S), "-t", "4",
             "-o", "/tmp/oatk_bench_ref_full" if full else "/tmp/oatk_bench_ref"]
@@ -214,12 +286,18 @@ def main():
         "/tmp/oatk_bench_ref_110.utg.final.gfa"
     ):
         measure_reference_110(total_110)  # regenerate parity oracle files
+    if not pub.get("ref_full_110_t8_mbps_est") and os.path.exists(REFBIN):
+        pub["ref_full_110_t8_mbps_est"] = round(
+            measure_reference_110_t8(total_110), 2
+        )
+        changed = True
     if changed:
         with open(baseline_path, "w") as f:
             json.dump(baseline, f, indent=2)
     ref_extract = pub.get("ref_extract_count_mbps")
     ref_full = pub.get("ref_full_pipeline_mbps")
     ref_110 = pub.get("ref_full_110_mbps")
+    ref_110_t8 = pub.get("ref_full_110_t8_mbps_est")
 
     import oatk_tpu  # noqa: F401
     from oatk_tpu.asm.pipeline import load_reads, syncasm
@@ -227,6 +305,7 @@ def main():
     from oatk_tpu.index.syncmer_db import collect_syncmer_db
 
     check = kernel_spot_check()
+    wire_pre = wire_probe()
 
     def spread(times, base):
         """Variance fields for one metric: the tunnel drifts run to run,
@@ -375,6 +454,8 @@ def main():
     except Exception as e:  # never fail the bench on the estimator
         device_busy = {"error": str(e)[:120]}
 
+    wire_post = wire_probe()
+
     parity = "unchecked"
     ref_gfa = "/tmp/oatk_bench_ref_full.utg.final.gfa"
     if os.path.exists(ref_gfa):
@@ -410,6 +491,14 @@ def main():
                 "vs_baseline": (
                     round(full_110_mbps / ref_110, 3) if ref_110 else None
                 ),
+                "vs_baseline_t8": (
+                    round(full_110_mbps / ref_110_t8, 3) if ref_110_t8 else None
+                ),
+                "wire_pre": wire_pre,
+                "wire_post": wire_post,
+                "counting_default": (
+                    "auto: host <60MB (30 Mbp leg), device >=60MB (110 Mbp leg)"
+                ),
                 "full_110mbp_spread": spread(times_110, total_110),
                 "full_30mbp_mbps": round(full_mbps, 2),
                 "full_30mbp_vs_baseline": (
@@ -431,9 +520,10 @@ def main():
                 "device_busy": device_busy,
                 "baseline_threads": 4,
                 "baseline_note": (
-                    "reference syncasm measured with -t 4 (this host has 4 "
-                    "cores); the README example is -t 8, so vs_baseline "
-                    "would shrink on a wider host"
+                    "vs_baseline = measured -t 4 reference (this host has 4 "
+                    "cores); vs_baseline_t8 = Amdahl-extrapolated -t 8 "
+                    "equivalent (README-prescribed config), fitted from "
+                    "t=1/2/4 walls"
                 ),
             }
         )

@@ -38,19 +38,37 @@ def load_reads(files: list[str], k: int, s: int, max_data: int = 0, use_device: 
     production fused loader + device counting in interpret mode — used
     to validate the single-chip default path at scale on CPU.
 
-    OATK_TPU_COUNT picks the counting path ('device' [default] |
-    'host').  Device-resident counting (one finalize sort + exact-size
-    async-prefetched fetch) is strictly better on PCIe-attached chips
-    (downloads ~free, host sort replaced); through the relay tunnel the
-    same-session A/B flips with tunnel weather (BENCH_r04: -31% one
-    session, +32% another — full-duplex overlap vs fewer bytes/round
-    trips) and is a wash on average, so the design-correct default
-    stands everywhere."""
+    OATK_TPU_COUNT picks the counting path ('device' | 'host' |
+    'auto' [default]).  Device-resident counting (one finalize sort +
+    exact-size async-prefetched fetch) is strictly better on
+    PCIe-attached chips (downloads ~free, host sort replaced); through
+    the relay tunnel the same-session A/B flips with tunnel weather
+    (BENCH_r04: -31% one session, +32% another — full-duplex overlap
+    vs fewer bytes/round trips).  'auto' keeps the design-correct
+    device default at scale but switches small inputs (< ~60 MB total,
+    where fixed per-round-trip costs dominate and BENCH_r04 measured
+    the 30 Mbp leg under 1x) to the host sort."""
     import os as _os
 
     if use_device:
         impl = _os.environ.get("OATK_TPU_IMPL", "auto")
-        device_count = _os.environ.get("OATK_TPU_COUNT", "device") != "host"
+        _cnt = _os.environ.get("OATK_TPU_COUNT", "auto").strip().lower()
+        if _cnt not in ("device", "host", "auto"):
+            import sys as _sys
+
+            print(
+                f"[W::syncasm] OATK_TPU_COUNT={_cnt!r} not in "
+                "{'auto','device','host'}; using 'auto'",
+                file=_sys.stderr,
+            )
+            _cnt = "auto"
+        if _cnt == "auto":
+            try:
+                total = sum(_os.path.getsize(f) for f in files)
+            except OSError:
+                total = 1 << 62  # pipes/URLs: size unknown, assume large
+            _cnt = "host" if total < (60 << 20) else "device"
+        device_count = _cnt != "host"
         db = load_and_extract(
             files, k, s, max_data, impl=impl, device_count=device_count
         )

@@ -737,30 +737,14 @@ def load_and_extract(
                 fetch_pool.shutdown(wait=True)
                 batcher.close()
                 return None
-            if devcount is not None:
-                # ONE round trip for every chunk's n_sel overflow scalar
-                # (the only per-chunk result under full-fetch counting);
-                # rare overflows regrow synchronously here so the
-                # finalize below dispatches over settled buffers
-                _t0 = _time.perf_counter()
-                items = [it for _res, dsp, _vb in seg_results for it in dsp]
-                if items:
-                    nsel_arrs = jax.device_get(
-                        [it[6]["packed"] for it in items]
-                    )
-                    for it, nv in zip(items, nsel_arrs):
-                        chunk, B, Lp, max_out, n_cap, blob, _o, coff, csids = it
-                        _pk, n_sel, _mo = _grow_if_overflow(
-                            np.asarray(nv), blob, B, Lp, n_cap, max_out,
-                            w, s, interpret, devcount, coff, csids,
-                        )
-                        devcount.n_occ += n_sel
-                _acc("nsel_fetch", _t0)
             if devcount is not None and devcount.n_fill > 0:
-                # dispatch the finalize sort NOW: it overlaps the host
-                # read assembly below (a rare overflow regrow during
-                # assembly invalidates the result and re-dispatches at
-                # attach time)
+                # dispatch the finalize sort OPTIMISTICALLY, before the
+                # n_sel scalars are even drained: overflow is
+                # pathological-rare, and when it does happen the regrow
+                # below clears the stale result and a re-dispatch picks
+                # up the corrected buffers.  This moves the entire
+                # device queue (extract kernels + finalize sort) behind
+                # the host read assembly.
                 devcount.start_finalize()
             _t0 = _time.perf_counter()
             for res, disp, vbase in seg_results:
@@ -780,6 +764,29 @@ def load_and_extract(
             code_parts.append(codes_full)
             rl_parts.append(rl_full)
             _t0 = _acc("assemble_total", _t0)
+            if devcount is not None:
+                # ONE round trip for every chunk's n_sel overflow
+                # scalar, drained AFTER assembly: the wait for the
+                # device queue (uploads + extract kernels + finalize
+                # sort) overlapped the host assembly above, so this
+                # fetch usually lands on finished work (VERDICT r4
+                # item 3: was 84% of load wall when drained before).
+                # Rare overflows regrow here; the regrow invalidates
+                # the optimistic finalize and the next start_finalize
+                # re-dispatches over settled buffers.
+                items = [it for _res, dsp, _vb in seg_results for it in dsp]
+                if items:
+                    nsel_arrs = jax.device_get(
+                        [it[6]["packed"] for it in items]
+                    )
+                    for it, nv in zip(items, nsel_arrs):
+                        chunk, B, Lp, max_out, n_cap, blob, _o, coff, csids = it
+                        _pk, n_sel, _mo = _grow_if_overflow(
+                            np.asarray(nv), blob, B, Lp, n_cap, max_out,
+                            w, s, interpret, devcount, coff, csids,
+                        )
+                        devcount.n_occ += n_sel
+                _t0 = _acc("nsel_fetch", _t0)
             fetch_pool.shutdown(wait=True)
             batcher.close()
             _acc("pool_shutdown", _t0)

@@ -150,6 +150,9 @@ def make_syncmer_graph(
         pk_unique, counts = dp[1], dp[2]
         uv0 = (pk_unique >> np.uint64(32)).astype(np.int64)
         uv1 = (pk_unique & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # hi=2^31 is safe because devcount packs v = gid<<1|rev with
+        # int32 gid (see devcount.py finalize INVARIANT comment); the
+        # host-sort branch below instead widens hi for >=2^32 ids
         hi, n_pairs = (1 << 31), len(uv0)
         if _t:
             _t("pairs")

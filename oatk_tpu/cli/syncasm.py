@@ -12,10 +12,11 @@ from ._common import parse_data_size
 ENV_EPILOG = """\
 environment variables:
   OATK_TPU_THREADS       default native pool width when -t is not given
-  OATK_TPU_COUNT         counting path: device|host [device]; device-
-                         resident counting is strictly better on PCIe-
-                         attached chips; through the relay tunnel the
-                         A/B flips with tunnel weather (BENCH_r04)
+  OATK_TPU_COUNT         counting path: auto|device|host [auto];
+                         device-resident counting is strictly better
+                         on PCIe-attached chips; 'auto' picks it above
+                         ~60 MB of input and the host sort below
+                         (round-trip-dominated small inputs)
   OATK_TPU_IMPL          kernel impl: pallas|jnp|auto [auto]
   OATK_TPU_TIMEIT        print [T::] per-stage wall timings on stderr
   OATK_TPU_PROFILE=DIR   write a JAX device+host trace (TensorBoard)

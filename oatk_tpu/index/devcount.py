@@ -220,6 +220,11 @@ def _make_finalize_jit():
         # here reuses the buffers already on device and overlaps the
         # host read assembly, removing the host-side pair materialize +
         # radix sort (~0.8 s/Gbp) from ec_graph0 / make_graph.
+        # INVARIANT: gid is int32 (< 2^31), so v = gid<<1|rev fits 32
+        # bits and the 32/32 pair packing below cannot collide.  The
+        # host consumer (asm/scg.py device-pairs branch) hardcodes
+        # hi=1<<31 on the same invariant; widening gid beyond int32
+        # requires changing BOTH sites.
         one = jnp.uint64(1)
         gidu = jnp.maximum(gid_flat, 0).astype(jnp.uint64)
         v = (gidu << one) | (lf & one)
@@ -511,7 +516,14 @@ def _restore_read_views(read_db, mc, offs, m32_np, sm_np, new_kmer):
     slice of the fetched flat arrays.  The loader appends reads in sid
     order, so slice i belongs to read i."""
     reads = read_db.reads
-    assert not reads or (reads[0].sid == 0 and reads[-1].sid == len(reads) - 1)
+    if reads and (reads[0].sid != 0 or reads[-1].sid != len(reads) - 1):
+        # hard check (not an assert: -O must not strip it) -- if the
+        # loader ever produced out-of-order sids the slices below would
+        # silently attach to the wrong reads and corrupt the assembly
+        raise RuntimeError(
+            f"devcount: reads not sid-contiguous (first={reads[0].sid}, "
+            f"last={reads[-1].sid}, n={len(reads)})"
+        )
     for i, r in enumerate(reads):
         o0, o1 = offs[i], offs[i + 1]
         r.m_pos = m32_np[o0:o1]
