@@ -267,6 +267,9 @@ class ShardedSyncmerCollector:
         self.n_steps += 1
         return _dget(packed)
 
+    def _build_multiproc(self, read_db, hs_dev, ls_dev, n_per_shard):
+        return _build_multiproc_impl(read_db, hs_dev, ls_dev, n_per_shard)
+
     def build(self, read_db) -> SyncmerDB | None:
         """Finalize: per-shard sort, gather runs in shard order (= global
         128-bit key order), and build the DB with the shared host code.
@@ -286,6 +289,17 @@ class ShardedSyncmerCollector:
             )
         hs, ls = _sharded_finalize_sort(hbuf, lbuf, mesh=self.mesh)
         self._state = None
+        if jax.process_count() > 1:
+            try:
+                return self._build_multiproc(read_db, hs, ls, n_per_shard)
+            except Exception as e:  # pragma: no cover - defensive
+                import sys
+
+                print(
+                    f"[W::sharded_db] sharded host build failed ({e}); "
+                    "falling back to replicated build",
+                    file=sys.stderr,
+                )
         hs = _dget(hs)
         ls = _dget(ls)
 
@@ -307,6 +321,107 @@ class ShardedSyncmerCollector:
         idx = ((sl >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
         ss = smers[base[sid] + idx]
         return build_db_from_sorted(read_db, sh, sl, ss, base)
+
+
+def _build_multiproc_impl(read_db, hs_dev, ls_dev, n_per_shard):
+    """Process-sharded host DB assembly (VERDICT r4 item 8).
+
+    The replicated build allgathers every shard's raw sorted keys
+    (16 B/occurrence over DCN) and then EVERY process clusters the full
+    concatenation.  Here each process clusters only the hash-range
+    shards whose device rows it owns (clusters cannot span shards:
+    ownership is by hash prefix), and the allgather ships RESULTS --
+    per-cluster heads/coverage (~1/coverage the rows) plus the
+    8 B/occurrence grouped lows that become mp_flat -- so both the
+    wire bytes and the dominant clustering/sort compute drop by the
+    process count.  Shard results are re-ordered by global shard id
+    after the gather, which restores the exact global 128-bit key
+    order; the assembled SyncmerDB is byte-identical to the replicated
+    build (asserted by tests/test_multiprocess_dist.py against the
+    single-process host build)."""
+    from ..index.syncmer_db import (
+        assemble_db_from_clusters,
+        cluster_occurrences,
+        flatten_occurrences,
+    )
+    from .stages import _allgather_var
+
+    _, _, smers, base = flatten_occurrences(read_db)
+
+    # local shards with their global shard index
+    local = []
+    lshards = {s.index[0].start or 0: s for s in ls_dev.addressable_shards}
+    for sh_ in hs_dev.addressable_shards:
+        g0 = sh_.index[0].start or 0
+        hdata = np.asarray(sh_.data)
+        ldata = np.asarray(lshards[g0].data)
+        for r in range(hdata.shape[0]):
+            local.append((g0 + r, hdata[r], ldata[r]))
+    local.sort(key=lambda t: t[0])
+
+    ids, meta, hparts, sparts, covparts, clparts = [], [], [], [], [], []
+    for g, hrow, lrow in local:
+        n = int(n_per_shard[g])
+        hrun, lrun = hrow[:n], lrow[:n]
+        sid = (lrun >> np.uint64(32)).astype(np.int64)
+        idx = ((lrun >> np.uint64(1)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        ssr = smers[base[sid] + idx] if n else np.zeros(0, np.uint64)
+        gid, n_scm_l, rep = cluster_occurrences(read_db, hrun, lrun, ssr)
+        cov_l = np.bincount(gid, minlength=n_scm_l).astype(np.int64)
+        if n_scm_l and not bool((gid[1:] >= gid[:-1]).all()):
+            cl = lrun[np.argsort(gid, kind="stable")]
+        else:
+            cl = lrun
+        ids.append(g)
+        meta.append((n_scm_l, n))
+        hparts.append(hrun[rep])
+        sparts.append(ssr[rep])
+        covparts.append(cov_l)
+        clparts.append(cl)
+
+    z64 = np.zeros(0, np.uint64)
+    zi = np.zeros(0, np.int64)
+    tag = np.asarray(
+        [[g, m[0], m[1]] for g, m in zip(ids, meta)], np.int64
+    ).reshape(-1, 3)
+    tag_all = _allgather_var(tag)
+    h_all = _allgather_var(np.concatenate(hparts) if hparts else z64)
+    s_all = _allgather_var(np.concatenate(sparts) if sparts else z64)
+    c_all = _allgather_var(np.concatenate(covparts) if covparts else zi)
+    cl_all = _allgather_var(np.concatenate(clparts) if clparts else z64)
+
+    # reorder per-shard slices by global shard id
+    recs = []
+    for r in range(len(tag_all)):
+        t = tag_all[r].reshape(-1, 3)
+        o_scm = o_occ = 0
+        for g, n_scm_l, n_occ_l in t:
+            recs.append((
+                int(g),
+                h_all[r][o_scm : o_scm + n_scm_l],
+                s_all[r][o_scm : o_scm + n_scm_l],
+                c_all[r][o_scm : o_scm + n_scm_l],
+                cl_all[r][o_occ : o_occ + n_occ_l],
+            ))
+            o_scm += int(n_scm_l)
+            o_occ += int(n_occ_l)
+    recs.sort(key=lambda t: t[0])
+    gids_seen = [t[0] for t in recs]
+    if gids_seen != sorted(set(gids_seen)) or len(gids_seen) != len(n_per_shard):
+        raise RuntimeError(f"shard results incomplete: {gids_seen}")
+    h_heads = np.concatenate([t[1] for t in recs])
+    s_heads = np.concatenate([t[2] for t in recs])
+    cov = np.concatenate([t[3] for t in recs])
+    cl_sorted = np.concatenate([t[4] for t in recs])
+    n_tot = read_db.total_syncmers()
+    if len(cl_sorted) != n_tot:
+        raise RuntimeError(
+            f"sharded collector holds {len(cl_sorted)} occurrences, "
+            f"ReadDB has {n_tot}"
+        )
+    return assemble_db_from_clusters(
+        read_db, h_heads, s_heads, cov.astype(np.uint32), cl_sorted, base
+    )
 
 
 def load_and_extract_sharded(

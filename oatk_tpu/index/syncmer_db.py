@@ -118,16 +118,17 @@ def flatten_occurrences(read_db: ReadDB):
     return hashes, lows, smers, base
 
 
-def build_db_from_sorted(
+def cluster_occurrences(
     read_db: ReadDB,
-    sh: np.ndarray,  # [n_tot] uint64 hashes, globally sorted by (hash, low)
-    sl: np.ndarray,  # [n_tot] uint64 lows, co-sorted
-    ss: np.ndarray,  # [n_tot] uint64 smer payloads, co-sorted
-    base: np.ndarray,  # [n_reads+1] int64 per-read offsets into flat order
-) -> SyncmerDB:
-    """Cluster sorted occurrences, resolve hash collisions by exact
-    sequence, assign global syncmer ids in sorted order, build position
-    lists, and rewrite per-read k_mer from hash to syncmer id<<1."""
+    sh: np.ndarray,  # [n] uint64 hashes, sorted by (hash, low)
+    sl: np.ndarray,  # [n] uint64 lows, co-sorted
+    ss: np.ndarray,  # [n] uint64 smer payloads, co-sorted
+):
+    """Cluster a sorted occurrence run and resolve hash collisions by
+    exact sequence; returns (gid, n_scm, rep_idx) with gid the
+    0-based cluster id per occurrence (run-local).  Shared by the host
+    build and the process-sharded build (a hash-range shard is a
+    self-contained run: clusters never span shards)."""
     n_tot = len(sh)
 
     # cluster boundaries on hash
@@ -184,18 +185,54 @@ def build_db_from_sorted(
         gid = remap[inv]
         n_scm = len(uniq)
         rep_idx = first_pos[ord2]
+    return gid, n_scm, rep_idx
 
+
+def build_db_from_sorted(
+    read_db: ReadDB,
+    sh: np.ndarray,  # [n_tot] uint64 hashes, globally sorted by (hash, low)
+    sl: np.ndarray,  # [n_tot] uint64 lows, co-sorted
+    ss: np.ndarray,  # [n_tot] uint64 smer payloads, co-sorted
+    base: np.ndarray,  # [n_reads+1] int64 per-read offsets into flat order
+) -> SyncmerDB:
+    """Cluster sorted occurrences, resolve hash collisions by exact
+    sequence, assign global syncmer ids in sorted order, build position
+    lists, and rewrite per-read k_mer from hash to syncmer id<<1."""
+    gid, n_scm, rep_idx = cluster_occurrences(read_db, sh, sl, ss)
     cov = np.bincount(gid, minlength=n_scm).astype(np.uint32)
+    # m_pos lists per syncmer, in sorted order (sid, idx ascending).
+    # gid is already nondecreasing unless the (never-hit-in-practice)
+    # collision sub-clustering renumbered ids.
+    if n_scm and not bool((gid[1:] >= gid[:-1]).all()):
+        cl_sorted = sl[np.argsort(gid, kind="stable")]
+    else:
+        cl_sorted = sl
+    return assemble_db_from_clusters(
+        read_db, sh[rep_idx].copy(), ss[rep_idx].copy(), cov, cl_sorted, base
+    )
+
+
+def assemble_db_from_clusters(
+    read_db: ReadDB,
+    h_heads: np.ndarray,  # [n_scm] uint64 cluster head hashes (global id order)
+    s_heads: np.ndarray,  # [n_scm] uint64 cluster head smer payloads
+    cov: np.ndarray,  # [n_scm] uint32 cluster sizes
+    cl_sorted: np.ndarray,  # [n_tot] uint64 lows grouped by cluster (= mp_flat)
+    base: np.ndarray,  # [n_reads+1] int64 per-read offsets into flat order
+) -> SyncmerDB:
+    """Assemble the SyncmerDB + per-read k_mer rewrite from
+    cluster-level arrays.  Shared tail of the host build and the
+    process-sharded build (each process clusters its own hash range;
+    the rank-order concatenation of shard results feeds here)."""
+    n_scm = len(cov)
+    n_tot = len(cl_sorted)
     db = SyncmerDB(
-        h=sh[rep_idx].copy(),
-        s=ss[rep_idx].copy(),
-        cov=cov,
+        h=h_heads,
+        s=s_heads,
+        cov=cov.astype(np.uint32, copy=False),
         del_=np.zeros(n_scm, dtype=bool),
         m_pos=None,
     )
-    # m_pos lists per syncmer, in sorted order (sid, idx ascending)
-    cl_order = np.argsort(gid, kind="stable")
-    cl_sorted = sl[cl_order]
     cuts = np.zeros(n_scm + 1, dtype=np.int64)
     np.cumsum(cov.astype(np.int64), out=cuts[1:])
     db.m_pos = FlatViews(cl_sorted, cuts)
@@ -203,9 +240,11 @@ def build_db_from_sorted(
     db.mp_off = cuts
 
     # rewrite read k_mer: hash -> syncmer id << 1, scattered back to the
-    # per-read flat order via (sid, idx)
-    sid_all = (sl >> np.uint64(32)).astype(np.int64)
-    idx_all = ((sl >> np.uint64(1)) & np.uint64(MAX_RD_SCM)).astype(np.int64)
+    # per-read flat order via (sid, idx); gid per occurrence follows
+    # from the cluster cuts
+    gid = np.repeat(np.arange(n_scm, dtype=np.int64), cov.astype(np.int64))
+    sid_all = (cl_sorted >> np.uint64(32)).astype(np.int64)
+    idx_all = ((cl_sorted >> np.uint64(1)) & np.uint64(MAX_RD_SCM)).astype(np.int64)
     new_kmer = np.empty(n_tot, dtype=np.uint64)
     new_kmer[base[sid_all] + idx_all] = gid.astype(np.uint64) << np.uint64(1)
     for r in read_db.reads:
