@@ -176,6 +176,14 @@ def extract_all_syncmers(
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     interpret = jax.default_backend() != "tpu"
 
+    import os as _os
+
+    device_hoco = bool(int(_os.environ.get("OATK_TPU_DEVICE_HOCO", "0") or 0))
+    if device_hoco and impl == "pallas":
+        return _extract_device_hoco(
+            db, records, w, s, batch_bases, interpret
+        )
+
     # host-side homopolymer compression (needed for consensus/EC anyway);
     # the device consumes 2-bit packed hoco codes + sparse N positions
     hoco: list[tuple] = [hoco_compress_np(rec.seq) for rec in records]
@@ -256,6 +264,100 @@ def extract_all_syncmers(
                 ho_rl=ho_rl,
                 is_n=is_n,
                 m_pos=((sel_p[lo:hi].astype(np.uint32)) << 1 | sel_z[lo:hi].astype(np.uint32)),
+                s_mer=sel_smer[lo:hi],
+                k_mer=sel_kh[lo:hi].copy(),
+            )
+    return db
+
+
+def _extract_device_hoco(db, records, w, s, batch_bases, interpret):
+    """OATK_TPU_DEVICE_HOCO=1 path (VERDICT r4 item 2): upload RAW
+    ASCII reads (1 B/base) and run homopolymer compression + 2-bit
+    semantics ON DEVICE (the fused hoco phase of the extraction
+    kernel), fetching the hoco arrays back for the host-side DB.
+
+    Trade: the host never runs its hoco+pack pass (the #1 projected
+    blocker for 10x at Gbp scale on parse-bound hosts / PCIe-attached
+    chips), but the wire carries 4x the upload bytes and an extra
+    ~5 B/base download (hoco codes + run lengths).  Through the relay
+    tunnel this LOSES (see BASELINE.md round-5 A/B); on PCIe the
+    transfer terms are ~free.  Byte parity with the host-hoco path is
+    asserted by tests/test_load_extract.py::test_device_hoco_parity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.syncmer import extract_syncmers_batch_pallas
+
+    # bucket by padded RAW length (hoco length is unknown host-side)
+    buckets: dict[int, list[int]] = {}
+    for i, rec in enumerate(records):
+        Lp = _bucket_len(max(len(rec.seq), w + 4))
+        buckets.setdefault(Lp, []).append(i)
+
+    pending: list[tuple] = []
+    for Lp, idxs in sorted(buckets.items()):
+        bsz = max(1, batch_bases // Lp)
+        for start in range(0, len(idxs), bsz):
+            chunk = idxs[start : start + bsz]
+            B = _pad_rows(len(chunk), bsz)
+            max_out = _round_up(max(1024, int(B * Lp / _sel_divisor(w, s))), 1024)
+            seq = np.zeros((B, Lp), dtype=np.uint8)
+            lens = np.zeros(B, dtype=np.int32)
+            for bi, ri in enumerate(chunk):
+                sq = records[ri].seq
+                seq[bi, : len(sq)] = sq
+                lens[bi] = len(sq)
+            out = extract_syncmers_batch_pallas(
+                jnp.asarray(seq), jnp.asarray(lens), w, s, max_out,
+                interpret=interpret, return_hoco=True,
+            )
+            pending.append((chunk, B, Lp, max_out, out))
+
+    for chunk, B, Lp, max_out, out in pending:
+        pk, hc, hl, rl, isn = jax.device_get(
+            (out["packed"], out["hoco_c"], out["hoco_l"], out["ho_rl"], out["is_n"])
+        )
+        pk = np.asarray(pk)
+        n_sel = int(pk[0, max_out])
+        while n_sel > max_out:
+            # capacity overflow (pathological density): redo this chunk
+            # synchronously with a grown buffer
+            import jax.numpy as jnp
+
+            max_out = _round_up(n_sel + 1024, 1024)
+            seq = np.zeros((B, Lp), dtype=np.uint8)
+            lens = np.zeros(B, dtype=np.int32)
+            for bi, ri in enumerate(chunk):
+                sq = records[ri].seq
+                seq[bi, : len(sq)] = sq
+                lens[bi] = len(sq)
+            out = extract_syncmers_batch_pallas(
+                jnp.asarray(seq), jnp.asarray(lens), w, s, max_out,
+                interpret=interpret, return_hoco=True,
+            )
+            pk, hc, hl, rl, isn = jax.device_get(
+                (out["packed"], out["hoco_c"], out["hoco_l"],
+                 out["ho_rl"], out["is_n"])
+            )
+            pk = np.asarray(pk)
+            n_sel = int(pk[0, max_out])
+        sel_b, sel_p, sel_z, sel_smer, sel_kh = _unpack_packed(pk, n_sel, Lp)
+        cuts = np.searchsorted(sel_b, np.arange(B + 1))
+        for bi, ri in enumerate(chunk):
+            lo, hi = cuts[bi], cuts[bi + 1]
+            n_h = int(hl[bi])
+            db.reads[ri] = ReadSyncmers(
+                sid=records[ri].sid,
+                name=records[ri].name,
+                hoco_l=n_h,
+                hoco_code=np.asarray(hc[bi, :n_h], np.uint8),
+                ho_rl=np.asarray(rl[bi, :n_h]).astype(np.uint32),
+                is_n=np.asarray(isn[bi, :n_h], bool),
+                m_pos=(
+                    (sel_p[lo:hi].astype(np.uint32)) << 1
+                    | sel_z[lo:hi].astype(np.uint32)
+                ),
                 s_mer=sel_smer[lo:hi],
                 k_mer=sel_kh[lo:hi].copy(),
             )
@@ -464,6 +566,12 @@ def load_and_extract(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl != "pallas" or not native.available():
+        return None
+    import os as _os
+
+    if _os.environ.get("OATK_TPU_DEVICE_HOCO", "0") not in ("", "0"):
+        # device-side hoco knob: route through read_fastx +
+        # extract_all_syncmers' _extract_device_hoco (raw-ASCII upload)
         return None
     interpret = jax.default_backend() != "tpu"
 

@@ -393,13 +393,21 @@ def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
     )
 
 
-@partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))
+@partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret", "return_hoco"))
 def extract_syncmers_batch_pallas(
-    seq: jnp.ndarray, lens: jnp.ndarray, w: int, s: int, max_out: int, interpret: bool = False
+    seq: jnp.ndarray,
+    lens: jnp.ndarray,
+    w: int,
+    s: int,
+    max_out: int,
+    interpret: bool = False,
+    return_hoco: bool = False,
 ):
     """Pallas fast path from raw ASCII: hoco (jnp) -> VMEM selection
     kernel -> per-selected details (jnp).  Same output contract as the
-    jnp path with return_hoco=False."""
+    jnp path; return_hoco=True additionally ships the device-computed
+    hoco arrays (OATK_TPU_DEVICE_HOCO path: the host skips its own
+    hoco+pack pass at the cost of the extra device->host bytes)."""
     from .syncmer_pallas import syncmer_select_pallas
 
     B, L = seq.shape
@@ -409,7 +417,12 @@ def extract_syncmers_batch_pallas(
     ).astype(jnp.uint8)
     codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
-    return _selected_details(h["hoco_c"], h["hoco_l"], sel, w, s, max_out)
+    out = _selected_details(h["hoco_c"], h["hoco_l"], sel, w, s, max_out)
+    if return_hoco:
+        out.update(
+            hoco_c=h["hoco_c"], hoco_l=h["hoco_l"], ho_rl=h["ho_rl"], is_n=h["is_n"]
+        )
+    return out
 
 
 @partial(jax.jit, static_argnames=("w", "s", "max_out", "interpret"))

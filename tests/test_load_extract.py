@@ -214,3 +214,26 @@ def test_compaction_order_hp_rich_many_segments(tmp_path, monkeypatch):
         prev_end = o0 + r.hoco_l
         assert np.array_equal(db.hoco_flat[o0 : o0 + r.hoco_l], r.hoco_code)
         assert np.array_equal(db.rl_flat[o0 : o0 + r.hoco_l], r.ho_rl)
+
+
+def test_device_hoco_parity(tmp_path, monkeypatch, reads):
+    """OATK_TPU_DEVICE_HOCO=1: raw-ASCII upload + on-device hoco must
+    reproduce the host-hoco oracle exactly -- syncmers AND the fetched
+    hoco arrays (codes, run lengths, N flags)."""
+    rng = np.random.default_rng(7)
+    rd = list(reads)
+    # sprinkle Ns: the device hoco phase must reproduce the N handling
+    r0 = list(rd[0])
+    r0[50] = "N"
+    r0[51] = "N"
+    rd[0] = "".join(r0)
+    fa = tmp_path / "dh.fa"
+    _write_fa(str(fa), rd)
+    monkeypatch.setenv("OATK_TPU_DEVICE_HOCO", "1")
+    from oatk_tpu.asm.reads import extract_all_syncmers, load_and_extract
+    from oatk_tpu.io.fastx import read_fastx
+
+    assert load_and_extract([str(fa)], W, S) is None  # knob reroutes
+    db = extract_all_syncmers(read_fastx([str(fa)]), W, S, impl="pallas")
+    monkeypatch.delenv("OATK_TPU_DEVICE_HOCO")
+    _assert_same(db, _oracle_db([str(fa)]))
