@@ -95,3 +95,39 @@ def test_fused_blob_equals_packed_inputs(rng):
         jnp.asarray(blob), B, Lp, n_cap, w, s, max_out, interpret=True,
     )
     assert np.array_equal(np.asarray(a["packed"]), np.asarray(b_["packed"]))
+
+
+def test_compact_sel_overflow_escalation():
+    """Pathologically dense selection (>maxper per 512-subrow) must
+    inflate the reported n_sel past max_out so the loader's retry
+    re-dispatches with a larger max_out, which widens maxper until the
+    result is exact (kernels/syncmer._compact_sel)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from oatk_tpu.kernels.syncmer import _compact_sel
+
+    rng = np.random.default_rng(11)
+    B, L = 8, 2048
+    sel = np.zeros((B, L), np.int32)
+    # one ultra-dense subrow (200 of 512) + normal sparse elsewhere
+    dense = rng.choice(512, 200, replace=False)
+    sel[2, 512 + dense] = 1 + (dense % 2)
+    sparse = rng.choice(L, 20, replace=False)
+    sel[5, sparse] = 1
+    expect = np.flatnonzero(sel.reshape(-1))
+    exp_oc = sel.reshape(-1)[expect]
+
+    max_out = 256
+    for _ in range(8):  # mirrors _grow_if_overflow's loop
+        fi, oc, valid, n_sel, n_rep = (
+            np.asarray(x) for x in _compact_sel(jnp.asarray(sel), max_out)
+        )
+        if int(n_rep) <= max_out:
+            break
+        max_out = -(-(int(n_rep) + 1024) // 1024) * 1024
+    assert int(n_sel) == len(expect)
+    assert int(n_rep) == int(n_sel), "converged report must be exact"
+    got = fi[valid]
+    assert np.array_equal(got, expect)
+    assert np.array_equal(oc[valid], exp_oc)
