@@ -250,6 +250,28 @@ def _compact_sel(sel_code: jnp.ndarray, max_out: int):
     key1 = jnp.where(sel2 != 0, pos4[None, :] | sel2, jnp.int32(SW << 2))
     rs = lax.sort(key1, dimension=1)[:, :maxper]
     cnt = jnp.sum(sel2 != 0, axis=1, dtype=jnp.int32)
+    return _compact_funnel(rs, cnt, R, SW, maxper, n, max_out)
+
+
+def _compact_sel_sorted(sorted_keys: jnp.ndarray, max_out: int):
+    """Compaction from the select kernel's per-512-subrow SORTED keys
+    (sort_out=True): stage 1 already happened in VMEM, so this is just
+    the count + funnel stages of :func:`_compact_sel`."""
+    B, L = sorted_keys.shape
+    n = B * L
+    SW = 512
+    R = B * (L // SW)
+    maxper = min(SW, max(32, _ceil_mult(4 * max_out * SW // max(n, 1), 8)))
+    rs_full = sorted_keys.reshape(R, SW)
+    cnt = jnp.sum(rs_full != jnp.int32(SW << 2), axis=1, dtype=jnp.int32)
+    rs = rs_full[:, :maxper]
+    return _compact_funnel(rs, cnt, R, SW, maxper, n, max_out)
+
+
+def _compact_funnel(rs, cnt, R: int, SW: int, maxper: int, n: int, max_out: int):
+    """Shared funnel: truncated per-subrow candidates -> per-8-subrow
+    truncated i64 sort -> flat i64 sort -> first max_out, with the
+    overflow-escalating n_rep (see _compact_sel docstring)."""
     n_sel = jnp.sum(cnt)
     offs = jnp.cumsum(cnt) - cnt  # exclusive prefix
     rank = offs[:, None] + jnp.arange(maxper, dtype=jnp.int32)[None, :]
@@ -330,15 +352,22 @@ def _gather_windows(flat_hoco: jnp.ndarray, starts: jnp.ndarray, w: int) -> jnp.
     return by.reshape(starts.shape[0], nw * 4)[:, :w].astype(jnp.uint8)
 
 
-def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
+def _selected_details(
+    hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int, sel_sorted=None
+):
     """Per-selected strand/smer payload/Murmur hash from selection codes.
 
-    sel_code: [B, L] int32 (0 none, 1 open, 2 close)."""
+    sel_code: [B, L] int32 (0 none, 1 open, 2 close), or None when
+    sel_sorted carries the kernel's per-512-subrow sorted keys
+    (sort_out path: the XLA stage-1 sort is skipped)."""
     B, L = hoco_c.shape
     q = w - s + 1
     mask = np.uint64((1 << (2 * s)) - 1)
 
-    flat_idx, oc, valid, n_sel, n_rep = _compact_sel(sel_code, max_out)
+    if sel_sorted is not None:
+        flat_idx, oc, valid, n_sel, n_rep = _compact_sel_sorted(sel_sorted, max_out)
+    else:
+        flat_idx, oc, valid, n_sel, n_rep = _compact_sel(sel_code, max_out)
     sel_b = (flat_idx // L).astype(jnp.int32)
     sel_p = (flat_idx % L).astype(jnp.int32)
     safe_b = jnp.where(valid, sel_b, 0)
@@ -367,7 +396,14 @@ def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
     blocks = _pack_windows_u64(win, w)
     khash = _murmur64_rows(blocks, (w - 1) // 4 + 1)
 
-    per_read = jnp.sum(sel_code != 0, axis=1, dtype=jnp.int32)
+    if sel_sorted is not None:
+        per_read = jnp.sum(
+            sel_sorted.reshape(B, L // 512, 512) != jnp.int32(512 << 2),
+            axis=(1, 2),
+            dtype=jnp.int32,
+        )
+    else:
+        per_read = jnp.sum(sel_code != 0, axis=1, dtype=jnp.int32)
     # single-transfer view: the axon host<->device tunnel is latency
     # bound, so ship (flat_idx<<1|z, smer, khash, n_sel) as ONE int64
     # array instead of 6 separate fetches per chunk
@@ -441,7 +477,7 @@ def extract_hoco_packed_pallas(
 
 
 def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
-    from .syncmer_pallas import syncmer_select_pallas
+    from .syncmer_pallas import select_sorted_available, syncmer_select_pallas
 
     B, L4 = packed.shape
     L = L4 * 4
@@ -456,8 +492,11 @@ def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
     if n_pos.size:  # scatter serializes (~1 us/index); skip for N-free chunks
         codes = codes.reshape(-1).at[n_pos].set(4, mode="drop").reshape(B, L)
     codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
-    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
+    srt = select_sorted_available(L, w)
+    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret, sort_out=srt)
     hoco_c = jnp.where(codes < 4, codes, jnp.uint8(0))
+    if srt:
+        return _selected_details(hoco_c, None, None, w, s, max_out, sel_sorted=sel)
     return _selected_details(hoco_c, None, sel, w, s, max_out)
 
 
