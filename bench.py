@@ -432,7 +432,16 @@ def main():
 
             def body(_, b):
                 out = extract_hoco_fused_pallas(b, B_, Lp_, ncap_, K, S, mo_)
-                return b.at[0].set(out["packed"][0, 0].astype(jnp.uint8))
+                # consume EVERY output element (XOR-reduce all three
+                # packed rows): feeding back only packed[0,0] let XLA
+                # dead-code-eliminate the murmur/payload tail (~0.3
+                # ms/chunk) and over-report throughput
+                red = jnp.bitwise_xor(
+                    jnp.bitwise_xor(out["packed"][0], out["packed"][1]),
+                    out["packed"][2],
+                )
+                tot = lax.reduce(red, jnp.int64(0), lax.bitwise_xor, (0,))
+                return b.at[0].set(tot.astype(jnp.uint8))
 
             return lax.fori_loop(0, n, body, blob)
 

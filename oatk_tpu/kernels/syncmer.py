@@ -489,9 +489,40 @@ def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
     )
     pos = jnp.arange(L, dtype=jnp.int32)
     codes = jnp.where(pos[None, :] < hoco_l[:, None], codes, jnp.uint8(5))
-    if n_pos.size:  # scatter serializes (~1 us/index); skip for N-free chunks
-        codes = codes.reshape(-1).at[n_pos].set(4, mode="drop").reshape(B, L)
-    codes_padded = jnp.pad(codes, ((0, 0), (1, w + 2)), constant_values=5)
+    # N positions are marked ONLY on the select kernel's input, never on
+    # hoco_c: the window gather reads exclusively k-mer windows the
+    # kernel verified N-free, so the mask is invisible to it, and
+    # keeping hoco_c's producer mask-free keeps the gather fast (with
+    # the mask in the chain the producer fusion made the aligned-block
+    # gather 2.5 ms/chunk slower; invalid rows' garbage windows are
+    # masked by `valid` downstream either way).
+    sel_codes = codes
+    if n_pos.size:  # skip for N-free chunks
+        # TPU scatter serializes (~2 us/index: 2.3 ms/chunk for 1024 N
+        # positions); build the sparse N mask on the MXU instead: split
+        # each flat index into (block, lane) one-hots and contract over
+        # the index axis -- mask[b, l] = sum_k row_k[b] * col_k[l].
+        # 0/1 bf16 operands with f32 accumulation are exact; the
+        # loader's B*Lp pad sentinel falls in block NB (out of iota
+        # range) and drops out, matching the old mode="drop".
+        NB = -(-B * L // 512)
+        blk = (n_pos // 512).astype(jnp.int32)
+        lane = (n_pos % 512).astype(jnp.int32)
+        row1h = (blk[:, None] == jnp.arange(NB, dtype=jnp.int32)[None, :]).astype(
+            jnp.bfloat16
+        )
+        col1h = (lane[:, None] == jnp.arange(512, dtype=jnp.int32)[None, :]).astype(
+            jnp.bfloat16
+        )
+        cnt = jax.lax.dot_general(
+            row1h,
+            col1h,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        nmask = (cnt > 0.5).reshape(-1)[: B * L].reshape(B, L)
+        sel_codes = jnp.where(nmask, jnp.uint8(4), codes)
+    codes_padded = jnp.pad(sel_codes, ((0, 0), (1, w + 2)), constant_values=5)
     srt = select_sorted_available(L, w)
     sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret, sort_out=srt)
     hoco_c = jnp.where(codes < 4, codes, jnp.uint8(0))

@@ -401,7 +401,10 @@ def _select_body(code, w: int, s: int, TILE: int, sel_ref, sort_out: bool = Fals
                         axis=1,
                     )
                     partner = jnp.where((lane & j) == 0, left, right)
-                    take_min = ((lane & k) == 0) == ((lane & j) == 0)
+                    # direction bit must be the IN-BLOCK lane: with the
+                    # global lane, k=512 flips odd 512-blocks to
+                    # descending (their keys then truncate to sentinels)
+                    take_min = ((sub & k) == 0) == ((sub & j) == 0)
                     key = jnp.where(
                         take_min,
                         jnp.minimum(key, partner),
