@@ -86,24 +86,65 @@ def _pack_windows_u64(win_codes: jnp.ndarray, w: int) -> jnp.ndarray:
     the LE read of bytes 8i..8i+7 (matching the reference's in-memory
     layout fed to MurmurHash64A, /root/reference/syncmer.c:173-226).
     """
+    return _bytes_to_u64(_pack_window_bytes(win_codes, w))
+
+
+def _pack_window_bytes(win_codes: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[N, w] 2-bit codes -> [N, nblk*8] packed uint8 (base 4j in bits
+    7-6 of byte j; zero-padded past ceil(w/4) bytes)."""
     N = win_codes.shape[0]
     n_bytes = (w - 1) // 4 + 1
     nblk = -(-n_bytes // 8)
-    # build bytes and 32-bit halves in i32 (u64 lanes are emulated on
-    # TPU; only the final [N, nblk] block array pays the wide dtype)
-    padded = jnp.pad(win_codes.astype(jnp.int32), ((0, 0), (0, nblk * 32 - w)))
+    # build the packed bytes in u8 and BITCAST to words: the previous
+    # i32 formulation materialized a [N, nblk*32] i32 intermediate
+    # (54 MB per 3 Mbp chunk); u8 shifts + bitcast_convert_type keep
+    # every intermediate at 1 B/lane and the word assembly free
+    padded = jnp.pad(win_codes.astype(jnp.uint8), ((0, 0), (0, nblk * 32 - w)))
     quads = padded.reshape(N, nblk * 8, 4)
-    bytes_ = (quads[..., 0] << 6) | (quads[..., 1] << 4) | (quads[..., 2] << 2) | quads[..., 3]
-    word4 = bytes_.reshape(N, nblk * 2, 4)
-    words = (
-        word4[..., 0]
-        | (word4[..., 1] << 8)
-        | (word4[..., 2] << 16)
-        | (word4[..., 3] << 24)
-    ).reshape(N, nblk, 2)
-    lo = words[..., 0].astype(jnp.uint32).astype(jnp.uint64)
-    hi = words[..., 1].astype(jnp.uint32).astype(jnp.uint64)
+    return (
+        (quads[..., 0] << 6) | (quads[..., 1] << 4) | (quads[..., 2] << 2) | quads[..., 3]
+    )
+
+
+def _bytes_to_u64(bytes_: jnp.ndarray) -> jnp.ndarray:
+    """[N, nblk*8] uint8 -> [N, nblk] LE uint64 Murmur blocks."""
+    N, nb8 = bytes_.shape
+    words = lax.bitcast_convert_type(bytes_.reshape(N, nb8 // 4, 4), jnp.uint32)
+    lo = words[:, 0::2].astype(jnp.uint64)
+    hi = words[:, 1::2].astype(jnp.uint64)
     return (hi << 32) | lo
+
+
+def _rc_packed_bytes(bytes_f: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Reverse-complement of 2-bit-packed windows, on the PACKED bytes.
+
+    Operating on the 4x-smaller packed representation replaces the
+    [N, w] u8 ``(3 - win)[:, ::-1]`` relayout + second quad pack:
+    byte-reverse, swap 2-bit fields within each byte, complement
+    (c XOR 3 == 3-c, so XOR 0xFF), then funnel-shift the whole stream
+    left by the 2*(4*ceil(w/4) - w) pad bits and re-zero the tail."""
+    N, nb8 = bytes_f.shape
+    n_bytes = (w - 1) // 4 + 1
+    b = bytes_f[:, ::-1]
+    b = ((b & 0x03) << 6) | ((b & 0x0C) << 2) | ((b & 0x30) >> 2) | (b >> 6)
+    b = b ^ jnp.uint8(0xFF)
+    # drop the leading pad bases: shift the byte stream left by `sh` bits
+    sh = 2 * (4 * n_bytes - w)
+    # the reversed stream starts at byte nb8 - n_bytes (bytes past
+    # n_bytes were zero pad in the forward stream)
+    b = b[:, nb8 - n_bytes :]
+    if sh:
+        nxt = jnp.pad(b[:, 1:], ((0, 0), (0, 1)))
+        b = (b << sh) | (nxt >> (8 - sh))
+    # re-zero: only w bases are valid; the last valid byte keeps its top
+    # 2*(w%4 or 4) bits, later bytes are zero
+    b = jnp.pad(b, ((0, 0), (0, nb8 - n_bytes)))
+    col = jnp.arange(nb8, dtype=jnp.int32)
+    keep_bits = 2 * (w % 4) if w % 4 else 8
+    lastmask = jnp.uint8((0xFF << (8 - keep_bits)) & 0xFF)
+    b = jnp.where(col[None, :] < n_bytes - 1, b, b & lastmask)
+    b = jnp.where(col[None, :] >= n_bytes, jnp.uint8(0), b)
+    return b
 
 
 def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
@@ -247,40 +288,54 @@ def _compact_sel(sel_code: jnp.ndarray, max_out: int):
     maxper = min(SW, max(32, _ceil_mult(4 * max_out * SW // max(n, 1), 8)))
     sel2 = sel_code.reshape(R, SW)
     pos4 = jnp.arange(SW, dtype=jnp.int32) << 2
-    key1 = jnp.where(sel2 != 0, pos4[None, :] | sel2, jnp.int32(SW << 2))
-    rs = lax.sort(key1, dimension=1)[:, :maxper]
+    sent = jnp.int32(SW << 2)
+    key1 = jnp.where(sel2 != 0, pos4[None, :] | sel2, sent)
     cnt = jnp.sum(sel2 != 0, axis=1, dtype=jnp.int32)
-    return _compact_funnel(rs, cnt, R, SW, maxper, n, max_out)
+    over64 = None
+    if SW == 512 and maxper < SW:
+        # hierarchical stage 1: sort each 64-lane block (21 comparator
+        # stages vs 45 at 512 wide), keep the first m64 per block, then
+        # sort the 8*m64 survivors per subrow -- measured 0.23 ms vs
+        # 0.39 for the flat 512-wide sort on a 3.1 Mbp chunk.  A block
+        # holding more than m64 selections would lose candidates, so
+        # that (vanishingly rare: expected density is ~0.26/block)
+        # escalates exactly like a maxper overflow; at maxper == SW the
+        # flat exact path runs instead, so retries always terminate.
+        m64 = max(8, -(-maxper // 8))
+        k64 = lax.sort(key1.reshape(R * 8, 64), dimension=1)
+        if m64 < 64:
+            over64 = jnp.any(k64[:, m64] != sent)
+            k64 = k64[:, :m64]
+            rs = lax.sort(k64.reshape(R, 8 * m64), dimension=1)[:, :maxper]
+        else:
+            rs = lax.sort(k64.reshape(R, SW), dimension=1)[:, :maxper]
+    else:
+        rs = lax.sort(key1, dimension=1)[:, :maxper]
+    return _compact_funnel(rs, cnt, R, SW, maxper, n, max_out, over64)
 
 
-def _compact_sel_sorted(sorted_keys: jnp.ndarray, max_out: int):
-    """Compaction from the select kernel's per-512-subrow SORTED keys
-    (sort_out=True): stage 1 already happened in VMEM, so this is just
-    the count + funnel stages of :func:`_compact_sel`."""
-    B, L = sorted_keys.shape
-    n = B * L
-    SW = 512
-    R = B * (L // SW)
-    maxper = min(SW, max(32, _ceil_mult(4 * max_out * SW // max(n, 1), 8)))
-    rs_full = sorted_keys.reshape(R, SW)
-    cnt = jnp.sum(rs_full != jnp.int32(SW << 2), axis=1, dtype=jnp.int32)
-    rs = rs_full[:, :maxper]
-    return _compact_funnel(rs, cnt, R, SW, maxper, n, max_out)
-
-
-def _compact_funnel(rs, cnt, R: int, SW: int, maxper: int, n: int, max_out: int):
+def _compact_funnel(
+    rs, cnt, R: int, SW: int, maxper: int, n: int, max_out: int, over_extra=None
+):
     """Shared funnel: truncated per-subrow candidates -> per-8-subrow
-    truncated i64 sort -> flat i64 sort -> first max_out, with the
-    overflow-escalating n_rep (see _compact_sel docstring)."""
+    truncated sort -> flat sort -> first max_out, with the
+    overflow-escalating n_rep (see _compact_sel docstring).
+
+    Keys are the global ``flat_pos<<2 | code`` alone (i32 whenever
+    n<<2 fits): an earlier version prefixed the global rank in the high
+    32 bits, but the rank order among valid candidates IS the flat-
+    position order, and pure-i32 comparator stages cost half the i64
+    ones."""
     n_sel = jnp.sum(cnt)
-    offs = jnp.cumsum(cnt) - cnt  # exclusive prefix
-    rank = offs[:, None] + jnp.arange(maxper, dtype=jnp.int32)[None, :]
-    base4 = (jnp.arange(R, dtype=jnp.int64) * (SW << 2))[:, None]
-    cand = (rank.astype(jnp.int64) << 32) | (base4 + rs.astype(jnp.int64))
+    use32 = (n << 2) < 2**31
+    kdt = jnp.int32 if use32 else jnp.int64
+    KSENT = kdt(2**31 - 1) if use32 else I64MAX
+    base4 = (jnp.arange(R, dtype=kdt) * (SW << 2))[:, None]
+    cand = base4 + rs.astype(kdt)
     cand = jnp.where(
         jnp.arange(maxper, dtype=jnp.int32)[None, :] < jnp.minimum(cnt, maxper)[:, None],
         cand,
-        I64MAX,
+        KSENT,
     )
     G = 8
     over_grp = jnp.bool_(False)
@@ -291,12 +346,14 @@ def _compact_funnel(rs, cnt, R: int, SW: int, maxper: int, n: int, max_out: int)
         cand = grp
     flat = lax.sort(cand.reshape(-1))[:max_out]
     if cand.size < max_out:
-        flat = jnp.pad(flat, (0, max_out - cand.size), constant_values=I64MAX)
-    valid = flat != I64MAX
-    low = jnp.where(valid, flat & jnp.int64(0xFFFFFFFF), jnp.int64(n << 2))
+        flat = jnp.pad(flat, (0, max_out - cand.size), constant_values=KSENT)
+    valid = flat != KSENT
+    low = jnp.where(valid, flat.astype(jnp.int64), jnp.int64(n << 2))
     flat_idx = (low >> 2).astype(jnp.int32)
     oc = (low & 3).astype(jnp.int32)
     over = jnp.any(cnt > maxper) | over_grp
+    if over_extra is not None:
+        over = over | over_extra
     # inflate so the retry's max_out' yields maxper' >= 2*maxper
     fake = jnp.int32(min(maxper * n // (2 * SW), 2**30))
     n_rep = jnp.where(over, jnp.maximum(n_sel, fake), n_sel)
@@ -352,22 +409,15 @@ def _gather_windows(flat_hoco: jnp.ndarray, starts: jnp.ndarray, w: int) -> jnp.
     return by.reshape(starts.shape[0], nw * 4)[:, :w].astype(jnp.uint8)
 
 
-def _selected_details(
-    hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int, sel_sorted=None
-):
+def _selected_details(hoco_c, hoco_l, sel_code, w: int, s: int, max_out: int):
     """Per-selected strand/smer payload/Murmur hash from selection codes.
 
-    sel_code: [B, L] int32 (0 none, 1 open, 2 close), or None when
-    sel_sorted carries the kernel's per-512-subrow sorted keys
-    (sort_out path: the XLA stage-1 sort is skipped)."""
+    sel_code: [B, L] int32 (0 none, 1 open, 2 close)."""
     B, L = hoco_c.shape
     q = w - s + 1
     mask = np.uint64((1 << (2 * s)) - 1)
 
-    if sel_sorted is not None:
-        flat_idx, oc, valid, n_sel, n_rep = _compact_sel_sorted(sel_sorted, max_out)
-    else:
-        flat_idx, oc, valid, n_sel, n_rep = _compact_sel(sel_code, max_out)
+    flat_idx, oc, valid, n_sel, n_rep = _compact_sel(sel_code, max_out)
     sel_b = (flat_idx // L).astype(jnp.int32)
     sel_p = (flat_idx % L).astype(jnp.int32)
     safe_b = jnp.where(valid, sel_b, 0)
@@ -390,20 +440,15 @@ def _selected_details(
     payload = (canon << 1) | z.astype(jnp.uint64)
     payload = jnp.where(oc == 2, payload ^ jnp.uint64(1), payload)
 
-    # Murmur identity over the oriented k-mer window
-    rev_win = (3 - win)[:, ::-1]
-    win = jnp.where(z[:, None] == 0, win, rev_win)
-    blocks = _pack_windows_u64(win, w)
+    # Murmur identity over the oriented k-mer window: pack the forward
+    # window once, derive the reverse-complement on the packed bytes
+    # (4x fewer lanes than reversing the u8 window), select per row
+    bytes_f = _pack_window_bytes(win, w)
+    bytes_r = _rc_packed_bytes(bytes_f, w)
+    blocks = _bytes_to_u64(jnp.where((z == 0)[:, None], bytes_f, bytes_r))
     khash = _murmur64_rows(blocks, (w - 1) // 4 + 1)
 
-    if sel_sorted is not None:
-        per_read = jnp.sum(
-            sel_sorted.reshape(B, L // 512, 512) != jnp.int32(512 << 2),
-            axis=(1, 2),
-            dtype=jnp.int32,
-        )
-    else:
-        per_read = jnp.sum(sel_code != 0, axis=1, dtype=jnp.int32)
+    per_read = jnp.sum(sel_code != 0, axis=1, dtype=jnp.int32)
     # single-transfer view: the axon host<->device tunnel is latency
     # bound, so ship (flat_idx<<1|z, smer, khash, n_sel) as ONE int64
     # array instead of 6 separate fetches per chunk
@@ -477,7 +522,7 @@ def extract_hoco_packed_pallas(
 
 
 def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
-    from .syncmer_pallas import select_sorted_available, syncmer_select_pallas
+    from .syncmer_pallas import syncmer_select_pallas
 
     B, L4 = packed.shape
     L = L4 * 4
@@ -523,11 +568,8 @@ def _extract_hoco_packed_impl(packed, hoco_l, n_pos, w, s, max_out, interpret):
         nmask = (cnt > 0.5).reshape(-1)[: B * L].reshape(B, L)
         sel_codes = jnp.where(nmask, jnp.uint8(4), codes)
     codes_padded = jnp.pad(sel_codes, ((0, 0), (1, w + 2)), constant_values=5)
-    srt = select_sorted_available(L, w)
-    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret, sort_out=srt)
+    sel = syncmer_select_pallas(codes_padded, w, s, interpret=interpret)
     hoco_c = jnp.where(codes < 4, codes, jnp.uint8(0))
-    if srt:
-        return _selected_details(hoco_c, None, None, w, s, max_out, sel_sorted=sel)
     return _selected_details(hoco_c, None, sel, w, s, max_out)
 
 

@@ -298,7 +298,7 @@ def _window_any(flag, width: int):
     return t
 
 
-def _select_body(code, w: int, s: int, TILE: int, sel_ref, sort_out: bool = False):
+def _select_body(code, w: int, s: int, TILE: int, sel_ref):
     """Shared selection pipeline: extended codes [TB, E] (values 0..3
     bases, 4 N, 5 pad; col e = position tile_start + e - 1) -> sel
     codes written to sel_ref[:, :TILE]."""
@@ -375,50 +375,10 @@ def _select_body(code, w: int, s: int, TILE: int, sel_ref, sort_out: bool = Fals
             jnp.where(open_, jnp.int32(1), jnp.int32(2)),
             jnp.int32(0),
         )
-        if sort_out:
-            # emit per-512-subrow BITONICALLY SORTED selection keys
-            # (subrow_pos<<2 | code, sentinel 512<<2) instead of raw
-            # codes: the XLA-side compaction then skips its stage-1
-            # sort entirely (measured 0.44 ms/chunk, the largest
-            # post-kernel term).  45 partner-select stages on i32
-            # lanes; partners lane^j stay inside the aligned 512-block
-            # for every j < 512, so plain static shifts + selects
-            # realize the exchange with no cross-block masking.
-            x = sel[:, :TILE]
-            lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            sub = lane & 511
-            key = jnp.where(x != 0, (sub << 2) | x, jnp.int32(512 << 2))
-            k = 2
-            while k <= 512:
-                j = k // 2
-                while j >= 1:
-                    left = jnp.concatenate(
-                        [key[:, j:], jnp.full((key.shape[0], j), 512 << 2, jnp.int32)],
-                        axis=1,
-                    )
-                    right = jnp.concatenate(
-                        [jnp.full((key.shape[0], j), 512 << 2, jnp.int32), key[:, :-j]],
-                        axis=1,
-                    )
-                    partner = jnp.where((lane & j) == 0, left, right)
-                    # direction bit must be the IN-BLOCK lane: with the
-                    # global lane, k=512 flips odd 512-blocks to
-                    # descending (their keys then truncate to sentinels)
-                    take_min = ((sub & k) == 0) == ((sub & j) == 0)
-                    key = jnp.where(
-                        take_min,
-                        jnp.minimum(key, partner),
-                        jnp.maximum(key, partner),
-                    )
-                    j //= 2
-                k *= 2
-            sel_ref[:, :] = key
-        else:
-            sel_ref[:, :] = sel[:, :TILE]
+        sel_ref[:, :] = sel[:, :TILE]
 
 
-def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int, u8: bool,
-                 sort_out: bool = False):
+def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int, u8: bool):
     def kernel(codes_hbm, sel_ref, scratch, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -432,30 +392,28 @@ def _make_kernel(w: int, s: int, TB: int, TILE: int, E: int, u8: bool,
             # uint8 input: 4x less HBM traffic for the codes array;
             # widen once in VMEM (Mosaic handles u8->i32 converts)
             code = code.astype(jnp.int32)
-        _select_body(code, w, s, TILE, sel_ref, sort_out)
+        _select_body(code, w, s, TILE, sel_ref)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("w", "s", "interpret", "sort_out"))
+@partial(jax.jit, static_argnames=("w", "s", "interpret"))
 def syncmer_select_pallas(
     codes_padded: jnp.ndarray,
     w: int,
     s: int,
     interpret: bool = False,
-    sort_out: bool = False,
 ):
     """codes_padded: [B, 1 + L + w + 2] int32 or uint8 (col 0 and right
     pad = 5).  uint8 input is preferred: the codes array costs 4x less
     HBM traffic and is widened in VMEM.
 
-    Returns sel codes int32 [B, L]: 0 none, 1 open, 2 close -- or, with
-    sort_out=True (requires the chosen TILE to be a 512-multiple; the
-    second return value says whether it was honored), per-512-subrow
-    bitonically sorted selection keys (subrow_pos<<2|code, sentinel
-    2048) ready for the gather-free compaction's funnel stage.
+    Returns sel codes int32 [B, L]: 0 none, 1 open, 2 close.
 
-    Returns (array, sorted: bool).
+    (An in-kernel bitonic sort of the selection keys was tried here and
+    removed: 45 partner-select stages cost ~0.5 ms/chunk in VMEM, MORE
+    than the hierarchical XLA-side stage-1 sort it replaced -- see
+    _compact_sel in syncmer.py.)
     """
     B, Lp = codes_padded.shape
     L = Lp - w - 3
@@ -477,8 +435,7 @@ def syncmer_select_pallas(
     cp = jnp.pad(codes_padded, ((0, padB), (0, max(0, padL))), constant_values=5)
 
     u8 = codes_padded.dtype == jnp.uint8
-    do_sort = bool(sort_out) and select_sorted_available(L, w)
-    kernel = _make_kernel(w, s, TB, TILE, E, u8, do_sort)
+    kernel = _make_kernel(w, s, TB, TILE, E, u8)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb * TB, nt * TILE), jnp.int32),
@@ -505,10 +462,3 @@ def _choose_tile(L: int, w: int) -> int:
     return min(cands, key=lambda t: -(-L // t) * (t + halo))
 
 
-def select_sorted_available(L: int, w: int) -> bool:
-    """True when sort_out=True would be honored for this (L, w): the
-    chosen tile and L must be 512-multiples so subrows align.  Callers
-    use this STATIC predicate to pick the matching compaction path
-    (the jit cannot return the flag without forcing a device sync)."""
-    T = _choose_tile(L, w)
-    return T % 512 == 0 and L % 512 == 0
