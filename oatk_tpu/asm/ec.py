@@ -67,7 +67,7 @@ def find_error_syncmers(
     max_c = int(scm.cov[scm.del_].max()) if n_err else 0
     if del_err and n_err:
         vdel = np.asarray(g.vtx_del, bool) | scm.del_[: g.n_vtx]
-        g.vtx_del = vdel.tolist()
+        g.vtx_del = vdel  # ndarray-backed column (see Asmg.add_vtx)
         g.adel |= vdel[src_v] | vdel[dst_v]
     log_info(f"error syncmer candidates: num = {n_err}, max_c = {max_c}", func="find_error_syncmers")
     return n_err

@@ -6,6 +6,7 @@ sort-reduce over all consecutive syncmer pairs across reads.
 """
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -135,10 +136,10 @@ def make_syncmer_graph(
     g._va_flat = ids2.reshape(n)  # read-only consumers; no copy
     g._va_off = np.arange(n + 1, dtype=np.int64)
     g.vtx_seq = [None] * n
-    g.vtx_len = [0] * n
-    g.vtx_cov = scm_db.cov.astype(np.int64).tolist()
-    g.vtx_del = np.asarray(scm_db.del_).tolist()
-    g.vtx_circ = [False] * n
+    g.vtx_len = np.zeros(n, np.int64)
+    g.vtx_cov = scm_db.cov.astype(np.int64)
+    g.vtx_del = np.asarray(scm_db.del_).copy()
+    g.vtx_circ = np.zeros(n, bool)
     if _t:
         _t("vtx")
 
@@ -220,25 +221,51 @@ def make_syncmer_graph(
         # passes (2x faster on Gbp-scale unfiltered graphs).
         nf = len(s0)
         dup_free = False
+        native_arcs = None
         keys = order = csrc = None
         if hi < (1 << 32) and nf:
             from .. import native
 
             pk = pk_unique[ok]  # kept unique keys = s0<<32|s1, sorted
-            comp_key = ((s1.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) | (
-                s0.astype(np.uint64) ^ np.uint64(1)
+            nat = (
+                native.graph_build_arcs(pk, sc)
+                if _os.environ.get("OATK_TPU_GRAPH_NATIVE", "1") not in ("0", "")
+                else None
             )
-            csrc = np.flatnonzero(has_comp)  # fwd row of each comp arc
-            keys = np.concatenate([pk, comp_key[csrc]])
-            order = native.argsort_u64(keys)
-            if order is None:
-                order = np.argsort(keys, kind="stable")
-            ks = keys[order]
-            dup_free = not np.any(ks[1:] == ks[:-1])
+            if nat is not None and len(nat) == 5:
+                # threaded C merge built the finalize-order arc table
+                # directly (native/graph_build.c); skip the Python
+                # argsort + scatters below
+                native_arcs = nat
+                dup_free = True
+            elif nat is not None:
+                dup_free = False  # duplicate keys: generic path
+            else:
+                comp_key = ((s1.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) | (
+                    s0.astype(np.uint64) ^ np.uint64(1)
+                )
+                csrc = np.flatnonzero(has_comp)  # fwd row of each comp arc
+                keys = np.concatenate([pk, comp_key[csrc]])
+                order = native.argsort_u64(keys)
+                if order is None:
+                    order = np.argsort(keys, kind="stable")
+                ks = keys[order]
+                dup_free = not np.any(ks[1:] == ks[:-1])
         g._flush_pending()
         from ..graph.asmg import UINT64_MAX as _U64
 
-        if dup_free:
+        if dup_free and native_arcs is not None:
+            av, aw, acov, acomp, partner = native_arcs
+            total = len(av)
+            g.av, g.aw, g.acov, g.acomp = av, aw, acov, acomp
+            g.aln = np.zeros(total, np.int64)
+            g.als = np.zeros(total, np.int64)
+            g.adel = np.zeros(total, bool)
+            g.alink = np.full(total, _U64, np.uint64)
+            g._arc_partner = partner
+            g._arcs_sorted = True
+            g._arc_symm_clean = True
+        elif dup_free:
             # Construct the arc arrays DIRECTLY in finalize's sorted
             # order: with all nf fwd + nc comp keys distinct, the merged
             # rank of every key is the inverse of `order`, the
@@ -310,11 +337,30 @@ def make_syncmer_graph(
             g.alink = np.concatenate([g.alink, np.full(total, _U64, np.uint64)])
     if _t:
         _t("arcs")
+    vdel0 = np.asarray(g.vtx_del, bool)
+    any_del = bool(vdel0.any())
+    if any_del:
+        vdel0 = vdel0.copy()  # finalize's cleanup resets vtx_del
     g.finalize(True)
     if _t:
         _t("finalize")
     scg = Scg(scm_db=scm_db, utg=g)
-    scg.rebuild_index()
+    if _os.environ.get("OATK_TPU_GRAPH_NATIVE", "1") not in ("0", ""):
+        # the bulk graph holds exactly one syncmer per vertex in id
+        # order, so the inverted index is analytic: occurrence list =
+        # live syncmers, uid = post-cleanup rank, rev = pos = 0 -- no
+        # sort, no gathers (build_scm_utg_index reproduces exactly this,
+        # ~0.6 s of sort+gather at Gbp scale; equivalence is locked by
+        # tests/test_graph_build_native.py)
+        keep = ~vdel0
+        live = np.flatnonzero(keep).astype(np.int64)
+        z = np.zeros(len(live), np.int64)
+        start = np.zeros(scm_db.n + 1, np.int64)
+        np.cumsum(keep, out=start[1:])
+        uid = np.arange(len(live), dtype=np.int64) if any_del else live
+        scg.idx = ScgIndex(live, z, uid, z, start)
+    else:
+        scg.rebuild_index()
     if _t:
         _t("index")
         _t.done()

@@ -127,6 +127,13 @@ class Asmg:
         self._va_off = None
         if not isinstance(self.vtx_a, list):
             self.vtx_a = list(self.vtx_a)  # materialize LazyRows
+        # scalar columns may be ndarray-backed (bulk builders /
+        # post-cleanup); materialize python lists before appending
+        if not isinstance(self.vtx_len, list):
+            self.vtx_len = [int(x) for x in self.vtx_len]
+            self.vtx_cov = [int(x) for x in self.vtx_cov]
+            self.vtx_del = [bool(x) for x in self.vtx_del]
+            self.vtx_circ = [bool(x) for x in self.vtx_circ]
         self.vtx_a.append(a)
         self.vtx_seq.append(seq)
         self.vtx_len.append(int(length))
@@ -202,7 +209,7 @@ class Asmg:
     def _cleanup(self):
         """Compact deleted vertices/arcs and renumber (asmg_cleanup)."""
         self._flush_pending()
-        vdel = np.array(self.vtx_del, bool)
+        vdel = np.asarray(self.vtx_del, bool)
         if not vdel.any() and not self.adel.any():
             return  # nothing to compact
         self._va_flat = None
@@ -211,10 +218,12 @@ class Asmg:
         new_id = np.cumsum(keep_v) - 1
         self.vtx_a = [a for a, k in zip(self.vtx_a, keep_v) if k]
         self.vtx_seq = [a for a, k in zip(self.vtx_seq, keep_v) if k]
-        self.vtx_len = [a for a, k in zip(self.vtx_len, keep_v) if k]
-        self.vtx_cov = [a for a, k in zip(self.vtx_cov, keep_v) if k]
-        self.vtx_circ = [a for a, k in zip(self.vtx_circ, keep_v) if k]
-        self.vtx_del = [False] * int(keep_v.sum())
+        # scalar columns compact as ndarrays (a 4M-entry listcomp costs
+        # ~0.5 s at Gbp scale; scalar reads/writes work the same)
+        self.vtx_len = np.asarray(self.vtx_len, np.int64)[keep_v]
+        self.vtx_cov = np.asarray(self.vtx_cov, np.int64)[keep_v]
+        self.vtx_circ = np.asarray(self.vtx_circ, bool)[keep_v]
+        self.vtx_del = np.zeros(int(keep_v.sum()), bool)
         vsrc = (self.av >> np.uint64(1)).astype(np.int64)
         vdst = (self.aw >> np.uint64(1)).astype(np.int64)
         keep_a = ~self.adel & keep_v[vsrc] & keep_v[vdst]
@@ -400,7 +409,28 @@ class Asmg:
         self.arc_sort()
         if _t:
             _t("sort")
-        self.arc_index()
+        import os as _os
+
+        fast = None
+        if (
+            self._arcs_sorted
+            and self._arc_symm_clean
+            and self._arc_partner is not None
+            and len(self._arc_partner) == len(self.av)
+            and len(self.av)
+            and int(self.av.max()) < 2 * self.n_vtx
+            and _os.environ.get("OATK_TPU_GRAPH_NATIVE", "1") not in ("0", "")
+        ):
+            # bulk-built graph: one threaded C pass builds the vertex
+            # arc index AND the pair link ids without the ~5 full-size
+            # NumPy temporaries (native/graph_build.c)
+            from .. import native
+
+            fast = native.graph_index_link(self.av, self._arc_partner, 2 * self.n_vtx)
+        if fast is not None:
+            self.idx_p, self.idx_n, self.alink = fast
+        else:
+            self.arc_index()
         if _t:
             _t("index")
         added = self._arc_fix_symm()
@@ -411,7 +441,8 @@ class Asmg:
             self.arc_index()
         if _t:
             _t("resort")
-        self.shrink_link_id()
+        if fast is None or added:
+            self.shrink_link_id()
         if _t:
             _t("shrink")
             _t.done()
@@ -471,7 +502,7 @@ class Asmg:
         self.arc_del_v(s << 1 | 1, d)
 
     def vtx_n1(self) -> int:
-        return int(np.count_nonzero(~np.array(self.vtx_del, bool))) if self.n_vtx else 0
+        return int(np.count_nonzero(~np.asarray(self.vtx_del, bool))) if self.n_vtx else 0
 
     def max_link_id(self) -> int:
         live = self.alink[self.alink != np.uint64(UINT64_MAX)]
@@ -479,7 +510,7 @@ class Asmg:
 
     def arc_fix_cov(self):
         """Clamp live arc coverage by min endpoint vertex coverage."""
-        cov = np.array(self.vtx_cov, np.int64)
+        cov = np.asarray(self.vtx_cov, np.int64)
         if len(self.av) == 0:
             return
         vs = (self.av >> np.uint64(1)).astype(np.int64)
@@ -503,10 +534,14 @@ class Asmg:
         g = Asmg()
         g.vtx_a = [None if a is None else a.copy() for a in self.vtx_a]
         g.vtx_seq = list(self.vtx_seq)
-        g.vtx_len = list(self.vtx_len)
-        g.vtx_cov = list(self.vtx_cov)
-        g.vtx_del = list(self.vtx_del)
-        g.vtx_circ = list(self.vtx_circ)
+        # type-preserving copies (columns may be list- or ndarray-backed)
+        def _ccopy(c):
+            return c.copy() if isinstance(c, np.ndarray) else list(c)
+
+        g.vtx_len = _ccopy(self.vtx_len)
+        g.vtx_cov = _ccopy(self.vtx_cov)
+        g.vtx_del = _ccopy(self.vtx_del)
+        g.vtx_circ = _ccopy(self.vtx_circ)
         self._flush_pending()
         for name in ("av", "aw", "aln", "als", "acov", "adel", "acomp", "alink", "idx_p", "idx_n"):
             setattr(g, name, getattr(self, name).copy())

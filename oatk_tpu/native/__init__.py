@@ -24,6 +24,7 @@ _SRCS = [
     os.path.join(_HERE, "align.c"),
     os.path.join(_HERE, "ec.c"),
     os.path.join(_HERE, "sort.c"),
+    os.path.join(_HERE, "graph_build.c"),
 ]
 _lib = None
 _build_failed = False
@@ -185,6 +186,17 @@ def _load():
         lib.radix_argsort_u64.restype = ctypes.c_int
         lib.radix_argsort_u64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.graph_build_arcs.restype = ctypes.c_int
+        lib.graph_build_arcs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.graph_index_link.restype = ctypes.c_int
+        lib.graph_index_link.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         _lib = lib
     except Exception:
@@ -563,6 +575,68 @@ def argsort_u64(keys: np.ndarray, n_threads: int | None = None) -> np.ndarray | 
     if lib.radix_argsort_u64(keys.ctypes.data, len(keys), out.ctypes.data, n_threads) != 0:
         return None
     return out
+
+
+def graph_build_arcs(pk: np.ndarray, sc: np.ndarray, n_threads: int | None = None):
+    """Threaded dup-free arc construction for make_syncmer_graph.
+
+    pk: sorted unique canonical pair keys (u64 s0<<32|s1); sc: int64
+    counts.  Returns None when the native library is unavailable,
+    ("dup",) when duplicate keys require the generic finalize path, or
+    (av, aw, acov, acomp, partner) views of length total otherwise --
+    the exact arrays the Python dup_free branch in asm/scg.py builds.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = n_threads_default()
+    pk = np.ascontiguousarray(pk, np.uint64)
+    sc = np.ascontiguousarray(sc, np.int64)
+    nf = len(pk)
+    cap = 2 * nf
+    av = np.empty(cap, np.uint64)
+    aw = np.empty(cap, np.uint64)
+    acov = np.empty(cap, np.int64)
+    acomp = np.zeros(cap, bool)
+    partner = np.empty(cap, np.int64)
+    total = ctypes.c_int64(0)
+    rc = lib.graph_build_arcs(
+        pk.ctypes.data, sc.ctypes.data, nf,
+        av.ctypes.data, aw.ctypes.data, acov.ctypes.data,
+        acomp.ctypes.data, partner.ctypes.data,
+        ctypes.byref(total), n_threads,
+    )
+    if rc == 1:
+        return ("dup",)
+    if rc != 0:
+        return None
+    t = total.value
+    return (av[:t], aw[:t], acov[:t], acomp[:t], partner[:t])
+
+
+def graph_index_link(av: np.ndarray, partner: np.ndarray, n_dir: int,
+                     n_threads: int | None = None):
+    """Combined arc_index + shrink_link_id for bulk-built graphs (sorted
+    av + known complement partners).  Returns (idx_p, idx_n, alink) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = n_threads_default()
+    av = np.ascontiguousarray(av, np.uint64)
+    partner = np.ascontiguousarray(partner, np.int64)
+    n = len(av)
+    idx_p = np.zeros(n_dir, np.int64)
+    idx_n = np.zeros(n_dir, np.int64)
+    alink = np.empty(n, np.uint64)
+    if lib.graph_index_link(
+        av.ctypes.data, partner.ctypes.data, n, n_dir,
+        idx_p.ctypes.data, idx_n.ctypes.data, alink.ctypes.data, n_threads,
+    ) != 0:
+        return None
+    return idx_p, idx_n, alink
 
 
 def sort_u64(keys: np.ndarray, n_threads: int | None = None) -> bool:
