@@ -65,3 +65,22 @@ def test_hoco_roundtrip(rng):
 
     orig = SEQ_NT4[seq]
     np.testing.assert_array_equal(np.where(out == 4, 4, out), orig)
+
+
+@pytest.mark.parametrize("w", [40, 41, 42, 43, 971])
+def test_rc_packed_bytes_all_phases(rng, w):
+    """_rc_packed_bytes must equal pack(reverse-complement(window)) for
+    every w mod 4 phase (the funnel shift + tail masks differ per
+    phase; w=971 is the production k=1001/s=31 width)."""
+    import jax.numpy as jnp
+
+    from oatk_tpu.kernels.syncmer import (
+        _pack_window_bytes,
+        _rc_packed_bytes,
+    )
+
+    win = rng.integers(0, 4, (16, w)).astype(np.uint8)
+    bytes_f = np.asarray(_pack_window_bytes(jnp.asarray(win), w))
+    got = np.asarray(_rc_packed_bytes(jnp.asarray(bytes_f), w))
+    want = np.asarray(_pack_window_bytes(jnp.asarray((3 - win)[:, ::-1]), w))
+    np.testing.assert_array_equal(got, want)
