@@ -169,24 +169,35 @@ def make_syncmer_graph(
         hi = max(int(cv0.max()), int(cv1.max()))
         if hi < (1 << 32):
             # post-collection vertex ids are small: one packed-u64 sort
-            # replaces the two-key lexsort over all adjacent pairs
+            # replaces the two-key lexsort over all adjacent pairs; in
+            # multi-process runs the sort-reduce is range-sharded
+            # across ranks (dist/stages.py, bit-identical merge)
             from .. import native
+            from ..dist.stages import sharded_pair_reduce
 
             packed = np.ascontiguousarray((cv0 << np.uint64(32)) | cv1)
-            if not native.sort_u64(packed):
-                packed.sort(kind="stable")
-            k0 = packed >> np.uint64(32)
-            k1 = packed & np.uint64(0xFFFFFFFF)
+            res = sharded_pair_reduce(packed)
+            if res is not None:
+                pk_unique, counts = res
+                uv0 = (pk_unique >> np.uint64(32)).astype(np.int64)
+                uv1 = (pk_unique & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                k0 = None
+            else:
+                if not native.sort_u64(packed):
+                    packed.sort(kind="stable")
+                k0 = packed >> np.uint64(32)
+                k1 = packed & np.uint64(0xFFFFFFFF)
         else:
             order = np.lexsort((cv1, cv0))
             k0, k1 = cv0[order], cv1[order]
-        new = np.concatenate([[True], (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])])
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.concatenate([starts, [len(k0)]]))
-        uv0 = k0[starts].astype(np.int64)
-        uv1 = k1[starts].astype(np.int64)
-        if hi < (1 << 32):
-            pk_unique = packed[starts]
+        if k0 is not None:
+            new = np.concatenate([[True], (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate([starts, [len(k0)]]))
+            uv0 = k0[starts].astype(np.int64)
+            uv1 = k1[starts].astype(np.int64)
+            if hi < (1 << 32):
+                pk_unique = packed[starts]
     if n_pairs:
         covs = scm_db.cov.astype(np.int64)
         mincov = np.minimum(covs[uv0 >> 1], covs[uv1 >> 1])

@@ -25,6 +25,69 @@ def shard_ranges(n: int, k: int) -> list[tuple[int, int]]:
     return [((n * r) // k, (n * (r + 1)) // k) for r in range(k)]
 
 
+def sharded_pair_reduce(packed: np.ndarray, n_shards: int = 0):
+    """Range-partitioned sort-reduce of packed canonical pair keys ->
+    (pk_unique, counts), bit-identical to one global sort + unique.
+
+    The adjacent-pair stream feeding make_syncmer_graph is replicated
+    on every process (reference analogue: the arc-counting scan in
+    syncasm.c:116-368), but the SORT need not be: each rank owns a
+    contiguous key range (deterministic splitters from a stride sample
+    of the replicated stream, so every rank derives identical bounds),
+    sorts + uniques only its range, and the variable-length allgather
+    concatenates in rank order -- which is ascending key-range order,
+    so the merged arrays ARE the global sorted unique keys and counts.
+
+    Returns None when there is nothing to shard (single process and
+    n_shards <= 1); in-process callers force n_shards to validate the
+    partition/merge without jax.distributed."""
+    import jax
+
+    from .. import native
+
+    cross = jax.process_count() > 1
+    if n_shards <= 0:
+        n_shards = jax.process_count()
+    if n_shards <= 1:
+        return None
+    if len(packed) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    stride = max(1, len(packed) // 8192)
+    sample = np.sort(packed[::stride])
+    qs = np.linspace(0, len(sample) - 1, n_shards + 1).astype(np.int64)[1:-1]
+    bounds = sample[qs]  # n_shards-1 splitters; shard r owns
+    # [bounds[r-1], bounds[r]) with open ends, so duplicate keys equal
+    # to a splitter all land in one shard
+    my = [jax.process_index()] if cross else range(n_shards)
+    pks, cnts = [], []
+    for r in my:
+        if n_shards == 1:
+            mine = packed
+        elif r == 0:
+            mine = packed[packed < bounds[0]]
+        elif r == n_shards - 1:
+            mine = packed[packed >= bounds[r - 1]]
+        else:
+            mine = packed[(packed >= bounds[r - 1]) & (packed < bounds[r])]
+        mine = np.ascontiguousarray(mine)
+        if not native.sort_u64(mine):
+            mine.sort(kind="stable")
+        if len(mine):
+            new = np.concatenate([[True], mine[1:] != mine[:-1]])
+            starts = np.flatnonzero(new)
+            c = np.diff(np.concatenate([starts, [len(mine)]]))
+            pks.append(mine[starts])
+            cnts.append(c.astype(np.int64))
+        else:
+            pks.append(np.zeros(0, np.uint64))
+            cnts.append(np.zeros(0, np.int64))
+    if cross:
+        pk_parts = _allgather_var(pks[0])
+        cnt_parts = _allgather_var(cnts[0])
+        return np.concatenate(pk_parts), np.concatenate(cnt_parts)
+    return np.concatenate(pks), np.concatenate(cnts)
+
+
 def all_ranks_ok(local_ok: bool) -> bool:
     """Cross-process agreement: True iff EVERY process reports ok.
 

@@ -130,3 +130,30 @@ def test_native_all_palindromes(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(ga.utg, f)), np.asarray(getattr(gb.utg, f)), err_msg=f
         )
+
+
+def test_sharded_pair_reduce_bit_identity():
+    """Range-sharded sort-reduce == global sort+unique for any shard
+    count, including duplicate-heavy and splitter-collision streams."""
+    from oatk_tpu.dist.stages import sharded_pair_reduce
+
+    rng = np.random.default_rng(17)
+    for n, lo_card in ((0, 1), (1, 1), (1000, 50), (200_000, 1000)):
+        packed = (
+            rng.integers(0, lo_card, n, dtype=np.uint64) << np.uint64(32)
+        ) | rng.integers(0, lo_card, n, dtype=np.uint64)
+        base = np.sort(packed.copy())
+        if n:
+            new = np.concatenate([[True], base[1:] != base[:-1]])
+            starts = np.flatnonzero(new)
+            want_pk = base[starts]
+            want_c = np.diff(np.concatenate([starts, [n]]))
+        else:
+            want_pk = np.zeros(0, np.uint64)
+            want_c = np.zeros(0, np.int64)
+        for k in (2, 3, 8):
+            got = sharded_pair_reduce(packed, n_shards=k)
+            assert got is not None
+            np.testing.assert_array_equal(got[0], want_pk, err_msg=f"n={n} k={k}")
+            np.testing.assert_array_equal(got[1], want_c, err_msg=f"n={n} k={k}")
+    assert sharded_pair_reduce(np.zeros(5, np.uint64), n_shards=1) is None
