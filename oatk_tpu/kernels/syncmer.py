@@ -162,7 +162,14 @@ def _murmur64_rows(blocks: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
         h = h ^ k
         return h * m
 
-    h = lax.fori_loop(0, n_full, body, h)
+    if n_full <= 64:
+        # unroll: each fori_loop iteration touches only a [N] u64
+        # column, so the loop's per-iteration overhead rivals the math;
+        # n_full is static (w is static), the unrolled graph is small
+        for i in range(n_full):
+            h = body(i, h)
+    else:
+        h = lax.fori_loop(0, n_full, body, h)
     if n_tail:
         h = h ^ blocks[:, n_full]
         h = h * m
