@@ -284,6 +284,22 @@ def hist_plot(hist_pairs, label: str, fo=sys.stderr):
         )
 
 
+def _sorted_group_counts(vals: np.ndarray) -> np.ndarray:
+    """Group sizes in ascending value order -- np.unique's counts, via
+    the threaded native radix sort (np.unique's 64-bit mergesort was
+    the stat pass's wall at Gbp scale)."""
+    a = np.array(vals, np.uint64, copy=True)
+    from .. import native
+
+    if not native.sort_u64(a):
+        a.sort(kind="stable")
+    if not len(a):
+        return np.zeros(0, np.int64)
+    new = np.concatenate([[True], a[1:] != a[:-1]])
+    starts = np.flatnonzero(new)
+    return np.diff(np.concatenate([starts, [len(a)]]))
+
+
 def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
     """Collect syncmer statistics into read_db.stats; stderr lines match
     sr_db_stat (/root/reference/syncmer.c:867-1028) byte-for-byte,
@@ -316,7 +332,7 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
         ok &= (p[1:] != MAX_RD_LEN_STAT) & (p[:-1] != MAX_RD_LEN_STAT)
     dist = (p[1:] - p[:-1] - w)[ok] if m > 1 else np.zeros(0, np.int64)
 
-    _, s_counts = np.unique(smer, return_counts=True)
+    s_counts = _sorted_group_counts(smer)
     kmax = int(kmer.max()) if len(kmer) else 0
     if kmax < 4 * len(kmer):
         # post-collection the values are dense syncmer ids (assigned in
@@ -325,7 +341,7 @@ def read_db_stat(read_db, fo=sys.stderr, verbose: int = 0) -> dict:
         bc = np.bincount(kmer.astype(np.int64), minlength=kmax + 1)
         k_counts = bc[bc > 0]
     else:
-        _, k_counts = np.unique(kmer, return_counts=True)
+        k_counts = _sorted_group_counts(kmer)
     s_ctab = _KhCtab()
     s_ctab.fill_from_counts(s_counts)
     k_ctab = _KhCtab()
